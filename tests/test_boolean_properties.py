@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis, seeded/deterministic) for the boolean
+geometry kernels — SURVEY.md §5 'property-based' bullet:
+
+- inclusion–exclusion: area(A) + area(B) == area(A|B) + area(A&B)
+- difference partition: area(A-B) == area(A) - area(A&B)
+- PIP consistency: for sample points, membership in the boolean result
+  equals the boolean combination of memberships in the operands.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from timezone_boundary_builder_spark.geom.boolean import (
+    difference,
+    intersection,
+    union,
+)
+from timezone_boundary_builder_spark.geom.codec import from_rings
+from timezone_boundary_builder_spark.geom.kernels import (
+    make_box,
+    planar_area,
+    points_in_packed,
+)
+
+coord = st.integers(min_value=-60, max_value=60)
+
+
+def boxes(draw):
+    x0, y0 = draw(coord), draw(coord)
+    w, h = draw(st.integers(1, 40)), draw(st.integers(1, 40))
+    return make_box(x0, y0, x0 + w, y0 + h)
+
+
+@st.composite
+def box_pair(draw):
+    return boxes(draw), boxes(draw)
+
+
+def _non_degenerate(pts):
+    (ax, ay), (bx, by), (cx, cy) = pts
+    return abs((bx - ax) * (cy - ay) - (by - ay) * (cx - ax)) > 2
+
+
+@st.composite
+def tri_and_box(draw):
+    pts = draw(
+        st.tuples(
+            st.tuples(coord, coord), st.tuples(coord, coord), st.tuples(coord, coord)
+        ).filter(_non_degenerate)
+    )
+    tri = from_rings([[np.array(pts, dtype=float)]])
+    return tri, boxes(draw)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(box_pair())
+def test_inclusion_exclusion_boxes(ab):
+    a, b = ab
+    ua = planar_area(union(a, b))
+    ia = planar_area(intersection(a, b))
+    assert ua + ia == pytest.approx(planar_area(a) + planar_area(b), abs=1e-6)
+    da = planar_area(difference(a, b))
+    assert da == pytest.approx(planar_area(a) - ia, abs=1e-6)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(tri_and_box())
+def test_inclusion_exclusion_triangle(tb):
+    t, b = tb
+    ua = planar_area(union(t, b))
+    ia = planar_area(intersection(t, b))
+    assert ua + ia == pytest.approx(planar_area(t) + planar_area(b), abs=1e-6)
+    da = planar_area(difference(t, b))
+    assert da == pytest.approx(planar_area(t) - ia, abs=1e-6)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(box_pair(), st.integers(0, 10_000))
+def test_pip_boolean_consistency(ab, seed):
+    a, b = ab
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-65, 65, size=(200, 2))
+    # keep points away from boundaries (grid integers) to dodge edge ties
+    pts = pts[np.abs(pts - np.round(pts)).min(axis=1) > 1e-3]
+    in_a = points_in_packed(pts, a)
+    in_b = points_in_packed(pts, b)
+    u = union(a, b)
+    i = intersection(a, b)
+    d = difference(a, b)
+    np.testing.assert_array_equal(points_in_packed(pts, u), in_a | in_b)
+    np.testing.assert_array_equal(points_in_packed(pts, i), in_a & in_b)
+    np.testing.assert_array_equal(points_in_packed(pts, d), in_a & ~in_b)
