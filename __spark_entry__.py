@@ -1,38 +1,526 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash).
+
+Geo queries run the engine's two-stage spatial join (broadcast compact
+cell cover + exact ray-casting PIP) over deterministic points derived from
+the ``events`` table; their oracles re-implement the exact PIP crossing
+test in ANSI SQL over an inline edge table of the synthetic zone world —
+same formula, same doubles, so values match bit-for-bit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timezone_boundary_builder_spark.geom.cellindex import cover_polygon
+from timezone_boundary_builder_spark.geom.codec import from_geojson
+from timezone_boundary_builder_spark.operators.cover import (
+    CellMap,
+    build_cell_covers,
+    collect_cell_map,
+)
+from timezone_boundary_builder_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from timezone_boundary_builder_spark.operators.derived import build_derived_zones
+from timezone_boundary_builder_spark.operators.oceans import build_ocean_zones
+from timezone_boundary_builder_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_ann,
+)
+from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid
+from timezone_boundary_builder_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    with_fingerprint,
+    with_langid,
+    with_quality,
+    with_token_counts,
+)
+from timezone_boundary_builder_spark.operators.validate import validate_overlaps
+from timezone_boundary_builder_spark.operators.zone_build import (
+    build_zones,
+    fold_zone_ops,
+    post_process,
+    zone_row,
+)
+from timezone_boundary_builder_spark.sources.fixtures import (
+    OCEAN_BANDS,
+    expected_overlaps_pdf,
+    sources_pdf,
+    zone_groups_pdf,
+    zones_config_pdf,
+)
+
+ANN_QUERY_IDS = [0, 1, 2]
+
+
+# --------------------------------------------------------------- fixtures
+
+
+@lru_cache(maxsize=1)
+def _local_zones() -> pd.DataFrame:
+    """The synthetic zone world folded locally (pure numpy, no Spark) —
+    feeds the broadcast cell map and the SQL oracles' edge tables."""
+    cfg = zones_config_pdf()
+    src = sources_pdf().set_index("source_id")["geometry"].to_dict()
+    rows = []
+    for tzid, grp in cfg.groupby("tzid"):
+        ops = []
+        for r in grp.sort_values("op_seq").itertuples():
+            gj = r.geometry if isinstance(r.geometry, str) and r.geometry else src[r.source_id]
+            ops.append({"op_seq": r.op_seq, "op": r.op, "geometry": gj})
+        rows.append(zone_row(tzid, post_process(fold_zone_ops(ops))))
+    return pd.DataFrame(rows).sort_values("tzid").reset_index(drop=True)
+
+
+@lru_cache(maxsize=1)
+def _local_cellmap() -> CellMap:
+    zp = _local_zones()
+    covers = []
+    for r in zp.itertuples():
+        cells, full = cover_polygon(from_geojson(r.geometry), max_res=7)
+        covers.append(
+            pd.DataFrame({"tzid": r.tzid, "cell_id": cells.astype(np.int64), "full": full})
+        )
+    return CellMap(pd.concat(covers, ignore_index=True), zp)
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lat/lon derived from event_id — identical arithmetic
+    in Spark and the DuckDB oracle (pure int mod + double division)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id").cast("string").alias("url"),
+        ((F.col("event_id") * 37 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 53 % 17000) / 100.0 - 85.0).alias("lat"),
+    )
+
+
+_PTS_SQL = """
+  SELECT CAST(event_id AS VARCHAR) AS url,
+         (event_id * 37 % 36000) / 100.0 - 180.0 AS lon,
+         (event_id * 53 % 17000) / 100.0 - 85.0 AS lat
+  FROM events
+"""
+
+
+@lru_cache(maxsize=1)
+def _edges_values_sql() -> str:
+    """Inline edge table of the zone world for the SQL PIP oracle.
+    Horizontal edges never satisfy the straddle test and are omitted."""
+    zp = _local_zones()
+    rows = []
+    for r in zp.itertuples():
+        g = from_geojson(r.geometry)
+        for i in range(g.n_rings):
+            ring = g.ring(i)
+            nxt = np.roll(ring, -1, axis=0)
+            for (x1, y1), (x2, y2) in zip(ring, nxt):
+                if y1 == y2:
+                    continue
+                rows.append(f"('{r.tzid}',{x1!r},{y1!r},{x2!r},{y2!r})")
+    return "(VALUES " + ",".join(rows) + ") AS e(tzid,x1,y1,x2,y2)"
+
+
+def _ocean_case_sql(lon: str = "p.lon") -> str:
+    return (
+        f"CASE WHEN {lon} < -90 THEN 'Etc/GMT+9' WHEN {lon} < 0 THEN 'Etc/GMT+3' "
+        f"WHEN {lon} < 90 THEN 'Etc/GMT-3' ELSE 'Etc/GMT-9' END"
+    )
+
+
+def _pip_assign_sql(select: str, tail: str = "") -> str:
+    """The exact-PIP oracle: ray-casting crossing parity per (point, zone),
+    smallest odd-parity tzid wins, ocean band otherwise — the same
+    crossing formula (straddle + px < x-intercept) the engine's numpy
+    kernel evaluates, with identical double arithmetic."""
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+hits AS (
+  SELECT p.url, e.tzid
+  FROM pts p JOIN {_edges_values_sql()}
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+  GROUP BY p.url, e.tzid
+  HAVING count(*) % 2 = 1
+),
+best AS (SELECT url, min(tzid) AS tzid FROM hits GROUP BY url),
+assigned AS (
+  SELECT p.url, p.lon, p.lat,
+         coalesce(b.tzid, {_ocean_case_sql()}) AS tzid
+  FROM pts p LEFT JOIN best b USING (url)
+)
+{select}
+{tail}
+"""
+
+
+# ----------------------------------------------------------- geo queries
+
+
+def _q_geo_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bc = spark.sparkContext.broadcast(_local_cellmap())
+    pts = _points(spark, sf_dir)
+    # knn disabled (-1): pure two-stage join + ocean band -> SQL-expressible
+    out = assign_tzid(pts, bc, OCEAN_BANDS, knn_max_m=-1.0)
+    return out.select("url", "lon", "lat", "tzid")
+
+
+def _q_geo_tzid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _q_geo_pip_assign(spark, sf_dir)
+        .groupBy("tzid")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def _q_geo_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full path incl. kNN/1852 m (not SQL-expressible -> rows-only)."""
+    bc = spark.sparkContext.broadcast(_local_cellmap())
+    out = assign_tzid(_points(spark, sf_dir), bc, OCEAN_BANDS)
+    return out.select("url", "tzid", "method")
+
+
+def _zones_spark(spark: SparkSession) -> DataFrame:
+    zc = spark.createDataFrame(zones_config_pdf())
+    src = spark.createDataFrame(sources_pdf())
+    return build_zones(spark, zc, src)
+
+
+def _q_geo_zone_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _zones_spark(spark).select(
+        "tzid", F.round("area_deg2", 6).alias("area_deg2_r")
+    )
+
+
+def _q_geo_validate_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zones = _zones_spark(spark)
+    expected = spark.createDataFrame(expected_overlaps_pdf())
+    return validate_overlaps(spark, zones, expected)
+
+
+def _q_geo_ocean_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zones = _zones_spark(spark)
+    bands = spark.createDataFrame(pd.DataFrame(OCEAN_BANDS))
+    return build_ocean_zones(spark, bands, zones).select(
+        F.col("tzid"), F.round("area_deg2", 6).alias("area_deg2_r")
+    )
+
+
+def _q_geo_derived_1970(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zones = _zones_spark(spark)
+    groups = spark.createDataFrame(zone_groups_pdf())
+    return build_derived_zones(spark, zones, groups, "1970").select(
+        "tzid", F.round("area_deg2", 6).alias("area_deg2_r")
+    )
+
+
+def _q_geo_cell_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    covers = build_cell_covers(_zones_spark(spark), max_res=7)
+    return covers.groupBy("tzid").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("full").cast("int")).alias("n_full"),
+    )
+
+
+# ------------------------------------------------------- webtext queries
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_q", "n_words_q", "mean_word_len", "stopword_ratio", "punct_ratio"
+    )
+
+
+def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", F.round("bpe_tokens_est", 6).alias("bpe_tokens_est")
+    )
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_langid(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=4, shingle_size=3)
+
+
+def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=4, shingle_size=3)
+    return minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, ANN_QUERY_IDS, k=5)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucket_ann(emb, ANN_QUERY_IDS, k=5)
+
+
+# ----------------------------------------------------- relational queries
+
+
+def _q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_rel_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    top = (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+    return top
+
+
+def _q_rel_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: two-stage spatial join at sf0.001 (driver checks rows>0)."""
+    return _q_geo_pip_assign(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # Part A (boundary build) + Part B (serving) — SURVEY.md §2
+        "geo_zone_build": _q_geo_zone_build,
+        "geo_validate_overlaps": _q_geo_validate_overlaps,
+        "geo_ocean_zones": _q_geo_ocean_zones,
+        "geo_derived_1970": _q_geo_derived_1970,
+        "geo_cell_covers": _q_geo_cell_covers,
+        "geo_pip_assign": _q_geo_pip_assign,
+        "geo_tzid_counts": _q_geo_tzid_counts,
+        "geo_knn_assign": _q_geo_knn_assign,
+        # webtext pipeline ops
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_quality": _q_text_quality,
+        "text_tokens": _q_text_tokens,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh": _q_ann_lsh,
+        # relational coverage
+        "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
+        "rel_customer_order_stats": _q_rel_customer_order_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _zone_area_values_sql() -> str:
+    zp = _local_zones()
+    vals = ",".join(f"('{r.tzid}', {round(r.area_deg2, 6)!r})" for r in zp.itertuples())
+    return f"SELECT * FROM (VALUES {vals}) AS t(tzid, area_deg2_r)"
+
+
+def _derived_area_values_sql() -> str:
+    """Expected 1970-derived zones, computed locally: grouped zones merge,
+    ungrouped pass through."""
+    from timezone_boundary_builder_spark.geom.boolean import dissolve
+    from timezone_boundary_builder_spark.geom.kernels import planar_area
+
+    zp = _local_zones().set_index("tzid")
+    groups = zone_groups_pdf()
+    g70 = groups[groups.strategy == "1970"]
+    out = {}
+    for rep, members in g70.groupby("rep_tzid"):
+        geoms = [from_geojson(zp.loc[m, "geometry"]) for m in members.member_tzid]
+        out[rep] = round(planar_area(dissolve(geoms)), 6)
+    for tzid in zp.index:
+        if tzid not in set(g70.member_tzid):
+            out[tzid] = round(float(zp.loc[tzid, "area_deg2"]), 6)
+    vals = ",".join(f"('{t}', {a!r})" for t, a in sorted(out.items()))
+    return f"SELECT * FROM (VALUES {vals}) AS t(tzid, area_deg2_r)"
+
+
+def _lang_sql_case() -> tuple[str, str]:
+    hits = []
+    for lang, markers in LANG_MARKERS:
+        inlist = ",".join(f"'{m}'" for m in markers)
+        hits.append(
+            f"len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ({inlist}))) AS {lang}_hits"
+        )
+    case = (
+        "CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und' "
+        "WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en' "
+        "WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de' "
+        "WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr' "
+        "ELSE 'es' END"
+    )
+    return ", ".join(hits), case
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ",".join(f"'{w}'" for w in STOPWORDS)
+    lang_hits, lang_case = _lang_sql_case()
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    words = "string_split_regex(trim(text), '\\s+')"
+    mh = (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(4)
+        )
+        + """
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(list_slice(ws, i, i + 2), ' ')
+                 )) AS shingle
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
+        ) GROUP BY doc_id"""
+    )
+    return {
+        "geo_pip_assign": _pip_assign_sql("SELECT url, lon, lat, tzid FROM assigned"),
+        "geo_tzid_counts": _pip_assign_sql(
+            "SELECT tzid, count(*) AS n_pages FROM assigned GROUP BY tzid"
+        ),
+        "geo_zone_build": _zone_area_values_sql(),
+        "geo_derived_1970": _derived_area_values_sql(),
+        "geo_validate_overlaps": (
+            "SELECT * FROM (VALUES ('Test/Alpha', 'Test/Hotel', 100.0, true)) "
+            "AS t(tz_a, tz_b, overlap_area_deg2, allowed)"
+        ),
+        "dedup_exact": f"""
+            SELECT md5({norm}) AS fingerprint, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1""",
+        "text_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   len({words}) AS n_words_q,
+                   round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len({words}), 6) AS mean_word_len,
+                   round(len(list_filter({words}, w -> w IN ({stop_list}))) * 1.0 / len({words}), 6) AS stopword_ratio,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio
+            FROM documents""",
+        "text_tokens": f"""
+            SELECT doc_id, len({words}) AS ws_tokens,
+                   round(length(text) / 4.0
+                         + (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))), 6) AS bpe_tokens_est
+            FROM documents""",
+        "text_langid": f"""
+            SELECT doc_id, {lang_case} AS lang_pred
+            FROM (SELECT doc_id, text, {lang_hits} FROM documents)""",
+        "text_fingerprint": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
+        "dedup_minhash": mh,
+        "dedup_lsh_pairs": f"""
+            WITH sigs AS ({mh}),
+            banded AS (
+              SELECT doc_id,
+                     md5(mh_0 || '|' || mh_1) AS band_0,
+                     md5(mh_2 || '|' || mh_3) AS band_1
+              FROM sigs),
+            p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM banded a JOIN banded b ON a.band_0 = b.band_0 AND a.doc_id < b.doc_id),
+            p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM banded a JOIN banded b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id)
+            SELECT DISTINCT id_a, id_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)""",
+        "ann_cosine_topk": f"""
+            WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+                  WHERE vec_id IN ({",".join(str(i) for i in ANN_QUERY_IDS)})),
+            scored AS (
+              SELECT q.query_id, v.vec_id AS neighbor_id,
+                     round(list_dot_product(v.vec, q.qvec)
+                           / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+              FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5""",
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "rel_top_customer_per_nation": """
+            WITH ranked AS (
+              SELECT c_custkey, c_nationkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer)
+            SELECT n.n_name, r.c_custkey, round(r.c_acctbal, 2) AS acctbal
+            FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
+            WHERE r.rn = 1""",
+        "rel_customer_order_stats": """
+            SELECT c.c_custkey,
+                   count(o.o_orderkey) AS n_orders,
+                   round(coalesce(sum(o.o_totalprice), 0.0), 4) AS total_spent
+            FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey""",
+        # geo_ocean_zones, geo_cell_covers, geo_knn_assign, dedup_simhash,
+        # ann_lsh: rows-only (kNN meters / cell internals / bit packing are
+        # not expressible in portable ANSI SQL)
+    }

@@ -1,0 +1,161 @@
+"""Cell covers + the broadcast sorted-array map (north_star: "batched H3/S2
+covering of every timezone polygon (compact cell covers as the coarse
+index, stored as a broadcast sorted-array map)").
+
+Stage 1 of the two-stage spatial join. The reference has no lookup layer
+(README.md:125-156) — this is the engine's scale path:
+
+- `build_cell_covers`: zones DataFrame -> (tzid, cell_id, full) rows, one
+  applyInPandas over zones (each zone covers independently; zones is tiny
+  relative to pages, so this stage is never the bottleneck).
+- `CellMap`: the collected cover as sorted uint64 arrays + the zone
+  polygon set, broadcast once; per-point lookup is np.searchsorted — the
+  10^12-row pages join becomes map-side only, no shuffle.
+
+FULL cells resolve a point immediately; BOUNDARY cells carry candidate
+tzids that stage 2 (exact PIP) disambiguates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..geom.cellindex import cell_parent, cell_res, cover_polygon, encode_points
+from ..geom.codec import from_geojson
+
+COVER_SCHEMA = "tzid string, cell_id long, full boolean, res int"
+
+DEFAULT_COVER_RES = 7  # ~2.8 deg cells at res 7 on the synthetic world
+
+
+def make_cover_fn(max_res: int = DEFAULT_COVER_RES):
+    def _cover(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            geom = from_geojson(row["geometry"])
+            cells, full = cover_polygon(geom, max_res=max_res)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "tzid": row["tzid"],
+                        "cell_id": cells.astype(np.int64),  # spark long
+                        "full": full,
+                        "res": (cells >> np.uint64(58)).astype(np.int32),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(columns=["tzid", "cell_id", "full", "res"])
+        return pd.concat(out, ignore_index=True)
+
+    return _cover
+
+
+def build_cell_covers(zones: DataFrame, max_res: int = DEFAULT_COVER_RES) -> DataFrame:
+    """zones(tzid, geometry, ...) -> covers(tzid, cell_id, full, res)."""
+    return zones.select("tzid", "geometry").groupBy("tzid").applyInPandas(
+        make_cover_fn(max_res), COVER_SCHEMA
+    )
+
+
+class CellMap:
+    """Broadcastable compact cover: sorted arrays per kind.
+
+    full_cells   : uint64[] sorted       -> full_tz int32[] (zone index)
+    bnd_cells    : uint64[] sorted (dup cell ids allowed, grouped)
+    bnd_tz       : int32[] parallel to bnd_cells
+    levels       : sorted list of resolutions present (for ancestor probes)
+    tzids        : zone name list; geoms: GeoJSON strings (decoded lazily
+                   on each executor, cached per process)
+    """
+
+    def __init__(self, covers_pdf: pd.DataFrame, zones_pdf: pd.DataFrame):
+        # sort zones by tzid: in legitimately-overlapping regions (expected
+        # overlaps, reference expectedZoneOverlaps.json) the smallest tzid
+        # wins deterministically — engine and oracle share this rule
+        zones_pdf = zones_pdf.sort_values("tzid").reset_index(drop=True)
+        self.tzids = list(zones_pdf["tzid"])
+        self._tz_index = {t: i for i, t in enumerate(self.tzids)}
+        self.geojson = list(zones_pdf["geometry"])
+        self.zone_bbox = zones_pdf[["min_x", "min_y", "max_x", "max_y"]].to_numpy(
+            dtype=np.float64
+        )
+
+        cells = covers_pdf["cell_id"].to_numpy().astype(np.uint64)
+        tz = covers_pdf["tzid"].map(self._tz_index).to_numpy(dtype=np.int32)
+        full = covers_pdf["full"].to_numpy(dtype=bool)
+
+        fc = cells[full]
+        ft = tz[full]
+        o = np.argsort(fc, kind="stable")
+        self.full_cells = fc[o]
+        self.full_tz = ft[o]
+
+        bc = cells[~full]
+        bt = tz[~full]
+        o = np.argsort(bc, kind="stable")
+        self.bnd_cells = bc[o]
+        self.bnd_tz = bt[o]
+
+        self.levels = sorted(set(int(r) for r in cell_res(cells))) if len(cells) else []
+        self._geom_cache = None
+
+    # -- executor-side ---------------------------------------------------
+    def geoms(self):
+        if self._geom_cache is None:
+            self._geom_cache = [from_geojson(g) for g in self.geojson]
+        return self._geom_cache
+
+    def lookup(self, lon: np.ndarray, lat: np.ndarray):
+        """Vectorized probe. Returns:
+        assigned int32[] — zone index from a FULL cell hit, -1 otherwise
+        cand_lists       — list (per point) of candidate zone-index arrays
+                           from BOUNDARY cell hits (empty list -> no hit)
+        """
+        n = len(lon)
+        big = np.iinfo(np.int32).max
+        assigned = np.full(n, big, dtype=np.int32)
+        cand: list = [None] * n
+        if not self.levels:
+            assigned[:] = -1
+            return assigned, cand
+        # encode once at the finest level; coarser ids are bit-shifts
+        # (cheap int ops instead of re-projecting floats per level)
+        finest = self.levels[-1]
+        finest_ids = encode_points(lon, lat, finest)
+        for lv in self.levels:
+            ids = finest_ids if lv == finest else cell_parent(finest_ids, finest - lv)
+            # full-cell matches: take the MIN zone index across all levels
+            # (overlapping zones can both claim a point via nested full
+            # cells; min = smallest tzid rule)
+            if len(self.full_cells):
+                lo = np.searchsorted(self.full_cells, ids, side="left")
+                hi = np.searchsorted(self.full_cells, ids, side="right")
+                multi = hi > lo
+                one = multi & (hi - lo == 1)
+                assigned[one] = np.minimum(assigned[one], self.full_tz[lo[one]])
+                for i in np.nonzero(multi & ~one)[0]:
+                    assigned[i] = min(assigned[i], int(self.full_tz[lo[i] : hi[i]].min()))
+            # boundary-cell matches (may be several tzids per cell)
+            if len(self.bnd_cells):
+                lo = np.searchsorted(self.bnd_cells, ids, side="left")
+                hi = np.searchsorted(self.bnd_cells, ids, side="right")
+                multi = hi > lo
+                for i in np.nonzero(multi)[0]:
+                    ext = self.bnd_tz[lo[i] : hi[i]]
+                    cand[i] = ext if cand[i] is None else np.concatenate([cand[i], ext])
+        assigned[assigned == big] = -1
+        return assigned, cand
+
+
+def collect_cell_map(covers: DataFrame, zones: DataFrame) -> CellMap:
+    """Driver-side: collect the (small) cover + zone tables and build the
+    CellMap for sc.broadcast(). The cover is compact — O(zones x boundary
+    cells), never O(pages)."""
+    covers_pdf = covers.toPandas()
+    zones_pdf = zones.select(
+        "tzid", "geometry", "min_x", "min_y", "max_x", "max_y"
+    ).toPandas()
+    return CellMap(covers_pdf, zones_pdf)

@@ -1,0 +1,141 @@
+"""Deduplication operators (driver spec: exact, MinHash+LSH, SimHash,
+n-gram Jaccard).
+
+Exact + MinHash stay fully JVM-side (md5 + explode + min-agg — all
+codegen'd; the only shuffles are the groupBys on the dedup keys, which is
+the theoretical minimum). SimHash packs md5 bits into a 64-bit signature
+with bit arithmetic. At 10^12 rows the shuffle keys (md5 hex / band
+hashes) are uniformly distributed by construction — no skew handling
+needed beyond AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text,
+    keeping the smallest id (deterministic winner)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.withColumn("fingerprint", F.md5(norm))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Word-shingle MinHash: signature h_i(doc) = min over shingles of
+    md5(i || shingle). Uses md5 hex strings ordered lexicographically —
+    exactly reproducible in ANSI SQL (the DuckDB oracle mirrors it).
+
+    explode(shingles) -> groupBy(doc) with num_hashes min() aggregates:
+    partial aggregation (map-side combine) keeps the shuffle at one row
+    per doc per hash, independent of document length.
+
+    The input is repartitioned by id BEFORE the explode: the shuffle moves
+    one row per document (cheap), and because hash-partitioning by id is
+    preserved through the explode, the groupBy(id) afterwards needs no
+    second shuffle — the expensive exploded relation never crosses the
+    wire. Also fixes single-file inputs collapsing to one task.
+    """
+    spark_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(spark_parallelism, id_col)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_size)),
+    )
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+    band hash = md5(concat of the band's rows). Self-join per band on the
+    bucket key (equi-join -> hash join; bucket keys are md5-uniform)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{b}"))
+    # persist: each band join references `banded` twice; without this the
+    # whole upstream minhash would recompute 2 x bands times
+    banded = sigs.select(F.col(id_col), *band_cols).persist()
+    pairs = None
+    for b in range(bands):
+        l = banded.select(F.col(id_col).alias("id_a"), F.col(f"band_{b}").alias("bucket"))
+        r = banded.select(F.col(id_col).alias("id_b"), F.col(f"band_{b}").alias("bucket"))
+        p = l.join(r, "bucket").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word features: bit b of the signature is the
+    majority vote of bit b across md5(word) of all words. Pure DataFrame
+    ops: explode -> 64 conditional sums -> bit pack."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = df.select(F.col(id_col), F.explode(words).alias("w"))
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 16), 16, 10).cast("decimal(38,0)")
+    exploded = exploded.withColumn("h", h.cast("long"))  # low 63 bits kept
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1).cast("long")).cast("int") * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(63)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(63):
+        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs (the verify
+    stage after LSH): distinct word-n-gram sets per doc, then
+    |intersection| / |union| per pair. Joins are on doc ids (broadcastable
+    when the candidate set is small, which LSH guarantees)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+    g = df.select(F.col(id_col), grams.alias("grams"))
+    a = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
+    b = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
+    joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    uni = F.size(F.array_union("grams_a", "grams_b"))
+    jac = (inter / F.greatest(uni, F.lit(1))).cast("double")
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)

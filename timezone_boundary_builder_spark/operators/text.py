@@ -1,0 +1,98 @@
+"""Text-analysis operators for the training-data pipeline (driver spec:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+Everything is built from JVM-side pyspark.sql.functions only — these run
+inside whole-stage codegen, no Python in the hot path, so they scale to
+the 10^12-row pages table the same way any projection does. Each has an
+exact ANSI-SQL twin (see __spark_entry__.oracle_sql) so the DuckDB oracle
+can verify values, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker-word language heuristic (n-gram-lite): the word set
+# per language is fixed so Spark and the SQL oracle agree exactly
+LANG_MARKERS = [
+    ("en", ["the", "and", "of"]),
+    ("de", ["der", "und", "nicht"]),
+    ("fr", ["le", "et", "les"]),
+    ("es", ["el", "y", "los"]),
+]
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def n_words(text: Column) -> Column:
+    """Whitespace token count via pure string arithmetic (identical
+    semantics in any SQL engine): #spaces + 1 on the trimmed text."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.regexp_replace(t, r"\s+", "")) + 1
+        - (F.length(t) - F.length(F.regexp_replace(t, r"\s+", " ")))
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (len/4 heuristic +
+    punctuation splits), all codegen'd."""
+    t = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    bpe_est = (F.length(t) / F.lit(4.0) + punct).cast("double")
+    return df.withColumn("ws_tokens", ws_tokens).withColumn("bpe_tokens_est", bpe_est)
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features: char length, word count, mean word length,
+    stopword ratio, punctuation ratio — the standard webtext filters."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    wc = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return (
+        df.withColumn("n_chars_q", F.length(t))
+        .withColumn("n_words_q", wc)
+        .withColumn(
+            "mean_word_len",
+            F.round((F.length(F.regexp_replace(t, r"\s+", "")) / wc).cast("double"), 6),
+        )
+        .withColumn("stopword_ratio", F.round((stop_hits / wc).cast("double"), 6))
+        .withColumn(
+            "punct_ratio", F.round((punct / F.greatest(F.length(t), F.lit(1))).cast("double"), 6)
+        )
+    )
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits with a
+    fixed priority order on ties; 'und' when nothing matches."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    hit_cols = []
+    for lang, markers in LANG_MARKERS:
+        hits = F.size(F.filter(words, lambda w: w.isin(markers)))
+        hit_cols.append((lang, hits))
+    # argmax with first-listed language winning ties (priority order)
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, hits in reversed(hit_cols):
+        cond = hits >= F.greatest(best_n, F.lit(1))
+        # reversed iteration + >= makes the FIRST list entry win ties
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, hits).otherwise(best_n)
+    return df.withColumn("lang_pred", best)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercased,
+    whitespace-collapsed) — the exact-dedup key; plus a 16-hex-char
+    rolling prefix fingerprint for locality."""
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
+        "fp_prefix", F.substring(F.md5(norm), 1, 8)
+    )
