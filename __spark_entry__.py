@@ -237,6 +237,36 @@ def _q_geo_cell_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 full-outer release diff: current zones vs a simulated last
+    release (Golf missing, Bravo without its exclave)."""
+    from timezone_boundary_builder_spark.operators.release_diff import release_diff
+
+    cur = _zones_spark(spark)
+    cfg = zones_config_pdf()
+    cfg = cfg[~(cfg.tzid == "Test/Golf")]
+    cfg = cfg[~((cfg.tzid == "Test/Bravo") & (cfg.op == "union"))]
+    last = build_zones(
+        spark, spark.createDataFrame(cfg), spark.createDataFrame(sources_pdf())
+    )
+    return release_diff(spark, cur, last)
+
+
+def _q_geo_tiles_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timezone_boundary_builder_spark.operators.tiles import raster_tiles
+
+    return raster_tiles(_zones_spark(spark), res=5)
+
+
+def _q_geo_tiles_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timezone_boundary_builder_spark.operators.tiles import (
+        raster_tile_summary,
+        raster_tiles,
+    )
+
+    return raster_tile_summary(raster_tiles(_zones_spark(spark), res=5), salt_buckets=8)
+
+
 # ------------------------------------------------------- webtext queries
 
 
@@ -289,6 +319,49 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucket_ann(emb, ANN_QUERY_IDS, k=5)
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata op driven through the real mapInPandas
+    operator; html bytes constructed deterministically from text."""
+    from timezone_boundary_builder_spark.operators.multimodal import extract_html_meta
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+    )
+    return extract_html_meta(docs)
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timezone_boundary_builder_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_size=3)
+    pairs = minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
+    return ngram_jaccard_pairs(docs, pairs, n=3, threshold=0.5)
+
+
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregation (the batch twin of the streaming op)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
 
 
 # ----------------------------------------------------- relational queries
@@ -356,6 +429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_assign": _q_geo_pip_assign,
         "geo_tzid_counts": _q_geo_tzid_counts,
         "geo_knn_assign": _q_geo_knn_assign,
+        "geo_release_diff": _q_geo_release_diff,
+        "geo_tiles_raster": _q_geo_tiles_raster,
+        "geo_tiles_summary": _q_geo_tiles_summary,
         # webtext pipeline ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -367,6 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh": _q_ann_lsh,
+        "multimodal_meta": _q_multimodal_meta,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "events_windowed": _q_events_windowed,
         # relational coverage
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
@@ -448,6 +527,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES ('Test/Alpha', 'Test/Hotel', 100.0, true)) "
             "AS t(tz_a, tz_b, overlap_area_deg2, allowed)"
         ),
+        # hand-derivable golden: Golf (375 deg2) absent from 'last', Bravo's
+        # 5x5 exclave absent from 'last' -> two additions, no removals
+        "geo_release_diff": (
+            "SELECT * FROM (VALUES ('Test/Bravo', 'addition', 25.0), "
+            "('Test/Golf', 'addition', 375.0)) AS t(tzid, change, area_deg2)"
+        ),
+        "multimodal_meta": """
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256,
+                   'application/octet-stream' AS content_kind,
+                   CAST(NULL AS VARCHAR) AS title
+            FROM documents""",
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2""",
         "dedup_exact": f"""
             SELECT md5({norm}) AS fingerprint, min(doc_id) AS keep_id,
                    count(*) AS dup_count

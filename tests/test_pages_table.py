@@ -1,0 +1,101 @@
+"""Iceberg-lite pages table: snapshot isolation, manifest pruning
+(SURVEY.md §2.4 B1); stage manifests resume (B10); lineage (B9)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from timezone_boundary_builder_spark.plans.lineage import StageMetrics, lineage_table
+from timezone_boundary_builder_spark.plans.manifests import StageManifest, fingerprint
+from timezone_boundary_builder_spark.sources import pages as pg
+from timezone_boundary_builder_spark.sources.fixtures import synthetic_pages
+
+
+@pytest.fixture()
+def pages_pdf():
+    return synthetic_pages(n=300, seed=11).drop(columns=["kind"])
+
+
+def test_snapshot_append_and_pruning(spark, tmp_path, pages_pdf):
+    root = str(tmp_path / "pages_tbl")
+    df = spark.createDataFrame(pages_pdf)
+    s1 = pg.commit_append(root, df)
+    n1 = pg.scan(spark, root).count()
+    assert n1 == 300
+    assert pg.snapshot_row_count(root) == 300
+
+    # append a second batch -> new snapshot; old snapshot still reads 300
+    df2 = spark.createDataFrame(pages_pdf).withColumn(
+        "url", F.concat(F.lit("b2-"), F.col("url"))
+    )
+    s2 = pg.commit_append(root, df2)
+    assert pg.scan(spark, root, snapshot_id=s1).count() == 300  # isolation
+    assert pg.scan(spark, root, snapshot_id=s2).count() == 600
+
+    # manifest pruning: restricting ts_day must cut the file list
+    snap = pg.read_snapshot(root)
+    days = sorted({e["ts_day"] for e in snap["manifest"]})
+    assert len(days) > 1
+    pruned = pg.scan(spark, root, ts_day_min=days[-1], ts_day_max=days[-1])
+    full = pg.scan(spark, root)
+    assert pruned.count() < full.count()
+    # pruning happened at the manifest level: fewer input files in the plan
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_stage_manifest_resume(spark, tmp_path):
+    root = str(tmp_path / "stages")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("x"))
+
+    m = StageManifest(root)
+    fp = fingerprint("stage-a", "cfg-v1")
+    df1, cached1 = m.run_stage(spark, "stage_a", fp, compute)
+    assert not cached1 and calls["n"] == 1 and df1.count() == 100
+
+    # same fingerprint -> skipped, byte-identical output reused
+    m2 = StageManifest(root)  # fresh process analog
+    df2, cached2 = m2.run_stage(spark, "stage_a", fp, compute)
+    assert cached2 and calls["n"] == 1
+    assert df2.orderBy("id").collect() == df1.orderBy("id").collect()
+
+    # changed fingerprint -> recompute
+    df3, cached3 = m2.run_stage(spark, "stage_a", fingerprint("stage-a", "cfg-v2"), compute)
+    assert not cached3 and calls["n"] == 2
+
+    # corrupted output -> hash re-verification forces recompute
+    out_dir = os.path.join(root, "stage_a")
+    victim = [f for f in os.listdir(out_dir) if f.endswith(".parquet")][0]
+    with open(os.path.join(out_dir, victim), "ab") as f:
+        f.write(b"corruption")
+    m3 = StageManifest(root)
+    _, cached4 = m3.run_stage(spark, "stage_a", fingerprint("stage-a", "cfg-v2"), compute)
+    assert not cached4 and calls["n"] == 3
+
+
+def test_lineage_and_metrics(spark, pages_pdf):
+    df = spark.createDataFrame(pages_pdf).repartition(4, "url")
+    lin = lineage_table(df, "url").toPandas()
+    assert lin.n_rows.sum() == 300
+    assert lin.partition_id.nunique() == len(lin)
+    # content-identical input repartitioned differently -> same multiset
+    lin2 = lineage_table(df.repartition(2, "url"), "url").toPandas()
+    assert lin2.n_rows.sum() == 300
+
+    # accumulator wrapping counts rows through a pass-through stage
+    import pandas as pd
+
+    met = StageMetrics(spark, "identity")
+
+    def identity(batches):
+        for b in batches:
+            yield b
+
+    out = df.select("url").mapInPandas(met.wrap(identity), "url string")
+    assert out.count() == 300
+    snap = met.snapshot()
+    assert snap["rows_in"] == 300 and snap["rows_out"] == 300 and snap["batches"] >= 1

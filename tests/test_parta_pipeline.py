@@ -1,0 +1,133 @@
+"""Part A pipeline tests: ocean gap-fill, validation (incl. the failure
+path), derived zones, release diff, combined outputs."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timezone_boundary_builder_spark.geom.codec import from_geojson
+from timezone_boundary_builder_spark.geom.kernels import points_in_packed
+from timezone_boundary_builder_spark.operators.derived import build_derived_zones
+from timezone_boundary_builder_spark.operators.oceans import build_ocean_zones
+from timezone_boundary_builder_spark.operators.outputs import (
+    combine_and_write,
+    write_zone_lookup,
+)
+from timezone_boundary_builder_spark.operators.release_diff import release_diff
+from timezone_boundary_builder_spark.operators.validate import (
+    assert_valid,
+    validate_overlaps,
+)
+from timezone_boundary_builder_spark.operators.zone_build import build_zones
+from timezone_boundary_builder_spark.sources.fixtures import (
+    OCEAN_BANDS,
+    expected_overlaps_pdf,
+    sources_pdf,
+    zone_groups_pdf,
+    zones_config_pdf,
+)
+
+
+@pytest.fixture(scope="module")
+def zones_df(spark):
+    zc = spark.createDataFrame(zones_config_pdf())
+    src = spark.createDataFrame(sources_pdf())
+    return build_zones(spark, zc, src).cache()
+
+
+def test_ocean_zones_no_land_overlap(spark, zones_df):
+    bands = spark.createDataFrame(pd.DataFrame(OCEAN_BANDS))
+    oceans = build_ocean_zones(spark, bands, zones_df).toPandas()
+    assert set(oceans.tzid) == {b["tzid"] for b in OCEAN_BANDS}
+    zones = {r.tzid: from_geojson(r.geometry) for r in zones_df.toPandas().itertuples()}
+    rng = np.random.default_rng(4)
+    for r in oceans.itertuples():
+        g = from_geojson(r.geometry)
+        # sample points inside the ocean zone: none may be on land
+        b = (g.coords[:, 0].min(), g.coords[:, 1].min(), g.coords[:, 0].max(), g.coords[:, 1].max())
+        pts = np.column_stack(
+            [rng.uniform(b[0], b[2], 400), rng.uniform(b[1], b[3], 400)]
+        )
+        inside = pts[points_in_packed(pts, g)]
+        for tz, zg in zones.items():
+            on_land = points_in_packed(inside, zg)
+            assert not on_land.any(), (r.tzid, tz, inside[on_land][:3])
+
+
+def test_validation_passes_on_valid_world(spark, zones_df):
+    expected = spark.createDataFrame(expected_overlaps_pdf())
+    assert_valid(spark, zones_df, expected)  # must not raise
+
+
+def test_validation_fails_on_unlisted_overlap(spark):
+    zc = spark.createDataFrame(zones_config_pdf(include_invalid_overlap=True))
+    src = spark.createDataFrame(sources_pdf())
+    zones = build_zones(spark, zc, src)
+    expected = spark.createDataFrame(expected_overlaps_pdf())
+    out = validate_overlaps(spark, zones, expected).toPandas()
+    bad = out[~out.allowed]
+    assert len(bad) == 1
+    assert {bad.iloc[0].tz_a, bad.iloc[0].tz_b} == {"Test/Bravo", "Test/Juliett"}
+    with pytest.raises(ValueError, match="Zone validation unsuccessful"):
+        assert_valid(spark, zones, expected)
+
+
+def test_derived_zones(spark, zones_df):
+    groups = spark.createDataFrame(zone_groups_pdf())
+    z70 = build_derived_zones(spark, zones_df, groups, "1970").toPandas()
+    # Alpha absorbs Hotel; Hotel disappears as its own zone
+    assert "Test/Hotel" not in set(z70.tzid)
+    by = z70.set_index("tzid")
+    # merged area = alpha + hotel - shared disputed overlap (they share it)
+    assert by.loc["Test/Alpha"].area_deg2 == pytest.approx(950 + 650 - 100)
+    # ungrouped zones pass through
+    assert "Test/Golf" in set(z70.tzid)
+
+
+def test_release_diff(spark, zones_df):
+    # simulate last release: drop Golf, remove Bravo's exclave
+    cfg = zones_config_pdf()
+    cfg = cfg[~((cfg.tzid == "Test/Golf"))]
+    cfg = cfg[~((cfg.tzid == "Test/Bravo") & (cfg.op == "union"))]
+    last = build_zones(
+        spark, spark.createDataFrame(cfg), spark.createDataFrame(sources_pdf())
+    )
+    diff = release_diff(spark, zones_df, last).toPandas()
+    d = {(r.tzid, r.change): r.area_deg2 for r in diff.itertuples()}
+    assert d[("Test/Golf", "addition")] == pytest.approx(375.0)
+    assert d[("Test/Bravo", "addition")] == pytest.approx(25.0)
+    assert not [k for k in d if k[1] == "removal"]
+    # identical inputs -> empty diff (hash short-circuit)
+    assert release_diff(spark, zones_df, zones_df).count() == 0
+
+
+def test_combined_outputs(spark, zones_df, tmp_path):
+    groups = spark.createDataFrame(zone_groups_pdf())
+    bands = spark.createDataFrame(pd.DataFrame(OCEAN_BANDS))
+    oceans = build_ocean_zones(spark, bands, zones_df)
+    products = {
+        "comprehensive": zones_df,
+        "1970": build_derived_zones(spark, zones_df, groups, "1970"),
+        "now": build_derived_zones(spark, zones_df, groups, "now"),
+    }
+    out = str(tmp_path / "dist")
+    counts = combine_and_write(spark, products, oceans, out)
+    assert counts["comprehensive.geojson"] == 8
+    assert counts["comprehensive-with-oceans.geojson"] == 12
+    assert counts["1970.geojson"] == 7  # hotel merged away
+    fc = json.load(open(os.path.join(out, "comprehensive.geojson")))
+    assert fc["type"] == "FeatureCollection"
+    f0 = fc["features"][0]
+    assert set(f0.keys()) == {"type", "properties", "geometry"}
+    assert set(f0["properties"].keys()) == {"tzid"}
+    names = json.load(open(os.path.join(out, "timezone-names.json")))
+    assert "Test/Alpha" in names and "Etc/GMT+9" in names
+    no_oc = json.load(open(os.path.join(out, "timezone-names-no-oceans.json")))
+    assert not any(n.startswith("Etc/GMT") for n in no_oc)
+    write_zone_lookup(spark, groups, "1970", os.path.join(out, "lookup-1970.json"))
+    lookup = json.load(open(os.path.join(out, "lookup-1970.json")))
+    assert lookup["Test/Hotel"] == "Test/Alpha"

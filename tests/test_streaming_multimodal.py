@@ -1,0 +1,124 @@
+"""Structured Streaming + multimodal operator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from timezone_boundary_builder_spark.operators.multimodal import (
+    extract_html_meta,
+    image_features,
+)
+from timezone_boundary_builder_spark.sources.fixtures import (
+    OCEAN_BANDS,
+    synthetic_pages,
+)
+from timezone_boundary_builder_spark.streaming.assign_stream import (
+    stream_assign,
+    stream_event_counts,
+)
+
+
+def test_stream_assign_matches_batch(spark, tmp_path):
+    pages_pdf = synthetic_pages(n=400, seed=3).drop(columns=["kind"])
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(pages_pdf).write.parquet(src)
+
+    bc = spark.sparkContext.broadcast(entry._local_cellmap())
+    q = stream_assign(spark, src, sink, ckpt, bc, OCEAN_BANDS)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(sink).toPandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == 400
+
+    # batch reference: identical operator on the same rows
+    from timezone_boundary_builder_spark.operators.geocode import with_coordinates
+    from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid
+
+    batch = (
+        assign_tzid(with_coordinates(spark.read.parquet(src)), bc, OCEAN_BANDS)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["url", "tzid", "method"]], batch[["url", "tzid", "method"]])
+
+    # restart with same checkpoint + no new files -> no duplicate output
+    q2 = stream_assign(spark, src, sink, ckpt, bc, OCEAN_BANDS)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 400
+
+
+def test_stream_event_counts_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(src)
+    stream_df = stream_event_counts(spark, src, str(tmp_path / "ck2"), window="1 hour")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("evt_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from evt_counts").toPandas()
+    exp = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    key = ["win_start", "win_end", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_html_meta_real_operator(spark):
+    pages_pdf = synthetic_pages(n=50, seed=5).drop(columns=["kind"])
+    df = spark.createDataFrame(pages_pdf)
+    meta = extract_html_meta(df).toPandas().set_index("url")
+    import hashlib
+
+    for r in pages_pdf.itertuples():
+        m = meta.loc[r.url]
+        assert m.n_bytes == len(r.html)
+        assert m.sha256 == hashlib.sha256(r.html).hexdigest()
+        assert m.content_kind == "text/html"
+
+
+def test_image_features_stub_plumbing(spark):
+    pages_pdf = synthetic_pages(n=20, seed=6).drop(columns=["kind"])
+    df = spark.createDataFrame(pages_pdf)
+    feats = image_features(df).toPandas()
+    assert len(feats) == 20
+    assert all(len(f) == 8 for f in feats.feat)
+    # deterministic: same input -> same features
+    feats2 = image_features(df).toPandas().sort_values("url").reset_index(drop=True)
+    feats1 = feats.sort_values("url").reset_index(drop=True)
+    assert (feats1.width == feats2.width).all()
+    assert all(np.allclose(a, b) for a, b in zip(feats1.feat, feats2.feat))
+
+
+def test_image_real_codec_is_marked_stub(spark):
+    pages_pdf = synthetic_pages(n=4, seed=6).drop(columns=["kind"])
+    df = spark.createDataFrame(pages_pdf)
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(Exception) as ei:
+        image_features(df, use_real_codec=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)

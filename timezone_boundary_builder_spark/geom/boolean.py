@@ -414,3 +414,46 @@ def clip_to_box(geom: PackedGeometry, min_x, min_y, max_x, max_y) -> PackedGeome
     from .kernels import make_box
 
     return intersection(geom, make_box(min_x, min_y, max_x, max_y))
+
+
+def buffer_slop(geom: PackedGeometry, d: float) -> PackedGeometry:
+    """Small positive buffer (engine analog of the reference's
+    geom.buffer(0.01) slop used to speed release diffs, index.js:1584-1589,
+    and the repair ladder's last resort, index.js:385-386).
+
+    Implemented as the union of the polygon with per-edge normal quads and
+    per-vertex squares — a conservative superset of the true Minkowski
+    disk sum adequate for its only use: swallowing boundary slivers before
+    a difference. Not a general-purpose offset."""
+    if geom.is_empty() or d <= 0:
+        return geom
+    parts = [geom]
+    for i in range(geom.n_rings):
+        ring = geom.ring(i)
+        nxt = np.roll(ring, -1, axis=0)
+        ex = nxt[:, 0] - ring[:, 0]
+        ey = nxt[:, 1] - ring[:, 1]
+        ln = np.hypot(ex, ey)
+        ok = ln > 0
+        nx = np.where(ok, -ey / np.where(ok, ln, 1), 0.0) * d
+        ny = np.where(ok, ex / np.where(ok, ln, 1), 0.0) * d
+        for j in range(len(ring)):
+            if not ok[j]:
+                continue
+            p1, p2 = ring[j], nxt[j]
+            quad = np.array(
+                [
+                    [p1[0] + nx[j], p1[1] + ny[j]],
+                    [p2[0] + nx[j], p2[1] + ny[j]],
+                    [p2[0] - nx[j], p2[1] - ny[j]],
+                    [p1[0] - nx[j], p1[1] - ny[j]],
+                ]
+            )
+            parts.append(from_rings([[quad]]))
+            vx, vy = ring[j]
+            parts.append(
+                from_rings(
+                    [[np.array([[vx - d, vy - d], [vx + d, vy - d], [vx + d, vy + d], [vx - d, vy + d]])]]
+                )
+            )
+    return dissolve(parts)

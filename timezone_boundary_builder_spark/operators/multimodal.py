@@ -1,0 +1,127 @@
+"""Multimodal column operators (driver spec: image/audio/video as opaque
+binary columns with typed metadata; decode/feature-extract behind
+clearly-marked stubs — the sandbox ships no image/audio libs, so the
+Spark-side plumbing (schema, batching, UDF signatures) is real and tested
+while the codec call sites raise or produce a deterministic fake).
+
+All operators are mapInPandas over Arrow batches: binary columns travel
+as pyarrow binary arrays; nothing is ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+HTML_META_SCHEMA = (
+    "url string, n_bytes long, sha256 string, content_kind string, title string"
+)
+
+IMAGE_FEAT_SCHEMA = "url string, width int, height int, feat array<float>"
+
+_TITLE_RE = re.compile(rb"<title>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+
+
+def _sniff_kind(b: bytes) -> str:
+    """Deterministic magic-byte content sniffing (real, no stub)."""
+    if b.startswith(b"\x89PNG"):
+        return "image/png"
+    if b.startswith(b"\xff\xd8\xff"):
+        return "image/jpeg"
+    if b.startswith(b"GIF8"):
+        return "image/gif"
+    if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+        return "audio/wav"
+    if b[:5].lower() in (b"<html", b"<!doc") or b"<html" in b[:256].lower():
+        return "text/html"
+    return "application/octet-stream"
+
+
+def extract_html_meta(pages: DataFrame) -> DataFrame:
+    """Real (non-stub) binary-column operator: size, sha256, sniffed
+    content kind, <title> text from the html bytes."""
+
+    def _meta(batches):
+        for pdf in batches:
+            htmls = pdf["html"]
+            n = len(pdf)
+            n_bytes = np.empty(n, dtype=np.int64)
+            sha = np.empty(n, dtype=object)
+            kind = np.empty(n, dtype=object)
+            title = np.empty(n, dtype=object)
+            for i, b in enumerate(htmls):
+                b = bytes(b) if b is not None else b""
+                n_bytes[i] = len(b)
+                sha[i] = hashlib.sha256(b).hexdigest()
+                kind[i] = _sniff_kind(b)
+                m = _TITLE_RE.search(b)
+                title[i] = m.group(1).decode("utf-8", "replace").strip() if m else None
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "n_bytes": n_bytes,
+                    "sha256": sha,
+                    "content_kind": kind,
+                    "title": title,
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(_meta, HTML_META_SCHEMA)
+
+
+def _decode_image_real(data: bytes):
+    """STUB: real decode requires PIL/libvips, not present in this
+    container. The function gate is real; the decode is not."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - sandbox has no PIL
+        raise NotImplementedError(
+            "image decode requires PIL; install pillow on the cluster image"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    return img.size, np.asarray(img)
+
+
+def _fake_image_features(data: bytes, dim: int = 8) -> tuple[int, int, np.ndarray]:
+    """Deterministic fake used when no codec is installed: dimensions and
+    features derived from the byte content hash, so tests exercise the
+    full Spark path (schema, Arrow round-trip, batching) with stable
+    values."""
+    h = hashlib.sha256(data).digest()
+    w = 64 + h[0]
+    ht = 64 + h[1]
+    feat = np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float32)
+    feat = (feat % 1000) / 1000.0
+    return w, ht, feat
+
+
+def image_features(
+    pages: DataFrame, use_real_codec: bool = False, dim: int = 8
+) -> DataFrame:
+    """Binary -> (width, height, feature vector). With use_real_codec the
+    PIL path raises NotImplementedError in this sandbox (clearly-marked
+    stub); the default deterministic-fake path keeps the distributed
+    plumbing fully exercised."""
+
+    def _feat(batches):
+        for pdf in batches:
+            rows = []
+            for url, b in zip(pdf["url"], pdf["html"]):
+                b = bytes(b) if b is not None else b""
+                if use_real_codec:
+                    (w, h), arr = _decode_image_real(b)
+                    feat = arr.astype(np.float32).mean(axis=(0, 1))[:dim]
+                else:
+                    w, h, feat = _fake_image_features(b, dim)
+                rows.append((url, int(w), int(h), [float(x) for x in feat]))
+            yield pd.DataFrame(rows, columns=["url", "width", "height", "feat"])
+
+    return pages.select("url", "html").mapInPandas(_feat, IMAGE_FEAT_SCHEMA)
