@@ -527,6 +527,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES ('Test/Alpha', 'Test/Hotel', 100.0, true)) "
             "AS t(tz_a, tz_b, overlap_area_deg2, allowed)"
         ),
+        # hand-derived goldens: ocean = 90x180 band (16200 deg2) minus land
+        #  GMT+9: - Foxtrot-west (10x20=200)                  -> 16000
+        #  GMT+3: - Delta (20x30=600) - Echo (49x30-3x20=1410) -> 14190
+        #  GMT-3: - Alpha|Hotel (900+600; disputed adds 0)
+        #         - Charlie (40x30-100 hole=1100) - Bravo (900+25) -> 12675
+        #  GMT-9: - Golf (0.5*30*25=375) - Foxtrot-east (200)  -> 15625
+        "geo_ocean_zones": (
+            "SELECT * FROM (VALUES ('Etc/GMT+9', 16000.0), ('Etc/GMT+3', 14190.0), "
+            "('Etc/GMT-3', 12675.0), ('Etc/GMT-9', 15625.0)) AS t(tzid, area_deg2_r)"
+        ),
         # hand-derivable golden: Golf (375 deg2) absent from 'last', Bravo's
         # 5x5 exclave absent from 'last' -> two additions, no removals
         "geo_release_diff": (

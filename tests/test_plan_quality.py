@@ -1,0 +1,67 @@
+"""Physical-plan regression checks (the 100-TB guarantees, asserted):
+
+- parquet scans push filters and prune columns;
+- small-dim joins go broadcast;
+- minhash shuffles exactly once (pre-explode repartition, reused by the
+  groupBy), never the exploded relation;
+- the pages->tzid assignment plan contains ZERO exchanges — the 10^12-row
+  hot path must stay map-side only.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from timezone_boundary_builder_spark.operators.dedup import minhash_signatures
+from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid
+from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    plan = plan_of(q)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_shipdate" in scan.split("DataFilters")[1][:120]  # filter pushed
+    # column pruning: only the 3 needed columns in the scan output
+    cols = scan.split("FileScan parquet [")[1].split("]")[0]
+    assert set(c.split("#")[0] for c in cols.split(",")) == {
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+    }
+
+
+def test_zone_build_broadcasts_sources(spark):
+    plan = plan_of(entry._zones_spark(spark))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_customer_uses_window_group_limit_and_broadcast(spark):
+    q = entry.queries()["rel_top_customer_per_nation"](spark, SF)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # top-1 pushed below the shuffle
+
+
+def test_minhash_single_cheap_exchange(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs, num_hashes=4))
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "reuse" not in l.lower()]
+    assert len(exchanges) == 1, exchanges
+    # the one exchange is the pre-explode repartition by doc_id, not a
+    # shuffle of the exploded shingle relation
+    assert "REPARTITION_BY_NUM" in exchanges[0]
+
+
+def test_assignment_plan_has_zero_exchanges(spark):
+    bc = spark.sparkContext.broadcast(entry._local_cellmap())
+    pts = entry._points(spark, SF)
+    plan = plan_of(assign_tzid(pts, bc, OCEAN_BANDS))
+    assert "Exchange" not in plan, plan
