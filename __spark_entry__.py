@@ -321,6 +321,30 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_ann(emb, ANN_QUERY_IDS, k=5)
 
 
+def _q_geocode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real geocode operator (regexp, JVM-side) driven over text with
+    deterministically embedded coordinates (integer-built so Spark and the
+    SQL oracle render identical strings)."""
+    from timezone_boundary_builder_spark.operators.geocode import with_coordinates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat_i = (F.col("event_id") % 170 - 85).cast("int")
+    lon_i = (F.col("event_id") % 350 - 175).cast("int")
+    pages = ev.select(
+        F.col("event_id").cast("string").alias("url"),
+        F.concat(
+            F.lit("crawl snippet geo:"),
+            lat_i.cast("string"),
+            F.lit("."),
+            F.lpad((F.col("event_id") % 100).cast("string"), 2, "0"),
+            F.lit(","),
+            lon_i.cast("string"),
+            F.lit(" trailing words"),
+        ).alias("text"),
+    )
+    return with_coordinates(pages).select("url", "lat", "lon")
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata op driven through the real mapInPandas
     operator; html bytes constructed deterministically from text."""
@@ -443,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh": _q_ann_lsh,
+        "geocode_extract": _q_geocode_extract,
         "multimodal_meta": _q_multimodal_meta,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "events_windowed": _q_events_windowed,
@@ -543,6 +568,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES ('Test/Bravo', 'addition', 25.0), "
             "('Test/Golf', 'addition', 375.0)) AS t(tzid, change, area_deg2)"
         ),
+        "geocode_extract": r"""
+            WITH pages AS (
+              SELECT CAST(event_id AS VARCHAR) AS url,
+                     'crawl snippet geo:' || CAST(CAST(event_id % 170 - 85 AS INT) AS VARCHAR)
+                     || '.' || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0')
+                     || ',' || CAST(CAST(event_id % 350 - 175 AS INT) AS VARCHAR)
+                     || ' trailing words' AS text
+              FROM events),
+            ext AS (
+              SELECT url,
+                     TRY_CAST(nullif(regexp_extract(text, 'geo:(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)', 1), '') AS DOUBLE) AS lat,
+                     TRY_CAST(nullif(regexp_extract(text, 'geo:(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)', 2), '') AS DOUBLE) AS lon
+              FROM pages)
+            SELECT url,
+                   CASE WHEN lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180 THEN lat END AS lat,
+                   CASE WHEN lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180 THEN lon END AS lon
+            FROM ext""",
         "multimodal_meta": """
             SELECT CAST(doc_id AS VARCHAR) AS url,
                    octet_length(encode(text)) AS n_bytes,

@@ -1,0 +1,139 @@
+"""Full Part A pipeline job — the engine's `node index.js` equivalent
+(reference autoScript DAG, index.js:1745-1937), checkpoint-resumable.
+
+Launch (production shape per the north_rule):
+
+    cd /root/repo && zip -qr /tmp/engine.zip timezone_boundary_builder_spark
+    spark-submit --master local[8] --py-files /tmp/engine.zip \
+        jobs/build_all.py --work-dir /tmp/tzb-work --out-dir /tmp/tzb-dist
+
+Stage DAG (each stage = content-fingerprinted parquet checkpoint; rerun
+skips stages whose fingerprint matches and whose output hash re-verifies —
+the reference's FileLookupCache contract, util/cache.js:74-128):
+
+    build_zones -> validate -> oceans -> derived_1970/now -> outputs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--cores", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from timezone_boundary_builder_spark.operators.derived import build_derived_zones
+    from timezone_boundary_builder_spark.operators.oceans import build_ocean_zones
+    from timezone_boundary_builder_spark.operators.outputs import (
+        combine_and_write,
+        write_zone_lookup,
+    )
+    from timezone_boundary_builder_spark.operators.validate import assert_valid
+    from timezone_boundary_builder_spark.operators.zone_build import build_zones
+    from timezone_boundary_builder_spark.plans.manifests import (
+        StageManifest,
+        fingerprint,
+    )
+    from timezone_boundary_builder_spark.sources.fixtures import (
+        OCEAN_BANDS,
+        expected_overlaps_pdf,
+        sources_pdf,
+        zone_groups_pdf,
+        zones_config_pdf,
+    )
+
+    from pyspark import SparkConf
+
+    builder = (
+        SparkSession.builder.appName("tzbb-build-all")
+        .config("spark.sql.shuffle.partitions", str(args.cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    # spark-submit provides the master; plain `python jobs/build_all.py`
+    # falls back to local mode
+    if not SparkConf(loadDefaults=True).contains("spark.master"):
+        builder = builder.master(f"local[{args.cores}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    t0 = time.time()
+    manifest = StageManifest(args.work_dir)
+    cfg_pdf = zones_config_pdf()
+    src_pdf = sources_pdf()
+    # content fingerprints: config + source geometry hashes, no wall-clock
+    # (reference keys zone builds the same way, index.js:806-826)
+    cfg_fp = fingerprint("zones_config", cfg_pdf.to_json(orient="records"))
+    src_fp = fingerprint("sources", src_pdf.to_json(orient="records"))
+
+    stages = {}
+
+    zones, cached = manifest.run_stage(
+        spark,
+        "zones",
+        fingerprint("build", cfg_fp, src_fp),
+        lambda: build_zones(
+            spark, spark.createDataFrame(cfg_pdf), spark.createDataFrame(src_pdf)
+        ),
+    )
+    stages["zones"] = {"cached": cached, "rows": zones.count()}
+
+    # validation gate (raises on disallowed overlaps, reference
+    # index.js:1192-1199) — cheap enough to run every time
+    assert_valid(spark, zones, spark.createDataFrame(expected_overlaps_pdf()))
+    stages["validate"] = {"ok": True}
+
+    zones_fp = manifest._data["zones"]["output_hash"]
+    oceans, cached = manifest.run_stage(
+        spark,
+        "oceans",
+        fingerprint("oceans", zones_fp, json.dumps(OCEAN_BANDS)),
+        lambda: build_ocean_zones(
+            spark, spark.createDataFrame(pd.DataFrame(OCEAN_BANDS)), zones
+        ),
+    )
+    stages["oceans"] = {"cached": cached, "rows": oceans.count()}
+
+    groups_pdf = zone_groups_pdf()
+    groups_fp = fingerprint("groups", groups_pdf.to_json(orient="records"))
+    products = {"comprehensive": zones}
+    for strategy in ("1970", "now"):
+        df, cached = manifest.run_stage(
+            spark,
+            f"derived_{strategy}",
+            fingerprint("derived", strategy, zones_fp, groups_fp),
+            lambda s=strategy: build_derived_zones(
+                spark, zones, spark.createDataFrame(groups_pdf), s
+            ),
+        )
+        products[strategy] = df
+        stages[f"derived_{strategy}"] = {"cached": cached, "rows": df.count()}
+
+    counts = combine_and_write(spark, products, oceans, args.out_dir)
+    for strategy in ("1970", "now"):
+        write_zone_lookup(
+            spark,
+            spark.createDataFrame(groups_pdf),
+            strategy,
+            f"{args.out_dir}/lookup-{strategy}.json",
+        )
+    stages["outputs"] = counts
+
+    print(json.dumps({"stages": stages, "wall_sec": round(time.time() - t0, 2)}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

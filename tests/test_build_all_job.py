@@ -1,0 +1,43 @@
+"""The production job surface: jobs/build_all.py runs the whole Part A
+pipeline (spark-submit shape) and resumes from stage manifests."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(work, out):
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "build_all.py"),
+            "--work-dir",
+            work,
+            "--out-dir",
+            out,
+            "--cores",
+            "8",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+def test_build_all_runs_and_resumes(tmp_path):
+    work = str(tmp_path / "work")
+    out = str(tmp_path / "dist")
+    r1 = _run(work, out)
+    assert r1["stages"]["zones"] == {"cached": False, "rows": 8}
+    assert r1["stages"]["outputs"]["comprehensive-with-oceans.geojson"] == 12
+    # second run: every checkpointed stage must be a manifest hit
+    r2 = _run(work, out)
+    for stage in ("zones", "oceans", "derived_1970", "derived_now"):
+        assert r2["stages"][stage]["cached"] is True, (stage, r2)
+    assert os.path.exists(os.path.join(out, "timezone-names.json"))

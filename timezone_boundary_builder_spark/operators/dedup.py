@@ -49,7 +49,12 @@ def minhash_signatures(
     """
     spark_parallelism = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(spark_parallelism, id_col)
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # materialize the words array once so the per-shingle slice() reads a
+    # column instead of re-evaluating split()
+    df = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+    )
+    words = F.col("__words")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0)))
     shingles = F.transform(
