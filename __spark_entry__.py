@@ -267,6 +267,33 @@ def _q_geo_tiles_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_tile_summary(raster_tiles(_zones_spark(spark), res=5), salt_buckets=8)
 
 
+def _q_geo_tiles_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-serving path: point tzid assignment FROM the materialized
+    raster-tile table (broadcast equi-join on cell_id + candidate-pruned
+    exact PIP). Oracle: the same pure-SQL PIP — the two join strategies
+    must agree row-for-row."""
+    from timezone_boundary_builder_spark.operators.tiles import (
+        raster_tiles,
+        serve_points_from_tiles,
+    )
+
+    tiles = raster_tiles(_zones_spark(spark), res=5)
+    return serve_points_from_tiles(
+        _points(spark, sf_dir), tiles, _local_zones(), OCEAN_BANDS, res=5
+    )
+
+
+def _q_geo_tiles_vector_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservation check as a query: a zone's vector tiles partition it,
+    so per-zone tile-area sums must reproduce the zone-area goldens."""
+    from timezone_boundary_builder_spark.operators.tiles import (
+        vector_tile_areas,
+        vector_tiles,
+    )
+
+    return vector_tile_areas(vector_tiles(_zones_spark(spark), res=5))
+
+
 # ------------------------------------------------------- webtext queries
 
 
@@ -319,6 +346,32 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucket_ann(emb, ANN_QUERY_IDS, k=5)
+
+
+IVF_STRIDE, IVF_NPROBE = 25, 3
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timezone_boundary_builder_spark.operators.similarity import ivf_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_ann(emb, ANN_QUERY_IDS, k=5, centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE)
+
+
+NEARDUP_THRESHOLD, NEARDUP_PLANES, NEARDUP_BANDS, NEARDUP_SEED = 0.4, 8, 2, 7
+
+
+def _q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timezone_boundary_builder_spark.operators.dedup import embed_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embed_neardup_pairs(
+        emb,
+        threshold=NEARDUP_THRESHOLD,
+        n_planes=NEARDUP_PLANES,
+        bands=NEARDUP_BANDS,
+        seed=NEARDUP_SEED,
+    )
 
 
 def _q_geocode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,6 +474,32 @@ def _q_rel_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFram
     return top
 
 
+def _q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-N.
+    customer filter is broadcast; lineitem (the fact) shuffles once on
+    l_orderkey for the join+agg."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cut = F.lit("1995-03-15")
+    return (
+        li.where(F.col("l_shipdate") > cut)
+        .join(o.where(F.col("o_orderdate") < cut), li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def _q_rel_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -456,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_release_diff": _q_geo_release_diff,
         "geo_tiles_raster": _q_geo_tiles_raster,
         "geo_tiles_summary": _q_geo_tiles_summary,
+        "geo_tiles_serve": _q_geo_tiles_serve,
+        "geo_tiles_vector_area": _q_geo_tiles_vector_area,
         # webtext pipeline ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -467,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
         "geocode_extract": _q_geocode_extract,
         "multimodal_meta": _q_multimodal_meta,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -475,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
         "rel_customer_order_stats": _q_rel_customer_order_stats,
+        "rel_shipping_priority": _q_rel_shipping_priority,
     }
 
 
@@ -521,6 +605,82 @@ def _lang_sql_case() -> tuple[str, str]:
     return ", ".join(hits), case
 
 
+def _ivf_sql() -> str:
+    """IVF ANN oracle — identical coarse quantizer (vec_id % stride
+    centroids, cosine argmax with centroid-id tie-break), identical probe
+    (top-nprobe centroids) and exact re-rank."""
+    qids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v
+          WHERE vec_id % {IVF_STRIDE} = 0),
+ass AS (
+  SELECT vec_id, vec, centroid_id, c_cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c_cos DESC, centroid_id) AS crank
+  FROM (
+    SELECT v.vec_id, v.vec, c.centroid_id,
+           round(list_dot_product(v.vec, c.cvec)
+                 / (sqrt(list_dot_product(v.vec, v.vec))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))), 9) AS c_cos
+    FROM v CROSS JOIN cents c)),
+ifile AS (SELECT vec_id, vec, centroid_id FROM ass WHERE crank = 1),
+probe AS (SELECT vec_id AS query_id, vec AS qvec, centroid_id FROM ass
+          WHERE crank <= {IVF_NPROBE} AND vec_id IN ({qids})),
+scored AS (
+  SELECT DISTINCT p.query_id, f.vec_id AS neighbor_id,
+         round(list_dot_product(f.vec, p.qvec)
+               / (sqrt(list_dot_product(f.vec, f.vec))
+                  * sqrt(list_dot_product(p.qvec, p.qvec))), 6) AS cosine
+  FROM ifile f JOIN probe p USING (centroid_id)
+  WHERE f.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+
+def _embed_neardup_sql() -> str:
+    """Embedding near-dup oracle — same plane literals (repr-roundtripped
+    float64), same banded sign-bit buckets, same exact-cosine verify."""
+    from timezone_boundary_builder_spark.operators.dedup import neardup_planes
+
+    planes = neardup_planes(NEARDUP_PLANES, 64, NEARDUP_SEED)
+    rows_per_band = NEARDUP_PLANES // NEARDUP_BANDS
+    band_exprs = []
+    for b in range(NEARDUP_BANDS):
+        bits = []
+        for r in range(rows_per_band):
+            lits = ",".join(repr(float(x)) for x in planes[b * rows_per_band + r])
+            bits.append(
+                f"(CASE WHEN list_dot_product(vec, [{lits}]) > 0 THEN {1 << r} ELSE 0 END)"
+            )
+        band_exprs.append(" + ".join(bits) + f" AS band_{b}")
+    joins = " UNION ALL ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM banded a "
+        f"JOIN banded b ON a.band_{b} = b.band_{b} AND a.vec_id < b.vec_id"
+        for b in range(NEARDUP_BANDS)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+banded AS (SELECT vec_id, vec, {", ".join(band_exprs)} FROM v),
+cand AS (SELECT DISTINCT id_a, id_b FROM ({joins})),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM cand c
+  JOIN banded a ON a.vec_id = c.id_a
+  JOIN banded b ON b.vec_id = c.id_b)
+SELECT id_a, id_b, cosine FROM verified WHERE cosine >= {NEARDUP_THRESHOLD!r}"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ",".join(f"'{w}'" for w in STOPWORDS)
     lang_hits, lang_case = _lang_sql_case()
@@ -543,6 +703,22 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "geo_pip_assign": _pip_assign_sql("SELECT url, lon, lat, tzid FROM assigned"),
+        "geo_tiles_serve": _pip_assign_sql("SELECT url, tzid FROM assigned"),
+        "geo_tiles_vector_area": _zone_area_values_sql(),
+        "ann_ivf": _ivf_sql(),
+        "dedup_embed_cosine": _embed_neardup_sql(),
+        "rel_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < DATE '1995-03-15'
+              AND l.l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10""",
         "geo_tzid_counts": _pip_assign_sql(
             "SELECT tzid, count(*) AS n_pages FROM assigned GROUP BY tzid"
         ),

@@ -122,3 +122,36 @@ def test_image_real_codec_is_marked_stub(spark):
     with pytest.raises(Exception) as ei:
         image_features(df, use_real_codec=True).collect()
     assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF probes a subset of the file — its neighbors are a subset of the
+    exact top-k universe and cosines match the exact scores."""
+    from timezone_boundary_builder_spark.operators.similarity import cosine_topk, ivf_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = cosine_topk(emb, [0, 1, 2], k=50).toPandas()
+    ivf = ivf_ann(emb, [0, 1, 2], k=5, centroid_stride=25, nprobe=3).toPandas()
+    assert len(ivf) == 15  # 3 queries x k
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()
+    }
+    hits = sum(
+        1
+        for r in ivf.itertuples()
+        if exact_scores.get((r.query_id, r.neighbor_id)) == r.cosine
+    )
+    # every IVF cosine that appears in the exact top-50 must agree exactly
+    assert hits >= 5  # nontrivial recall into the exact head
+
+
+def test_embed_neardup_pairs_verified(spark):
+    """Every emitted pair satisfies the threshold and id_a < id_b."""
+    from timezone_boundary_builder_spark.operators.dedup import embed_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pairs = embed_neardup_pairs(emb, threshold=0.3).toPandas()
+    assert len(pairs) > 0
+    assert (pairs.cosine >= 0.3).all()
+    assert (pairs.id_a < pairs.id_b).all()
+    assert not pairs.duplicated(["id_a", "id_b"]).any()

@@ -73,3 +73,49 @@ def test_raster_summary_salted_equals_unsalted(spark, zones_df):
         salted[["cell_id", "res", "n_zones", "n_full", "first_tzid"]],
         check_dtype=False,
     )
+
+
+def test_vector_tiles_conserve_all_zones(spark, zones_df):
+    """Every zone's tiles partition it exactly — including zones whose
+    cover compacts to coarse full cells (Test/Echo), which must be emitted
+    as rect payloads."""
+    vt = vector_tiles(zones_df, RES).toPandas()
+    got = vt.assign(area=[planar_area(from_geojson(g)) for g in vt.geometry])
+    sums = got.groupby("tzid")["area"].sum()
+    for r in zones_df.select("tzid", "area_deg2").toPandas().itertuples():
+        assert sums[r.tzid] == pytest.approx(r.area_deg2, rel=1e-9), r.tzid
+
+
+def test_vector_tiles_res_column_matches_cell_header(spark, zones_df):
+    vt = vector_tiles(zones_df, RES).toPandas()
+    assert (vt.res == np.array([int(c) >> 58 for c in vt.cell_id])).all()
+    assert (vt.res <= RES).all()
+
+
+def test_serve_from_tiles_equals_cellmap_join(spark, zones_df):
+    """The tile-table serving join and the broadcast-CellMap join are two
+    physical strategies for the same logical query — identical output."""
+    import __spark_entry__ as entry
+    from timezone_boundary_builder_spark.operators.tiles import serve_points_from_tiles
+    from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
+
+    sf = "/root/testdata/sf0.001"
+    tiles = raster_tiles(zones_df, RES)
+    served = (
+        serve_points_from_tiles(
+            entry._points(spark, sf), tiles, entry._local_zones(), OCEAN_BANDS, res=RES
+        )
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    direct = (
+        entry._q_geo_pip_assign(spark, sf)
+        .select("url", "tzid")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(served, direct)

@@ -11,8 +11,73 @@ needed beyond AQE.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def neardup_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes shared by the Spark operator and
+    the SQL oracle (both render the same float64 literals)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def embed_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    bands: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed scale path:
+    random-hyperplane sign bits -> banded bucket keys -> per-band self
+    equi-join for candidates -> exact cosine verify >= threshold.
+
+    All JVM-side (plane literals baked into the plan; dot products via
+    zip_with/aggregate codegen). The self-joins are hash joins on small
+    integer bucket keys; at 10^12 rows recall is tuned via bands /
+    bits-per-band and multi-probe, and the verify join moves only
+    candidate pairs — never the all-pairs cross product.
+    """
+    from .similarity import _dot, _norm
+
+    planes = neardup_planes(n_planes, dim, seed)
+    rows_per_band = n_planes // bands
+    v = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    band_cols = []
+    for b in range(bands):
+        sig = F.lit(0)
+        for r in range(rows_per_band):
+            p = planes[b * rows_per_band + r]
+            lit_plane = F.array(*[F.lit(float(x)) for x in p])
+            sig = sig + F.when(
+                _dot(F.col("vec"), lit_plane) > 0, F.lit(1 << r)
+            ).otherwise(0)
+        band_cols.append(sig.alias(f"band_{b}"))
+    banded = v.select(F.col(id_col), "vec", *band_cols).persist()
+    pairs = None
+    for b in range(bands):
+        l = banded.select(F.col(id_col).alias("id_a"), F.col(f"band_{b}").alias("bk"))
+        r = banded.select(F.col(id_col).alias("id_b"), F.col(f"band_{b}").alias("bk"))
+        p = l.join(r, "bk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"))
+    bb = banded.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"))
+    joined = cand.join(a, "id_a").join(bb, "id_b")
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    )
+    return (
+        joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -60,6 +60,75 @@ def cosine_topk(
     )
 
 
+def ivf_ann(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_stride: int = 25,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path.
+
+    Build: centroids are a deterministic stratified sample of the table
+    (``vec_id % centroid_stride == 0`` — no RNG, so Spark and the SQL
+    oracle agree bit-for-bit); every vector is assigned to its
+    nearest-by-cosine centroid (ties -> smallest centroid id). That
+    assignment is the inverted file: a broadcast join + windowed argmax,
+    one pass over the table.
+
+    Query: each query probes its ``nprobe`` nearest centroids and exact
+    cosine re-ranks only the vectors in those lists. At 10^12 rows the
+    inverted file is a partitioned table keyed by centroid_id; probing is
+    partition pruning — the scan touches nprobe/N_centroids of the data.
+    """
+    v = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = v.where(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    sim_c = _dot(F.col("vec"), F.col("cvec")) / (
+        _norm(F.col("vec")) * _norm(F.col("cvec"))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    inverted = (
+        v.crossJoin(F.broadcast(cents))
+        .select(id_col, "vec", "centroid_id", F.round(sim_c, 9).alias("c_cos"))
+        .withColumn("crank", F.row_number().over(w_assign))
+        .where(F.col("crank") <= nprobe)
+    )
+    # rows: each vector listed under its own top-1 centroid (the file);
+    # queries keep top-nprobe centroids (the probe set)
+    file_side = inverted.where(F.col("crank") == 1).select(
+        F.col(id_col), F.col("vec"), F.col("centroid_id")
+    )
+    probe_side = inverted.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("centroid_id"),
+    )
+    cand = file_side.join(F.broadcast(probe_side), "centroid_id").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = _dot(F.col("vec"), F.col("qvec")) / (
+        _norm(F.col("vec")) * _norm(F.col("qvec"))
+    )
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 6).alias("cosine")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucket_ann(
     vectors: DataFrame,
     query_ids: list[int],

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..geom.boolean import clip_to_box
 from ..geom.cellindex import cell_bounds, cell_parent, cell_res, cover_polygon
 from ..geom.codec import from_geojson, to_geojson
+from ..geom.kernels import make_box, planar_area
 
 RASTER_SCHEMA = "cell_id long, res int, tzid string, coverage string"
 VECTOR_SCHEMA = "cell_id long, res int, tzid string, geometry string"
@@ -91,17 +92,19 @@ def _vector_fn(res: int):
             recs = []
             r = cell_res(cells)
             for c, f, cr in zip(cells, full, r):
-                if int(cr) != res and f:
-                    continue  # coarse full cells: payload is the cell rect itself
                 b = cell_bounds(int(c))
                 if f:
-                    clipped_gj = to_geojson(clip_to_box(geom, *_rect(b)), as_string=True)
+                    # full cells (any res): the payload IS the cell rect —
+                    # no clipping needed, interior tiles are pure rectangles
+                    clipped_gj = to_geojson(
+                        make_box(b[0], b[1], b[2], b[3]), as_string=True
+                    )
                 else:
                     clipped = clip_to_box(geom, b[0], b[1], b[2], b[3])
                     if clipped.is_empty():
                         continue
                     clipped_gj = to_geojson(clipped, as_string=True)
-                recs.append((int(c), res, row.tzid, clipped_gj))
+                recs.append((int(c), int(cr), row.tzid, clipped_gj))
             if recs:
                 out.append(
                     pd.DataFrame(recs, columns=["cell_id", "res", "tzid", "geometry"])
@@ -113,17 +116,141 @@ def _vector_fn(res: int):
     return _tiles
 
 
-def _rect(b):
-    return b[0], b[1], b[2], b[3]
-
-
 def vector_tiles(zones: DataFrame, res: int) -> DataFrame:
-    """zones -> per-cell clipped geometry payloads at resolution res
-    (boundary cells only carry non-trivial clips; full cells clip to the
-    cell rect)."""
+    """zones -> per-cell geometry payloads at max resolution ``res``.
+
+    Full cells (including compacted coarse interior cells — their res is
+    recorded in the ``res`` column and in the cell_id's header bits) carry
+    the cell rect; boundary cells carry the zone clipped to the cell rect.
+    The payloads of one zone PARTITION the zone exactly: sum(planar area)
+    over its tiles equals the zone's area (tested; the conservation oracle
+    in __spark_entry__ checks it against the zone-area goldens)."""
     return zones.select("tzid", "geometry").groupBy("tzid").applyInPandas(
         _vector_fn(res), VECTOR_SCHEMA
     )
+
+
+def vector_tile_areas(tiles: DataFrame) -> DataFrame:
+    """Per-zone planar-area sum over vector-tile payloads. Because a zone's
+    tiles partition it exactly, this must reproduce the zone-area goldens —
+    the conservation oracle for the whole cover->clip path."""
+
+    def _areas(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "tzid": pdf["tzid"],
+                    "tile_area": [
+                        planar_area(from_geojson(g)) for g in pdf["geometry"]
+                    ],
+                }
+            )
+
+    per_tile = tiles.mapInPandas(_areas, "tzid string, tile_area double")
+    return per_tile.groupBy("tzid").agg(
+        F.round(F.sum("tile_area"), 6).alias("area_deg2_r")
+    )
+
+
+SERVE_SCHEMA = "url string, tzid string"
+
+
+def serve_points_from_tiles(
+    points: DataFrame,
+    tiles: DataFrame,
+    zones_pdf: pd.DataFrame,
+    ocean_bands: list[dict],
+    res: int,
+) -> DataFrame:
+    """Tile-serving join: assign tzid to points FROM a materialized
+    uniform-resolution raster-tile table (the alternative hot path to the
+    broadcast CellMap of spatial_join.assign_tzid — here the coarse index
+    is a *table*, so the probe is a JVM broadcast hash equi-join on
+    cell_id, the shape a tile server / Iceberg-backed lookup uses).
+
+    Stage 1: encode each point's cell id (vectorized bit ops, mapInPandas)
+    and broadcast-join the per-cell candidate tzid lists (tiny agg of the
+    tiles table; the points side never shuffles).
+    Stage 2: exact ray-casting PIP against only the candidate zones;
+    smallest passing tzid wins; no candidates -> Etc/GMT ocean band by
+    longitude (reference index.js:107-133 semantics). Exact PIP runs for
+    full-coverage candidates too so edge-of-cell points agree row-for-row
+    with the pure-PIP oracle.
+    """
+    from ..geom.cellindex import encode_points
+
+    spark = points.sparkSession
+    cands_by_cell = tiles.groupBy("cell_id").agg(
+        F.sort_array(F.collect_set("tzid")).alias("cand_tzids")
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["cell_id"] = encode_points(
+                pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), res
+            ).astype(np.int64)
+            yield pdf
+
+    pts = points.select("url", "lon", "lat").mapInPandas(
+        _encode, "url string, lon double, lat double, cell_id long"
+    )
+    joined = pts.join(F.broadcast(cands_by_cell), "cell_id", "left")
+
+    bc_zones = spark.sparkContext.broadcast(
+        dict(zip(zones_pdf["tzid"], zones_pdf["geometry"]))
+    )
+    band_lefts = np.array([b["left"] for b in ocean_bands], dtype=np.float64)
+    band_tzids = np.array([b["tzid"] for b in ocean_bands], dtype=object)
+
+    def _resolve(batches):
+        geom_cache: dict = {}
+
+        def _geom(tzid):
+            g = geom_cache.get(tzid)
+            if g is None:
+                g = geom_cache[tzid] = from_geojson(bc_zones.value[tzid])
+            return g
+
+        from ..geom.kernels import points_in_packed
+
+        for pdf in batches:
+            n = len(pdf)
+            out = np.empty(n, dtype=object)
+            pts_xy = np.column_stack(
+                [pdf["lon"].to_numpy(), pdf["lat"].to_numpy()]
+            )
+            # group rows by candidate tzid so each PIP call is one batch
+            rows_by_tzid: dict = {}
+            cands_col = pdf["cand_tzids"]
+            for i in range(n):
+                cands = cands_col.iat[i]
+                if cands is None or len(cands) == 0:
+                    continue
+                for t in cands:
+                    rows_by_tzid.setdefault(t, []).append(i)
+            # smallest passing tzid wins: visit tzids ascending, fill once
+            for t in sorted(rows_by_tzid):
+                idx = np.array(
+                    [i for i in rows_by_tzid[t] if out[i] is None], dtype=np.int64
+                )
+                if len(idx) == 0:
+                    continue
+                inside = points_in_packed(pts_xy[idx], _geom(t))
+                out[idx[inside]] = t
+            # residue -> ocean band by longitude
+            missing = np.array([o is None for o in out])
+            if missing.any():
+                lons = pts_xy[missing, 0]
+                bi = np.clip(
+                    np.searchsorted(band_lefts, lons, side="right") - 1,
+                    0,
+                    len(band_lefts) - 1,
+                )
+                out[np.flatnonzero(missing)] = band_tzids[bi]
+            yield pd.DataFrame({"url": pdf["url"], "tzid": out})
+
+    return joined.mapInPandas(_resolve, SERVE_SCHEMA)
 
 
 def raster_tile_summary(tiles: DataFrame, salt_buckets: int = 0) -> DataFrame:
