@@ -173,10 +173,14 @@ assigned AS (
 
 
 def _q_geo_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid_udf
+
     bc = spark.sparkContext.broadcast(_local_cellmap())
     pts = _points(spark, sf_dir)
-    # knn disabled (-1): pure two-stage join + ocean band -> SQL-expressible
-    out = assign_tzid(pts, bc, OCEAN_BANDS, knn_max_m=-1.0)
+    # knn disabled (-1): pure two-stage join + ocean band -> SQL-expressible.
+    # scalar-UDF path: only (lon,lat)->codes cross the Arrow pipe (tested
+    # row-equal to the mapInPandas path)
+    out = assign_tzid_udf(pts, bc, OCEAN_BANDS, knn_max_m=-1.0, keep_coords=True)
     return out.select("url", "lon", "lat", "tzid")
 
 
@@ -190,8 +194,10 @@ def _q_geo_tzid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_geo_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full path incl. kNN/1852 m (not SQL-expressible -> rows-only)."""
+    from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid_udf
+
     bc = spark.sparkContext.broadcast(_local_cellmap())
-    out = assign_tzid(_points(spark, sf_dir), bc, OCEAN_BANDS)
+    out = assign_tzid_udf(_points(spark, sf_dir), bc, OCEAN_BANDS)
     return out.select("url", "tzid", "method")
 
 
@@ -588,6 +594,105 @@ def _derived_area_values_sql() -> str:
     return f"SELECT * FROM (VALUES {vals}) AS t(tzid, area_deg2_r)"
 
 
+@lru_cache(maxsize=1)
+def _raster_tiles_pdf() -> pd.DataFrame:
+    """Raster tiles at res 5 computed locally (same expansion helper the
+    Spark stage uses; the Spark run distributes it via applyInPandas)."""
+    from timezone_boundary_builder_spark.operators.tiles import raster_rows_for_geom
+
+    zp = _local_zones()
+    frames = []
+    for r in zp.itertuples():
+        cells, cover = raster_rows_for_geom(from_geojson(r.geometry), 5)
+        frames.append(
+            pd.DataFrame(
+                {"cell_id": cells, "res": 5, "tzid": r.tzid, "coverage": cover}
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _raster_tiles_values_sql() -> str:
+    t = _raster_tiles_pdf()
+    vals = ",".join(
+        f"({int(r.cell_id)}, 5, '{r.tzid}', '{r.coverage}')" for r in t.itertuples()
+    )
+    return (
+        "SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(res AS INT) AS res, "
+        f"tzid, coverage FROM (VALUES {vals}) AS t(cell_id, res, tzid, coverage)"
+    )
+
+
+def _tile_summary_values_sql() -> str:
+    t = _raster_tiles_pdf()
+    g = (
+        t.assign(isfull=(t.coverage == "full").astype(int))
+        .groupby("cell_id")
+        .agg(n_zones=("tzid", "size"), n_full=("isfull", "sum"), first_tzid=("tzid", "min"))
+        .reset_index()
+    )
+    vals = ",".join(
+        f"({int(r.cell_id)}, 5, {int(r.n_zones)}, {int(r.n_full)}, '{r.first_tzid}')"
+        for r in g.itertuples()
+    )
+    return (
+        "SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(res AS INT) AS res, "
+        "CAST(n_zones AS BIGINT) AS n_zones, CAST(n_full AS BIGINT) AS n_full, "
+        f"first_tzid FROM (VALUES {vals}) AS t(cell_id, res, n_zones, n_full, first_tzid)"
+    )
+
+
+def _ann_lsh_sql() -> str:
+    """LSH ANN oracle — same seeded hyperplanes as lsh_bucket_ann
+    (np rng(42), 8 planes), same bucket equality + exact cosine re-rank."""
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64))
+    bits = []
+    for p in range(8):
+        lits = ",".join(repr(float(x)) for x in planes[p])
+        bits.append(
+            f"(CASE WHEN list_dot_product(vec, [{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    qids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+bucketed AS (SELECT vec_id, vec, {" + ".join(bits)} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, vec AS qvec, bucket AS qbucket FROM bucketed
+      WHERE vec_id IN ({qids})),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.vec, q.qvec)
+               / (sqrt(list_dot_product(b.vec, b.vec))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+  FROM bucketed b JOIN q ON b.bucket = q.qbucket
+  WHERE b.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+
+def _cell_covers_values_sql() -> str:
+    """Golden for geo_cell_covers: the same covering computed locally
+    (pure numpy, no Spark) — checks the applyInPandas distribution of the
+    cover stage returns exactly the per-zone cell counts."""
+    zp = _local_zones()
+    rows = []
+    for r in zp.itertuples():
+        cells, full = cover_polygon(from_geojson(r.geometry), max_res=7)
+        rows.append(f"('{r.tzid}', {len(cells)}, {int(full.sum())})")
+    return (
+        "SELECT tzid, CAST(n_cells AS BIGINT) AS n_cells, "
+        "CAST(n_full AS BIGINT) AS n_full FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(tzid, n_cells, n_full)"
+    )
+
+
 def _lang_sql_case() -> tuple[str, str]:
     hits = []
     for lang, markers in LANG_MARKERS:
@@ -705,6 +810,10 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip_assign": _pip_assign_sql("SELECT url, lon, lat, tzid FROM assigned"),
         "geo_tiles_serve": _pip_assign_sql("SELECT url, tzid FROM assigned"),
         "geo_tiles_vector_area": _zone_area_values_sql(),
+        "geo_cell_covers": _cell_covers_values_sql(),
+        "geo_tiles_raster": _raster_tiles_values_sql(),
+        "geo_tiles_summary": _tile_summary_values_sql(),
+        "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ivf_sql(),
         "dedup_embed_cosine": _embed_neardup_sql(),
         "rel_shipping_priority": """
@@ -796,6 +905,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text, {lang_hits} FROM documents)""",
         "text_fingerprint": f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents",
         "dedup_minhash": mh,
+        "dedup_ngram_jaccard": f"""
+            WITH sigs AS ({mh}),
+            banded AS (
+              SELECT doc_id,
+                     md5(mh_0 || '|' || mh_1) AS band_0,
+                     md5(mh_2 || '|' || mh_3) AS band_1
+              FROM sigs),
+            p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM banded a JOIN banded b ON a.band_0 = b.band_0 AND a.doc_id < b.doc_id),
+            p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM banded a JOIN banded b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id),
+            cand AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(ws) - 2, 1)),
+                       i -> array_to_string(list_slice(ws, i, i + 2), ' ')
+                     )) AS g
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)),
+            scored AS (
+              SELECT c.id_a, c.id_b,
+                     round(len(list_intersect(ga.g, gb.g)) * 1.0
+                           / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1), 6) AS jaccard
+              FROM cand c
+              JOIN grams ga ON ga.doc_id = c.id_a
+              JOIN grams gb ON gb.doc_id = c.id_b)
+            SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""",
         "dedup_lsh_pairs": f"""
             WITH sigs AS ({mh}),
             banded AS (
@@ -846,7 +982,8 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(o.o_totalprice), 0.0), 4) AS total_spent
             FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey""",
-        # geo_ocean_zones, geo_cell_covers, geo_knn_assign, dedup_simhash,
-        # ann_lsh: rows-only (kNN meters / cell internals / bit packing are
-        # not expressible in portable ANSI SQL)
+        # rows-only (no oracle): geo_knn_assign (meter-unit segment
+        # distances not expressible in portable SQL) and dedup_simhash
+        # (64-bit hex->int bit packing differs across engines). Everything
+        # else is value-checked.
     }

