@@ -676,6 +676,31 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5"""
 
 
+def _simhash_sql() -> str:
+    """SimHash oracle: same tokenization, same 60-bit word hash
+    (hex-prefix of md5 -> integer), same per-bit majority vote."""
+    from timezone_boundary_builder_spark.operators.dedup import SIMHASH_BITS
+
+    nhex = SIMHASH_BITS // 4
+    sums = ",".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents),
+h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, {nhex})) AS UBIGINT) AS h
+      FROM words),
+votes AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {packed} AS simhash FROM votes"""
+
+
 def _cell_covers_values_sql() -> str:
     """Golden for geo_cell_covers: the same covering computed locally
     (pure numpy, no Spark) — checks the applyInPandas distribution of the
@@ -814,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_tiles_raster": _raster_tiles_values_sql(),
         "geo_tiles_summary": _tile_summary_values_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "dedup_simhash": _simhash_sql(),
         "ann_ivf": _ivf_sql(),
         "dedup_embed_cosine": _embed_neardup_sql(),
         "rel_shipping_priority": """
@@ -982,8 +1008,7 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(o.o_totalprice), 0.0), 4) AS total_spent
             FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey""",
-        # rows-only (no oracle): geo_knn_assign (meter-unit segment
-        # distances not expressible in portable SQL) and dedup_simhash
-        # (64-bit hex->int bit packing differs across engines). Everything
-        # else is value-checked.
+        # rows-only (no oracle): geo_knn_assign only (meter-unit segment
+        # distances are not expressible in portable SQL). Everything else
+        # is value-checked.
     }

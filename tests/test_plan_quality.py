@@ -65,3 +65,26 @@ def test_assignment_plan_has_zero_exchanges(spark):
     pts = entry._points(spark, SF)
     plan = plan_of(assign_tzid(pts, bc, OCEAN_BANDS))
     assert "Exchange" not in plan, plan
+
+
+def test_udf_assignment_plan_zero_exchanges_and_jvm_strings(spark):
+    """The scalar-UDF hot path: no shuffle, and the tzid string
+    materialization is JVM-side (element_at over a literal array in a
+    Project above ArrowEvalPython) — only codes cross the Arrow pipe."""
+    from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid_udf
+
+    bc = spark.sparkContext.broadcast(entry._local_cellmap())
+    pts = entry._points(spark, SF)
+    plan = plan_of(assign_tzid_udf(pts, bc, OCEAN_BANDS))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan
+    assert "element_at" in plan
+
+
+def test_serve_from_tiles_uses_broadcast_join(spark):
+    """Tile-serving equi-join must broadcast the per-cell candidate table —
+    the points side must never shuffle or sort-merge."""
+    q = entry.queries()["geo_tiles_serve"](spark, SF)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

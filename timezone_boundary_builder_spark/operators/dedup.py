@@ -160,24 +160,34 @@ def minhash_lsh_pairs(
     return pairs.distinct()
 
 
+SIMHASH_BITS = 60  # 15 hex digits: always < 2^63, so the ANSI-mode
+# decimal->long cast can never overflow (16 digits crashed under Spark 4's
+# default ANSI semantics whenever a word hash had the top bit set — the
+# bug hid behind count()-only checks because Catalyst prunes unused
+# aggregate expressions)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word features: bit b of the signature is the
+    """60-bit SimHash over word features: bit b of the signature is the
     majority vote of bit b across md5(word) of all words. Pure DataFrame
-    ops: explode -> 64 conditional sums -> bit pack."""
+    ops: explode -> 60 conditional sums -> bit pack. Mirrored exactly by
+    the DuckDB oracle (hex-prefix -> UBIGINT -> same bit votes)."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     exploded = df.select(F.col(id_col), F.explode(words).alias("w"))
-    h = F.conv(F.substring(F.md5(F.col("w")), 1, 16), 16, 10).cast("decimal(38,0)")
-    exploded = exploded.withColumn("h", h.cast("long"))  # low 63 bits kept
+    h = F.conv(
+        F.substring(F.md5(F.col("w")), 1, SIMHASH_BITS // 4), 16, 10
+    ).cast("decimal(38,0)")
+    exploded = exploded.withColumn("h", h.cast("long"))
     bit_sums = [
         F.sum(
             F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1).cast("long")).cast("int") * 2 - 1
         ).alias(f"s{b}")
-        for b in range(63)
+        for b in range(SIMHASH_BITS)
     ]
     per_doc = exploded.groupBy(id_col).agg(*bit_sums)
     sig = F.lit(0).cast("long")
-    for b in range(63):
+    for b in range(SIMHASH_BITS):
         sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
     return per_doc.select(F.col(id_col), sig.alias("simhash"))
 
