@@ -243,6 +243,40 @@ def _q_geo_cell_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: OSM relation ways (shuffled, randomly reversed polylines) ->
+    closed rings -> nested multipolygons via groupBy(relation_id)
+    .applyInPandas. Oracle = hand-computed areas of the fixture rings."""
+    from timezone_boundary_builder_spark.operators.ring_assembly import (
+        assemble_relations,
+    )
+    from timezone_boundary_builder_spark.sources.fixtures import relation_ways_pdf
+
+    ways = spark.createDataFrame(
+        relation_ways_pdf(),
+        "relation_id string, way_id long, seq long, coords array<array<double>>",
+    )
+    out = assemble_relations(ways)
+    return out.select(
+        "relation_id",
+        "n_polys",
+        "n_rings",
+        F.round("area_deg2", 6).alias("area_deg2_r"),
+    )
+
+
+def _q_geo_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: boundary-type filter then per-source cascaded union
+    (reference saveSingleMultiPolygon, index.js:530-586)."""
+    from timezone_boundary_builder_spark.operators.source_union import source_union
+    from timezone_boundary_builder_spark.sources.fixtures import osm_features_pdf
+
+    out = source_union(spark.createDataFrame(osm_features_pdf()))
+    return out.select(
+        "source_id", "n_features", F.round("area_deg2", 6).alias("area_deg2_r")
+    )
+
+
 def _q_geo_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9 full-outer release diff: current zones vs a simulated last
     release (Golf missing, Bravo without its exclave)."""
@@ -538,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_assign": _q_geo_pip_assign,
         "geo_tzid_counts": _q_geo_tzid_counts,
         "geo_knn_assign": _q_geo_knn_assign,
+        "geo_ring_assembly": _q_geo_ring_assembly,
+        "geo_source_union": _q_geo_source_union,
         "geo_release_diff": _q_geo_release_diff,
         "geo_tiles_raster": _q_geo_tiles_raster,
         "geo_tiles_summary": _q_geo_tiles_summary,
@@ -856,6 +892,20 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10""",
         "geo_tzid_counts": _pip_assign_sql(
             "SELECT tzid, count(*) AS n_pages FROM assigned GROUP BY tzid"
+        ),
+        # hand-computed goldens (fixtures.RELATION_GOLDEN / SOURCE_UNION_GOLDEN
+        # are literal constants, independent of the assembly/union kernels)
+        "geo_ring_assembly": (
+            "SELECT relation_id, CAST(n_polys AS INT) AS n_polys, "
+            "CAST(n_rings AS INT) AS n_rings, area_deg2_r FROM (VALUES "
+            "('rel_alpha', 1, 1, 900.0), ('rel_charlie_hole', 1, 2, 1100.0), "
+            "('rel_foxtrot', 2, 2, 400.0), ('rel_golf', 1, 1, 375.0), "
+            "('rel_nested', 2, 3, 1300.0)) AS t(relation_id, n_polys, n_rings, area_deg2_r)"
+        ),
+        "geo_source_union": (
+            "SELECT source_id, CAST(n_features AS INT) AS n_features, area_deg2_r "
+            "FROM (VALUES ('alpha', 2, 900.0), ('bravo', 2, 600.0), "
+            "('golf', 1, 375.0)) AS t(source_id, n_features, area_deg2_r)"
         ),
         "geo_zone_build": _zone_area_values_sql(),
         "geo_derived_1970": _derived_area_values_sql(),

@@ -231,6 +231,121 @@ def zone_groups_pdf() -> pd.DataFrame:
     return pd.DataFrame(ZONE_GROUPS)
 
 
+# ----------------------------------------------- OSM relation-ways table
+# Raw relation members as OSM delivers them (SURVEY S2): open polylines in
+# arbitrary order and direction. Deterministic decomposition of known
+# rings so assembly goldens are hand-computable.
+
+
+def _ring_to_ways(ring: list, n_ways: int, rel: str, base_way: int, rng) -> list:
+    """Split a closed ring (open list of [lon,lat]) into n_ways polylines
+    with shared endpoints, shuffled and randomly reversed."""
+    pts = ring + [ring[0]]
+    cuts = sorted({0, len(pts) - 1, *(int(c) for c in rng.choice(
+        np.arange(1, len(pts) - 1), size=min(n_ways - 1, len(pts) - 2), replace=False
+    ))})
+    ways = []
+    for a, b in zip(cuts, cuts[1:]):
+        seg = pts[a : b + 1]
+        if rng.random() < 0.5:
+            seg = seg[::-1]
+        ways.append(seg)
+    ways = [ways[i] for i in rng.permutation(len(ways))]
+    return [
+        {
+            "relation_id": rel,
+            "way_id": base_way + i,
+            "seq": i,
+            "coords": [[float(x), float(y)] for x, y in w],
+        }
+        for i, w in enumerate(ways)
+    ]
+
+
+def _box_ring(x0, y0, x1, y1) -> list:
+    xm, ym = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    return [
+        [x0, y0], [xm, y0], [x1, y0], [x1, ym], [x1, y1],
+        [xm, y1], [x0, y1], [x0, ym],
+    ]
+
+
+# relation -> list of rings (role inferred by nesting, as osmtogeojson does
+# when roles are missing/wrong). Areas are hand-computable goldens.
+RELATIONS = {
+    # plain ring: 30x30 = 900 deg2
+    "rel_alpha": [_box_ring(0, 0, 30, 30)],
+    # shell + hole: 40x30 - 10x10 = 1100 deg2
+    "rel_charlie_hole": [_box_ring(0, -40, 40, -10), _box_ring(10, -30, 20, -20)],
+    # two disjoint outers (antimeridian pair): 2 x 10x20 = 400 deg2
+    "rel_foxtrot": [_box_ring(170, 40, 180, 60), _box_ring(-180, 40, -170, 60)],
+    # non-axis-aligned triangle: 0.5*30*25 = 375 deg2
+    "rel_golf": [[[100, 10], [115, 10], [130, 10], [122.5, 22.5], [115, 35], [107.5, 22.5]]],
+    # depth-2 nesting (island in a lake): 1600 - 400 + 100 = 1300 deg2
+    "rel_nested": [
+        _box_ring(100, -40, 140, 0),
+        _box_ring(110, -30, 130, -10),
+        _box_ring(115, -25, 125, -15),
+    ],
+}
+
+RELATION_GOLDEN = {
+    # relation_id -> (n_polys, n_rings, area_deg2)
+    "rel_alpha": (1, 1, 900.0),
+    "rel_charlie_hole": (1, 2, 1100.0),
+    "rel_foxtrot": (2, 2, 400.0),
+    "rel_golf": (1, 1, 375.0),
+    "rel_nested": (2, 3, 1300.0),
+}
+
+
+def relation_ways_pdf(seed: int = 7) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    way_id = 1000
+    for rel, rings in RELATIONS.items():
+        for ring in rings:
+            rows.extend(_ring_to_ways(ring, 3, rel, way_id, rng))
+            way_id += 100
+    # re-number seq within relation (chaining must not rely on order)
+    pdf = pd.DataFrame(rows)
+    pdf["seq"] = pdf.groupby("relation_id").cumcount()
+    return pdf
+
+
+# --------------------------------------------- raw OSM feature table (S3)
+# Overpass results as feature rows BEFORE per-source union: some features
+# are admin enclaves (feature_type != 'boundary') or non-areal members —
+# the reference filters those out before unioning (index.js:538-541).
+
+OSM_FEATURES = [
+    # alpha: two overlapping boundary boxes -> union is the 30x30 = 900 box
+    ("alpha", "Polygon", "boundary", _box_gj(0, 0, 20, 30)),
+    ("alpha", "Polygon", "boundary", _box_gj(10, 0, 30, 30)),
+    # filtered: enclave + line member
+    ("alpha", "Polygon", "administrative", _box_gj(50, 50, 60, 60)),
+    ("alpha", "LineString", "boundary", '{"type":"LineString","coordinates":[[0,0],[1,1]]}'),
+    # bravo: two disjoint boundary boxes -> 2-poly multipolygon, 600 deg2
+    ("bravo", "Polygon", "boundary", _box_gj(30, 0, 40, 30)),
+    ("bravo", "Polygon", "boundary", _box_gj(50, 0, 60, 30)),
+    # golf: triangle, 375 deg2
+    ("golf", "Polygon", "boundary", TRIANGLE_GJ),
+]
+
+SOURCE_UNION_GOLDEN = {
+    # source_id -> (n_features_kept, area_deg2)
+    "alpha": (2, 900.0),
+    "bravo": (2, 600.0),
+    "golf": (1, 375.0),
+}
+
+
+def osm_features_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        OSM_FEATURES, columns=["source_id", "geom_type", "feature_type", "geometry"]
+    )
+
+
 # ------------------------------------------------------------ pages table
 
 
