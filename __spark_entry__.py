@@ -136,6 +136,84 @@ def _edges_values_sql() -> str:
     return "(VALUES " + ",".join(rows) + ") AS e(tzid,x1,y1,x2,y2)"
 
 
+@lru_cache(maxsize=1)
+def _all_edges_values_sql() -> str:
+    """Every boundary segment of every zone ring (horizontal ones included —
+    unlike the PIP edge table, distance needs them)."""
+    zp = _local_zones()
+    rows = []
+    for r in zp.itertuples():
+        g = from_geojson(r.geometry)
+        for i in range(g.n_rings):
+            ring = g.ring(i)
+            nxt = np.roll(ring, -1, axis=0)
+            for (x1, y1), (x2, y2) in zip(ring, nxt):
+                rows.append(f"('{r.tzid}',{x1!r},{y1!r},{x2!r},{y2!r})")
+    return "(VALUES " + ",".join(rows) + ") AS e(tzid,x1,y1,x2,y2)"
+
+
+def _knn_assign_sql() -> str:
+    """Full-path oracle incl. the kNN/1852 m territorial-waters rule: the
+    same per-point equirectangular segment-distance formula the numpy
+    kernel evaluates (point_segment_distance_m), with the same tie rule
+    (within 1e-9 m -> smallest tzid; zone index order IS tzid order
+    because _local_zones sorts by tzid)."""
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+hits AS (
+  SELECT p.url, e.tzid
+  FROM pts p JOIN {_edges_values_sql()}
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+  GROUP BY p.url, e.tzid
+  HAVING count(*) % 2 = 1
+),
+best AS (SELECT url, min(tzid) AS tzid FROM hits GROUP BY url),
+miss AS (
+  SELECT p.url, p.lon, p.lat FROM pts p LEFT JOIN best b USING (url)
+  WHERE b.tzid IS NULL
+),
+seg AS (
+  SELECT m.url, e.tzid,
+         (radians(e.x1)-radians(m.lon))*cos(radians(m.lat)) AS ax,
+         radians(e.y1)-radians(m.lat) AS ay,
+         ((radians(e.x2)-radians(m.lon))*cos(radians(m.lat))
+          - (radians(e.x1)-radians(m.lon))*cos(radians(m.lat))) AS dx,
+         (radians(e.y2)-radians(m.lat)) - (radians(e.y1)-radians(m.lat)) AS dy
+  FROM miss m JOIN {_all_edges_values_sql()} ON true
+),
+segd AS (
+  SELECT url, tzid,
+         (ax + t*dx)*(ax + t*dx) + (ay + t*dy)*(ay + t*dy) AS d2
+  FROM (
+    SELECT url, tzid, ax, ay, dx, dy,
+           least(greatest(
+             CASE WHEN dx*dx + dy*dy = 0 THEN 0.0
+                  ELSE -(ax*dx + ay*dy) / (dx*dx + dy*dy) END, 0.0), 1.0) AS t
+    FROM seg)
+),
+zdist AS (
+  SELECT url, tzid, sqrt(min(d2)) * 6378137.0 AS d_m
+  FROM segd GROUP BY url, tzid
+),
+zmin AS (SELECT url, min(d_m) AS dmin_m FROM zdist GROUP BY url),
+knn AS (
+  SELECT d.url, min(d.tzid) AS tzid, min(z.dmin_m) AS dmin_m
+  FROM zdist d JOIN zmin z USING (url)
+  WHERE d.d_m <= z.dmin_m + 1e-9
+  GROUP BY d.url
+)
+SELECT p.url,
+       CASE WHEN b.tzid IS NOT NULL THEN b.tzid
+            WHEN k.dmin_m <= 1852.0 THEN k.tzid
+            ELSE {_ocean_case_sql()} END AS tzid,
+       CASE WHEN b.tzid IS NOT NULL THEN 'land'
+            WHEN k.dmin_m <= 1852.0 THEN 'knn'
+            ELSE 'ocean' END AS method_kind
+FROM pts p LEFT JOIN best b USING (url) LEFT JOIN knn k USING (url)
+"""
+
+
 def _ocean_case_sql(lon: str = "p.lon") -> str:
     return (
         f"CASE WHEN {lon} < -90 THEN 'Etc/GMT+9' WHEN {lon} < 0 THEN 'Etc/GMT+3' "
@@ -193,12 +271,21 @@ def _q_geo_tzid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geo_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full path incl. kNN/1852 m (not SQL-expressible -> rows-only)."""
+    """Full path incl. kNN/1852 m, value-checked: the equirectangular
+    segment-distance rule is replicated in DuckDB SQL (_knn_assign_sql).
+    cell-vs-pip is a physical detail (cover resolution), so both collapse
+    to 'land' in the comparable output."""
     from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid_udf
 
     bc = spark.sparkContext.broadcast(_local_cellmap())
     out = assign_tzid_udf(_points(spark, sf_dir), bc, OCEAN_BANDS)
-    return out.select("url", "tzid", "method")
+    return out.select(
+        "url",
+        "tzid",
+        F.when(F.col("method").isin("cell", "pip"), F.lit("land"))
+        .otherwise(F.col("method"))
+        .alias("method_kind"),
+    )
 
 
 def _zones_spark(spark: SparkSession) -> DataFrame:
@@ -232,6 +319,46 @@ def _q_geo_derived_1970(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = spark.createDataFrame(zone_groups_pdf())
     return build_derived_zones(spark, zones, groups, "1970").select(
         "tzid", F.round("area_deg2", 6).alias("area_deg2_r")
+    )
+
+
+def _q_geo_combined_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: the six combined products (comprehensive/1970/now x with/without
+    oceans) as one partitionable relation; comparable output = feature
+    counts per product. Golden counts are hand-derived from the fixture
+    config: 8 zones; 1970 merges {Alpha,Hotel}; now merges
+    {Alpha,Hotel,Charlie}; oceans add 4 bands."""
+    from timezone_boundary_builder_spark.operators.outputs import combined_zone_table
+
+    zones = _zones_spark(spark)
+    groups = spark.createDataFrame(zone_groups_pdf())
+    bands = spark.createDataFrame(pd.DataFrame(OCEAN_BANDS))
+    oceans = build_ocean_zones(spark, bands, zones)
+    products = {
+        "comprehensive": zones,
+        "1970": build_derived_zones(spark, zones, groups, "1970"),
+        "now": build_derived_zones(spark, zones, groups, "now"),
+    }
+    return (
+        combined_zone_table(products, oceans)
+        .groupBy("product", "with_oceans")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.countDistinct("tzid").alias("n_tzids"),
+        )
+    )
+
+
+def _q_geo_zone_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: merged-zone lookup (writeCombinedZoneLookup,
+    index.js:1726-1743) as a relation: representative -> sorted member
+    list per strategy."""
+    groups = spark.createDataFrame(zone_groups_pdf())
+    return groups.groupBy("strategy", "rep_tzid").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("member_tzid"))).alias(
+            "members_csv"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
     )
 
 
@@ -569,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_ocean_zones": _q_geo_ocean_zones,
         "geo_derived_1970": _q_geo_derived_1970,
         "geo_cell_covers": _q_geo_cell_covers,
+        "geo_combined_outputs": _q_geo_combined_outputs,
+        "geo_zone_lookup": _q_geo_zone_lookup,
         "geo_pip_assign": _q_geo_pip_assign,
         "geo_tzid_counts": _q_geo_tzid_counts,
         "geo_knn_assign": _q_geo_knn_assign,
@@ -869,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "geo_pip_assign": _pip_assign_sql("SELECT url, lon, lat, tzid FROM assigned"),
+        "geo_knn_assign": _knn_assign_sql(),
         "geo_tiles_serve": _pip_assign_sql("SELECT url, tzid FROM assigned"),
         "geo_tiles_vector_area": _zone_area_values_sql(),
         "geo_cell_covers": _cell_covers_values_sql(),
@@ -909,6 +1039,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geo_zone_build": _zone_area_values_sql(),
         "geo_derived_1970": _derived_area_values_sql(),
+        # hand-derived: 8 zones; 1970 merges {Alpha,Hotel} -> 7; now merges
+        # {Alpha,Hotel,Charlie} -> 6; with_oceans adds the 4 Etc bands
+        "geo_combined_outputs": (
+            "SELECT product, with_oceans, CAST(n AS BIGINT) AS n_features, "
+            "CAST(n AS BIGINT) AS n_tzids FROM (VALUES "
+            "('comprehensive', false, 8), ('comprehensive', true, 12), "
+            "('1970', false, 7), ('1970', true, 11), "
+            "('now', false, 6), ('now', true, 10)) AS t(product, with_oceans, n)"
+        ),
+        "geo_zone_lookup": (
+            "SELECT strategy, rep_tzid, "
+            "array_to_string(list_sort(list(member_tzid)), ',') AS members_csv, "
+            "count(*) AS n_members FROM (VALUES "
+            "('1970', 'Test/Alpha', 'Test/Alpha'), "
+            "('1970', 'Test/Alpha', 'Test/Hotel'), "
+            "('1970', 'Test/Bravo', 'Test/Bravo'), "
+            "('now', 'Test/Alpha', 'Test/Alpha'), "
+            "('now', 'Test/Alpha', 'Test/Hotel'), "
+            "('now', 'Test/Alpha', 'Test/Charlie')) "
+            "AS t(strategy, rep_tzid, member_tzid) GROUP BY strategy, rep_tzid"
+        ),
         "geo_validate_overlaps": (
             "SELECT * FROM (VALUES ('Test/Alpha', 'Test/Hotel', 100.0, true)) "
             "AS t(tz_a, tz_b, overlap_area_deg2, allowed)"
@@ -1058,7 +1209,5 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(o.o_totalprice), 0.0), 4) AS total_spent
             FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey""",
-        # rows-only (no oracle): geo_knn_assign only (meter-unit segment
-        # distances are not expressible in portable SQL). Everything else
-        # is value-checked.
+        # Every query is value-checked — no rows-only entries remain.
     }

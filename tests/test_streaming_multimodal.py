@@ -155,3 +155,51 @@ def test_embed_neardup_pairs_verified(spark):
     assert (pairs.cosine >= 0.3).all()
     assert (pairs.id_a < pairs.id_b).all()
     assert not pairs.duplicated(["id_a", "id_b"]).any()
+
+
+def test_stream_dedup_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState: a fingerprint is emitted exactly once across
+    micro-batches AND across query restarts (state lives in the checkpoint)."""
+    from timezone_boundary_builder_spark.streaming.assign_stream import (
+        stream_dedup_first_seen,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def pages(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "text"]
+        ).assign(
+            html=lambda d: d.text.str.encode("utf8"),
+            lang="en",
+            warc_ts=lambda d: pd.to_datetime(d.warc_ts),
+        )
+        return spark.createDataFrame(pdf[["url", "warc_ts", "html", "text", "lang"]])
+
+    # batch 1: A twice (later ts dup), B once
+    pages(
+        [
+            ("u1", "2026-01-01 10:00", "Hello   World"),
+            ("u2", "2026-01-01 11:00", "hello world"),  # dup of u1 normalized
+            ("u3", "2026-01-01 09:00", "foo bar"),
+        ]
+    ).write.parquet(src)
+    q = stream_dedup_first_seen(spark, src, sink, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(sink).toPandas().sort_values("keep_url")
+    assert list(got["keep_url"]) == ["u1", "u3"]  # earliest (warc_ts, url) wins
+
+    # restart: B duplicated again + new doc C -> only C appended
+    pages(
+        [
+            ("u4", "2026-01-02 00:00", "FOO BAR"),  # dup of u3
+            ("u5", "2026-01-02 00:00", "brand new"),
+        ]
+    ).write.mode("append").parquet(src)
+    q2 = stream_dedup_first_seen(spark, src, sink, ckpt)
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(sink).toPandas().sort_values("keep_url")
+    assert list(got2["keep_url"]) == ["u1", "u3", "u5"]
+    assert len(got2) == 3

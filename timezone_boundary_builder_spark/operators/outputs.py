@@ -82,6 +82,38 @@ def combine_and_write(
     return counts
 
 
+def combined_zone_table(products: dict[str, DataFrame], oceans: DataFrame) -> DataFrame:
+    """The S8 combined-output relation BEFORE the sink: one row per feature
+    per (product, with_oceans) — the reference's six FeatureCollections
+    (index.js:1301-1389) as a single partitionable DataFrame. At scale this
+    is what `write.partitionBy('product','with_oceans')` consumes; the
+    GeoJSON sink above is the small-world twin."""
+    ocean_sel = oceans.select("tzid", "geometry")
+    parts = []
+    for name, zones in products.items():
+        land = zones.select("tzid", "geometry")
+        parts.append(
+            land.select(
+                F.lit(name).alias("product"),
+                F.lit(False).alias("with_oceans"),
+                "tzid",
+                "geometry",
+            )
+        )
+        parts.append(
+            land.unionByName(ocean_sel).select(
+                F.lit(name).alias("product"),
+                F.lit(True).alias("with_oceans"),
+                "tzid",
+                "geometry",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def write_zone_lookup(
     spark: SparkSession, zone_groups: DataFrame, strategy: str, path: str
 ) -> None:

@@ -11,8 +11,11 @@ table. Same operators, streaming plan:
   output.
 - `stream_event_counts`: watermarked sliding-window aggregation over the
   events table (the canonical late-data pattern).
+- `stream_dedup_first_seen`: custom stateful operator via
+  applyInPandasWithState — exactly-once crawl-time dedup whose per-key
+  state survives micro-batches and query restarts.
 
-Both are testable offline with trigger(availableNow=True).
+All are testable offline with trigger(availableNow=True).
 """
 
 from __future__ import annotations
@@ -83,4 +86,79 @@ def stream_event_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful streaming operator: crawl-time exact dedup.
+
+    groupBy(fingerprint).applyInPandasWithState — state is one boolean per
+    fingerprint ("already emitted"); within a micro-batch the earliest
+    (warc_ts, url) row wins, across micro-batches AND query restarts the
+    state store in the checkpoint guarantees a fingerprint is emitted
+    exactly once. This is the streaming twin of dedup_exact: the batch op
+    groupBy+min can't run incrementally because a later micro-batch must
+    not re-emit a fingerprint the stream already kept.
+
+    Scale: state is ~40 bytes per distinct fingerprint, hash-partitioned
+    by the shuffle on fingerprint — the same key the batch dedup shuffles
+    on, so skew behaviour is identical (fingerprints are md5s: uniform).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = pages.withColumn("fingerprint", F.md5(norm)).select(
+        "fingerprint", "url", "warc_ts"
+    )
+
+    def _dedup(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+        best = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["warc_ts", "url"], kind="stable")
+            cand = pdf.iloc[0]
+            if best is None or (cand["warc_ts"], cand["url"]) < (
+                best["warc_ts"],
+                best["url"],
+            ):
+                best = cand
+        if state.exists or best is None:
+            return iter(())
+        state.update((True,))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "fingerprint": [key[0]],
+                        "keep_url": [best["url"]],
+                        "first_ts": [best["warc_ts"]],
+                    }
+                )
+            ]
+        )
+
+    deduped = fp.groupBy("fingerprint").applyInPandasWithState(
+        _dedup,
+        outputStructType="fingerprint string, keep_url string, first_ts timestamp",
+        stateStructType="emitted boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
