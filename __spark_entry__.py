@@ -577,6 +577,18 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_html_meta(docs)
 
 
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N frame sampling over a binary media column (stubbed decode,
+    real distributed explode inside the Arrow batch)."""
+    from timezone_boundary_builder_spark.operators.multimodal import frame_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.col("text"), "utf-8").alias("media"),
+    )
+    return frame_sample(docs, media_col="media")
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timezone_boundary_builder_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -723,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "geocode_extract": _q_geocode_extract,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frames": _q_multimodal_frames,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "events_windowed": _q_events_windowed,
         # relational coverage
@@ -1104,6 +1117,21 @@ def oracle_sql() -> dict[str, str]:
                    'application/octet-stream' AS content_kind,
                    CAST(NULL AS VARCHAR) AS title
             FROM documents""",
+        # DuckDB's sha256/substring only take VARCHAR; the test tables'
+        # text is ASCII (asserted: length == octet_length for every row),
+        # so character slicing == byte slicing here.
+        "multimodal_frames": """
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS url, text AS s,
+                              octet_length(encode(text)) AS n
+                       FROM documents),
+            f AS (SELECT url, s,
+                         unnest(generate_series(0, CAST(n // 256 AS INT))) AS i
+                  FROM d)
+            SELECT url, CAST(i AS INT) AS frame_idx,
+                   CAST(i * 40 AS BIGINT) AS ts_ms,
+                   CAST(length(substring(s, i * 256 + 1, 256)) AS INT) AS frame_bytes,
+                   sha256(substring(s, i * 256 + 1, 256)) AS frame_sha256
+            FROM f""",
         "events_windowed": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
                    event_type,

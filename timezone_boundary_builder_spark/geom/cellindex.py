@@ -40,15 +40,24 @@ __all__ = [
 ]
 
 
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each uint64 into the even bit positions
+    (constant 5-step magic-mask sequence — O(1) array passes independent of
+    resolution, vs one pass per bit)."""
+    v = v & np.uint64(0xFFFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
 def _interleave_bits(x: np.ndarray, y: np.ndarray, r: int) -> np.ndarray:
     """Morton-interleave r-bit ints x (even bits) and y (odd bits)."""
-    x = x.astype(np.uint64)
-    y = y.astype(np.uint64)
-    out = np.zeros_like(x)
-    for i in range(r):
-        out |= ((x >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
-        out |= ((y >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i + 1)
-    return out
+    return _spread_bits(x.astype(np.uint64)) | (
+        _spread_bits(y.astype(np.uint64)) << np.uint64(1)
+    )
 
 
 def encode_points(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:

@@ -101,6 +101,108 @@ class CellMap:
 
         self.levels = sorted(set(int(r) for r in cell_res(cells))) if len(cells) else []
         self._geom_cache = None
+        self._build_intervals()
+        self._build_knn_boxes()
+
+    def _build_knn_boxes(self) -> None:
+        """Per-POLYGON bboxes for the kNN prefilter. A whole-zone bbox is
+        useless for antimeridian multipolygons (it spans the world, so every
+        offshore point pays a distance computation); per-polygon boxes stay
+        tight. Valid for zones below ~|lat| 80 where the 0.1 deg pad still
+        exceeds 1852 m of longitude."""
+        boxes = []
+        zone_of = []
+        for zi, gj in enumerate(self.geojson):
+            g = from_geojson(gj)
+            for j in range(g.n_polys):
+                shell = g.ring(int(g.poly_offsets[j]))
+                boxes.append(
+                    [
+                        shell[:, 0].min(),
+                        shell[:, 1].min(),
+                        shell[:, 0].max(),
+                        shell[:, 1].max(),
+                    ]
+                )
+                zone_of.append(zi)
+        self.knn_boxes = (
+            np.asarray(boxes, dtype=np.float64)
+            if boxes
+            else np.zeros((0, 4), dtype=np.float64)
+        )
+        self.knn_box_zone = np.asarray(zone_of, dtype=np.int32)
+
+    _BIG = np.iinfo(np.int32).max
+
+    def _build_intervals(self) -> None:
+        """Flatten the multi-resolution cover into DISJOINT Morton intervals
+        at the finest resolution. A cell (res r, code c) covers the finest-
+        level Morton range [c << 2(R-r), (c+1) << 2(R-r)) — children are
+        contiguous in Morton order — so the whole cover becomes one sorted
+        boundary array + per-interval payloads:
+
+          ivl_pos      uint64[nseg+1]  elementary boundaries (0 .. 4^R)
+          ivl_full_tz  int32[nseg]     min full-cell zone covering it (BIG=none)
+          ivl_cand_*   CSR int32       unique boundary-candidate zones
+
+        Probe cost per point: ONE searchsorted + two gathers, replacing a
+        (2 searches x 2 tables x n_levels) probe and a per-point Python
+        candidate list. Built once driver-side; broadcast with the map.
+        """
+        BIG = self._BIG
+        if not self.levels:
+            self.finest = 0
+            self.ivl_pos = np.array([0, 1], dtype=np.uint64)
+            self.ivl_full_tz = np.array([BIG], dtype=np.int32)
+            self.ivl_cand_off = np.array([0, 0], dtype=np.int64)
+            self.ivl_cand_tz = np.zeros(0, dtype=np.int32)
+            return
+        R = self.levels[-1]
+        self.finest = R
+        mask = np.uint64((1 << 58) - 1)
+
+        def spans(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            r = (cells >> np.uint64(58)).astype(np.int64)
+            code = cells & mask
+            shift = (2 * (R - r)).astype(np.uint64)
+            return code << shift, (code + np.uint64(1)) << shift
+
+        fs, fe = spans(self.full_cells)
+        bs, be = spans(self.bnd_cells)
+        domain = np.array([0, 1 << (2 * R)], dtype=np.uint64)
+        pos = np.unique(np.concatenate([fs, fe, bs, be, domain]))
+        nseg = len(pos) - 1
+        full_min = np.full(nseg, BIG, dtype=np.int32)
+        for s, e, t in zip(fs, fe, self.full_tz):
+            i0 = int(np.searchsorted(pos, s))
+            i1 = int(np.searchsorted(pos, e))
+            np.minimum(full_min[i0:i1], t, out=full_min[i0:i1])
+        cand_lists: list[list[int]] = [[] for _ in range(nseg)]
+        for s, e, t in zip(bs, be, self.bnd_tz):
+            i0 = int(np.searchsorted(pos, s))
+            i1 = int(np.searchsorted(pos, e))
+            for k in range(i0, i1):
+                cand_lists[k].append(int(t))
+        counts = np.zeros(nseg, dtype=np.int64)
+        flat: list[int] = []
+        for k, lst in enumerate(cand_lists):
+            u = sorted(set(lst))
+            counts[k] = len(u)
+            flat.extend(u)
+        self.ivl_pos = pos
+        self.ivl_full_tz = full_min
+        self.ivl_cand_off = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(counts)]
+        )
+        self.ivl_cand_tz = np.asarray(flat, dtype=np.int32)
+
+    def probe(self, lon: np.ndarray, lat: np.ndarray):
+        """Interval probe: returns (full_tz int32 [BIG = no full hit],
+        seg int64) per point. Candidates for point i live at
+        ivl_cand_tz[ivl_cand_off[seg[i]] : ivl_cand_off[seg[i]+1]]."""
+        code = encode_points(lon, lat, self.finest) & np.uint64((1 << 58) - 1)
+        seg = np.searchsorted(self.ivl_pos, code, side="right") - 1
+        return self.ivl_full_tz[seg], seg
 
     # -- executor-side ---------------------------------------------------
     def geoms(self):

@@ -73,6 +73,54 @@ def extract_html_meta(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(_meta, HTML_META_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "url string, frame_idx int, ts_ms long, frame_bytes int, frame_sha256 string"
+)
+
+
+def frame_sample(
+    pages: DataFrame,
+    media_col: str = "html",
+    frame_bytes: int = 256,
+    frame_interval_ms: int = 40,
+) -> DataFrame:
+    """Video/audio frame sampling as a 1->N mapInPandas explode: each
+    binary payload is cut into fixed-size windows standing in for decoded
+    frames (real codecs aren't in this container; the decode call would
+    slot in where the byte-slice is taken — the Spark-side shape, schema,
+    batching and row expansion are the real thing).
+
+    Scale: output rows = input rows x frames; no shuffle is introduced —
+    the explode happens inside the Arrow batch, and downstream groupBys
+    key on url, which is already the scan's natural distribution.
+    """
+
+    def _frames(batches):
+        for pdf in batches:
+            urls, idxs, tss, sizes, shas = [], [], [], [], []
+            for url, b in zip(pdf["url"], pdf[media_col]):
+                b = bytes(b) if b is not None else b""
+                n_frames = len(b) // frame_bytes + 1
+                for i in range(n_frames):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    urls.append(url)
+                    idxs.append(i)
+                    tss.append(i * frame_interval_ms)
+                    sizes.append(len(chunk))
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "ts_ms": np.asarray(tss, dtype=np.int64),
+                    "frame_bytes": np.asarray(sizes, dtype=np.int32),
+                    "frame_sha256": shas,
+                }
+            )
+
+    return pages.select("url", media_col).mapInPandas(_frames, FRAME_SCHEMA)
+
+
 def _decode_image_real(data: bytes):
     """STUB: real decode requires PIL/libvips, not present in this
     container. The function gate is real; the decode is not."""
