@@ -11,7 +11,8 @@ Stage DAG (each stage = content-fingerprinted parquet checkpoint; rerun
 skips stages whose fingerprint matches and whose output hash re-verifies —
 the reference's FileLookupCache contract, util/cache.js:74-128):
 
-    build_zones -> validate -> oceans -> derived_1970/now -> outputs
+    assemble (S2 way->ring ingest) -> build_zones -> validate -> oceans
+      -> derived_1970/now -> outputs
 """
 
 from __future__ import annotations
@@ -79,12 +80,52 @@ def main(argv=None) -> int:
 
     stages = {}
 
+    # S2 ingest: raw OSM relation ways -> assembled source geometries (the
+    # reference gets this from osmtogeojson on Overpass downloads,
+    # index.js:504; here the ways are the fixture's decomposed sources)
+    from pyspark.sql import functions as F
+
+    from timezone_boundary_builder_spark.operators.ring_assembly import (
+        assemble_relations,
+    )
+    from timezone_boundary_builder_spark.sources.fixtures import (
+        source_relation_ways_pdf,
+    )
+
+    ways_pdf = source_relation_ways_pdf()
+    ways_fp = fingerprint("ways", ways_pdf.to_json(orient="records"))
+    sources_assembled, cached = manifest.run_stage(
+        spark,
+        "assemble",
+        fingerprint("assemble", ways_fp),
+        lambda: assemble_relations(
+            spark.createDataFrame(
+                ways_pdf,
+                "relation_id string, way_id long, seq long, coords array<array<double>>",
+            )
+        ).select(F.col("relation_id").alias("source_id"), "geometry", "area_deg2"),
+    )
+    stages["assemble"] = {"cached": cached, "rows": sources_assembled.count()}
+    # ingest sanity: assembled areas must match the canonical source table
+    import numpy as np
+
+    from timezone_boundary_builder_spark.geom.codec import from_geojson as _fg
+    from timezone_boundary_builder_spark.geom.kernels import planar_area as _pa
+
+    want = {r.source_id: _pa(_fg(r.geometry)) for r in src_pdf.itertuples()}
+    got = {r["source_id"]: r["area_deg2"] for r in sources_assembled.collect()}
+    assert set(got) == set(want) and all(
+        np.isclose(got[s], want[s]) for s in want
+    ), "assembled sources diverge from canonical source table"
+
     zones, cached = manifest.run_stage(
         spark,
         "zones",
-        fingerprint("build", cfg_fp, src_fp),
+        fingerprint("build", cfg_fp, fingerprint("assembled_src", ways_fp)),
         lambda: build_zones(
-            spark, spark.createDataFrame(cfg_pdf), spark.createDataFrame(src_pdf)
+            spark,
+            spark.createDataFrame(cfg_pdf),
+            sources_assembled.select("source_id", "geometry"),
         ),
     )
     stages["zones"] = {"cached": cached, "rows": zones.count()}

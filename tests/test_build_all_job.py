@@ -41,3 +41,12 @@ def test_build_all_runs_and_resumes(tmp_path):
     for stage in ("zones", "oceans", "derived_1970", "derived_now"):
         assert r2["stages"][stage]["cached"] is True, (stage, r2)
     assert os.path.exists(os.path.join(out, "timezone-names.json"))
+
+
+def test_build_all_assemble_stage_resumes(tmp_path):
+    work = str(tmp_path / "w2")
+    out = str(tmp_path / "d2")
+    r1 = _run(work, out)
+    assert r1["stages"]["assemble"] == {"cached": False, "rows": 7}
+    r2 = _run(work, out)
+    assert r2["stages"]["assemble"]["cached"] is True

@@ -1,0 +1,136 @@
+"""Regressions for the flattened Morton-interval probe (the hot-path
+lookup): structural invariants, equivalence with the legacy per-level
+sorted-array lookup, and a many-zones brute-force world where overlapping
+boundary cells stress the CSR candidate table."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+from timezone_boundary_builder_spark.geom.cellindex import cover_polygon
+from timezone_boundary_builder_spark.geom.codec import from_geojson
+from timezone_boundary_builder_spark.geom.kernels import points_in_packed
+from timezone_boundary_builder_spark.operators.cover import CellMap
+from timezone_boundary_builder_spark.operators.spatial_join import assign_codes
+
+BIG = np.iinfo(np.int32).max
+
+
+def _fixture_cm():
+    return entry._local_cellmap()
+
+
+def test_intervals_partition_domain():
+    cm = _fixture_cm()
+    pos = cm.ivl_pos
+    assert pos[0] == 0
+    assert int(pos[-1]) == 1 << (2 * cm.finest)
+    assert (np.diff(pos.astype(np.uint64)) > 0).all()
+    assert len(cm.ivl_full_tz) == len(pos) - 1
+    assert len(cm.ivl_cand_off) == len(pos)
+    assert int(cm.ivl_cand_off[-1]) == len(cm.ivl_cand_tz)
+
+
+def test_probe_equals_legacy_lookup_random_points():
+    cm = _fixture_cm()
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, size=20000)
+    lat = rng.uniform(-90, 90, size=20000)
+    legacy_assigned, legacy_cand = cm.lookup(lon, lat)
+    full_tz, seg = cm.probe(lon, lat)
+    probe_assigned = np.where(full_tz == BIG, -1, full_tz)
+    assert np.array_equal(probe_assigned, legacy_assigned.astype(np.int64))
+    off = cm.ivl_cand_off
+    for i in range(len(lon)):
+        want = (
+            set(np.unique(legacy_cand[i]).tolist())
+            if legacy_cand[i] is not None
+            else set()
+        )
+        got = set(cm.ivl_cand_tz[off[seg[i]] : off[seg[i] + 1]].tolist())
+        assert got == want, i
+
+
+def _box_gj(x0, y0, x1, y1):
+    return json.dumps(
+        {
+            "type": "Polygon",
+            "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def many_zone_cm():
+    """A 10x10 lattice of 100 zones over [0,100]^2 with deliberate pairwise
+    overlaps (each zone extends 0.3 deg past its east/north lattice line),
+    so boundary cells carry MANY candidate tzids."""
+    rows = []
+    for i in range(10):
+        for j in range(10):
+            tzid = f"Grid/Z{i:02d}{j:02d}"
+            gj = _box_gj(i * 10, j * 10, i * 10 + 10.3, j * 10 + 10.3)
+            g = from_geojson(gj)
+            rows.append(
+                {
+                    "tzid": tzid,
+                    "geometry": gj,
+                    "min_x": i * 10.0,
+                    "min_y": j * 10.0,
+                    "max_x": i * 10 + 10.3,
+                    "max_y": j * 10 + 10.3,
+                }
+            )
+    zones_pdf = pd.DataFrame(rows)
+    covers = []
+    for r in zones_pdf.itertuples():
+        cells, full = cover_polygon(from_geojson(r.geometry), max_res=7)
+        covers.append(
+            pd.DataFrame(
+                {"tzid": r.tzid, "cell_id": cells.astype(np.int64), "full": full}
+            )
+        )
+    return CellMap(pd.concat(covers, ignore_index=True), zones_pdf), zones_pdf
+
+
+def test_many_zones_assignment_matches_brute_force(many_zone_cm):
+    cm, zones_pdf = many_zone_cm
+    rng = np.random.default_rng(5)
+    n = 30000
+    lon = rng.uniform(-5, 105, size=n)
+    lat = rng.uniform(-5, 105, size=n)
+    lat = np.clip(lat, -89.9, 89.9)
+    bands = [
+        {"tzid": "Etc/GMT+9", "left": -180.0, "right": -90.0},
+        {"tzid": "Etc/GMT+3", "left": -90.0, "right": 0.0},
+        {"tzid": "Etc/GMT-3", "left": 0.0, "right": 90.0},
+        {"tzid": "Etc/GMT-9", "left": 90.0, "right": 180.0},
+    ]
+    band_edges = np.array([b["left"] for b in bands] + [bands[-1]["right"]])
+    code, method = assign_codes(cm, band_edges, 4, lon, lat, knn_max_m=-1.0)
+    # brute force: PIP against every zone, min tzid wins; else ocean band
+    pts = np.column_stack([lon, lat])
+    inside = np.zeros((len(zones_pdf), n), dtype=bool)
+    geoms = [from_geojson(g) for g in zones_pdf["geometry"]]
+    order = np.argsort(zones_pdf["tzid"].to_numpy())
+    for rank, zi in enumerate(order):
+        inside[rank] = points_in_packed(pts, geoms[zi])
+    any_in = inside.any(axis=0)
+    first = inside.argmax(axis=0)  # first True = smallest tzid (rank order)
+    tz_sorted = zones_pdf["tzid"].to_numpy()[order]
+    n_zones = len(cm.tzids)
+    got_land = code[any_in]
+    want_land = np.array([cm.tzids.index(tz_sorted[f]) for f in first[any_in]])
+    assert np.array_equal(got_land, want_land)
+    # ocean rows: correct band by longitude
+    band_idx = np.clip(
+        np.searchsorted(band_edges, lon[~any_in], side="right") - 1, 0, 3
+    )
+    assert np.array_equal(code[~any_in], n_zones + band_idx)
+    # overlap strips actually exercised: some points must carry >1 candidate
+    full_tz, seg = cm.probe(lon, lat)
+    cnt = cm.ivl_cand_off[seg + 1] - cm.ivl_cand_off[seg]
+    assert int(cnt.max()) >= 2

@@ -299,6 +299,36 @@ RELATION_GOLDEN = {
 }
 
 
+def source_relation_ways_pdf(seed: int = 13) -> pd.DataFrame:
+    """The canonical SOURCES table decomposed into raw OSM relation ways
+    (one relation per source id) — the ingest form the reference downloads
+    from Overpass (index.js:465-587). Rings are split at existing vertices
+    only, so assembly reproduces the source geometries exactly (up to ring
+    rotation/direction, which the engine normalizes)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    way_id = 5000
+    for sid, (_kind, gj) in SOURCES.items():
+        obj = json.loads(gj)
+        polys = (
+            [obj["coordinates"]]
+            if obj["type"] == "Polygon"
+            else obj["coordinates"]
+        )
+        for rings in polys:
+            for ring in rings:
+                open_ring = ring[:-1] if ring[0] == ring[-1] else list(ring)
+                rows.extend(
+                    _ring_to_ways(
+                        [list(p) for p in open_ring], 3, sid, way_id, rng
+                    )
+                )
+                way_id += 100
+    pdf = pd.DataFrame(rows)
+    pdf["seq"] = pdf.groupby("relation_id").cumcount()
+    return pdf
+
+
 def relation_ways_pdf(seed: int = 7) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     rows = []
