@@ -393,12 +393,15 @@ def _q_geo_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geo_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: boundary-type filter then per-source cascaded union
-    (reference saveSingleMultiPolygon, index.js:530-586)."""
+    """S3: structural lint (G16), boundary-type filter, then per-source
+    cascaded union (reference saveSingleMultiPolygon, index.js:530-586;
+    geojsonhint pass, index.js:543-554)."""
+    from timezone_boundary_builder_spark.operators.lint import lint_features
     from timezone_boundary_builder_spark.operators.source_union import source_union
     from timezone_boundary_builder_spark.sources.fixtures import osm_features_pdf
 
-    out = source_union(spark.createDataFrame(osm_features_pdf()))
+    feats = lint_features(spark.createDataFrame(osm_features_pdf())).filter("lint_ok")
+    out = source_union(feats.drop("lint_ok", "lint_error"))
     return out.select(
         "source_id", "n_features", F.round("area_deg2", 6).alias("area_deg2_r")
     )

@@ -28,7 +28,13 @@ def main(argv=None) -> int:
     p.add_argument("--work-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--cores", type=int, default=8)
+    # R13: CLI zone pruning (reference --included_zones / --excluded_zones,
+    # index.js:264-323); comma-separated tzids
+    p.add_argument("--included-zones", default="")
+    p.add_argument("--excluded-zones", default="")
     args = p.parse_args(argv)
+    included = [z for z in args.included_zones.split(",") if z]
+    excluded = [z for z in args.excluded_zones.split(",") if z]
 
     import pandas as pd
     from pyspark.sql import SparkSession
@@ -118,15 +124,26 @@ def main(argv=None) -> int:
         np.isclose(got[s], want[s]) for s in want
     ), "assembled sources diverge from canonical source table"
 
+    from timezone_boundary_builder_spark.operators.zone_build import (
+        apply_zone_filters,
+        prune_sources,
+    )
+
+    cfg_df = apply_zone_filters(spark.createDataFrame(cfg_pdf), included, excluded)
+    src_df = prune_sources(
+        sources_assembled.select("source_id", "geometry"), cfg_df
+    )
     zones, cached = manifest.run_stage(
         spark,
         "zones",
-        fingerprint("build", cfg_fp, fingerprint("assembled_src", ways_fp)),
-        lambda: build_zones(
-            spark,
-            spark.createDataFrame(cfg_pdf),
-            sources_assembled.select("source_id", "geometry"),
+        fingerprint(
+            "build",
+            cfg_fp,
+            fingerprint("assembled_src", ways_fp),
+            ",".join(included),
+            ",".join(excluded),
         ),
+        lambda: build_zones(spark, cfg_df, src_df),
     )
     stages["zones"] = {"cached": cached, "rows": zones.count()}
 

@@ -1,0 +1,83 @@
+"""Structural GeoJSON lint (SURVEY G16 — engine analog of the reference's
+geojsonhint pass over every Overpass result, index.js:543-554, and the
+empty-result hard error, index.js:522-527).
+
+`lint_features` annotates each feature row with (lint_ok, lint_error)
+via mapInPandas — the checks run next to the data, never on the driver —
+so ingest pipelines can `filter(lint_ok)` and route rejects to a
+quarantine sink. At scale this is a pure map stage: no shuffle, pushes
+down behind whatever scan produced the features.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_ALLOWED_TYPES = {"Polygon", "MultiPolygon", "LineString", "Point", "MultiLineString"}
+
+
+def lint_geojson(gj: str | None, declared_type: str | None = None) -> str | None:
+    """Returns None when valid, else a short error string. Checks mirror
+    what geojsonhint catches on the reference's inputs: parseable JSON, a
+    known geometry type matching the declared one, closed >=4-point rings
+    for areal types, and coordinates inside the WGS84 domain."""
+    if gj is None or gj == "":
+        return "empty geometry"
+    try:
+        obj = json.loads(gj)
+    except (ValueError, TypeError):
+        return "unparseable JSON"
+    t = obj.get("type")
+    if t not in _ALLOWED_TYPES:
+        return f"unknown type {t!r}"
+    if declared_type and t != declared_type:
+        return f"declared {declared_type!r} but payload is {t!r}"
+    coords = obj.get("coordinates")
+    if coords in (None, []):
+        return "missing coordinates"
+    if t in ("Polygon", "MultiPolygon"):
+        polys = [coords] if t == "Polygon" else coords
+        for rings in polys:
+            for ring in rings:
+                if len(ring) < 4:
+                    return "ring with <4 points"
+                if ring[0] != ring[-1]:
+                    return "unclosed ring"
+                for pt in ring:
+                    if not (
+                        isinstance(pt, (list, tuple))
+                        and len(pt) >= 2
+                        and -180.0 <= pt[0] <= 180.0
+                        and -90.0 <= pt[1] <= 90.0
+                    ):
+                        return f"coordinate out of range: {pt!r}"
+    return None
+
+
+def lint_features(features: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Adds lint_ok / lint_error columns. Declared type is taken from a
+    geom_type column when present (the fixture/overpass shape)."""
+    cols = features.columns
+    has_declared = "geom_type" in cols
+
+    def _lint(batches):
+        for pdf in batches:
+            errs = [
+                lint_geojson(g, d)
+                for g, d in zip(
+                    pdf[geometry_col],
+                    pdf["geom_type"] if has_declared else [None] * len(pdf),
+                )
+            ]
+            out = pdf.copy()
+            out["lint_ok"] = [e is None for e in errs]
+            out["lint_error"] = pd.array(errs, dtype=object)
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in features.schema.fields
+    )
+    return features.mapInPandas(_lint, schema + ", lint_ok boolean, lint_error string")

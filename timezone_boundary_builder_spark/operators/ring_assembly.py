@@ -32,6 +32,13 @@ RELATION_SCHEMA = (
     "n_dropped_ways int, area_deg2 double"
 )
 
+# 0.2 x 0.2 deg placeholder at null island — the reference writes exactly
+# this square when a per-tz boundary download fails (index.js:643-660)
+NULL_ISLAND_GJ = (
+    '{"type":"Polygon","coordinates":[[[-0.1,-0.1],[0.1,-0.1],'
+    "[0.1,0.1],[-0.1,0.1],[-0.1,-0.1]]]}"
+)
+
 
 def chain_ways(ways: list[np.ndarray]) -> tuple[list[np.ndarray], int]:
     """Chain open polylines into closed rings by endpoint matching.
@@ -125,18 +132,25 @@ def assemble_multipolygon(ways: list[np.ndarray]) -> tuple[PackedGeometry, int]:
     return nest_rings(rings), dropped
 
 
-def assemble_relations(ways_df: DataFrame) -> DataFrame:
+def assemble_relations(ways_df: DataFrame, null_island_fallback: bool = False) -> DataFrame:
     """ways(relation_id string, way_id long, seq int,
     coords array<array<double>>) -> one geometry row per relation.
 
     Engine analog of `osmtogeojson(data)` + ring classification
     (reference index.js:504); the later boundary-filter + union step is
-    `source_union` (SURVEY S3)."""
+    `source_union` (SURVEY S3). With null_island_fallback, a relation
+    whose ways produce no closed ring yields the reference's 0.2-degree
+    placeholder square at (0,0) instead of an empty geometry
+    (S6, index.js:643-660)."""
 
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq", kind="stable")
         ways = [np.asarray([list(p) for p in c], dtype=np.float64) for c in pdf["coords"]]
         geom, dropped = assemble_multipolygon(ways)
+        if geom.is_empty() and null_island_fallback:
+            from ..geom.codec import from_geojson
+
+            geom = from_geojson(NULL_ISLAND_GJ)
         return pd.DataFrame(
             {
                 "relation_id": [pdf["relation_id"].iloc[0]],

@@ -135,6 +135,32 @@ def build_zones(
     return resolved.groupBy("tzid").applyInPandas(_fold_group, ZONE_SCHEMA)
 
 
+def apply_zone_filters(
+    zones_config: DataFrame,
+    included_zones: list[str] | None = None,
+    excluded_zones: list[str] | None = None,
+) -> DataFrame:
+    """CLI include/exclude pruning (SURVEY R13 — reference --included_zones
+    / --excluded_zones, index.js:264-323): a semi/anti filter on tzid."""
+    out = zones_config
+    if included_zones:
+        out = out.filter(F.col("tzid").isin(list(included_zones)))
+    if excluded_zones:
+        out = out.filter(~F.col("tzid").isin(list(excluded_zones)))
+    return out
+
+
+def prune_sources(sources: DataFrame, zones_config: DataFrame) -> DataFrame:
+    """Drop sources no surviving zone op references (the reference prunes
+    its download list the same way, index.js:312-323) — a broadcast
+    left-semi join on the small config table, so the source scan never
+    materializes unused geometries downstream."""
+    used = zones_config.select("source_id").where(
+        F.col("source_id").isNotNull()
+    ).distinct()
+    return sources.join(F.broadcast(used), "source_id", "left_semi")
+
+
 def dissolve_group(pdf: pd.DataFrame, key_col: str, out_tzid: str | None = None) -> pd.DataFrame:
     """Cascaded union of a group of zone geometries (reference group-merge,
     index.js:869-939). Used by derived 1970/now zone products."""
