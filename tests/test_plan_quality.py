@@ -88,3 +88,20 @@ def test_serve_from_tiles_uses_broadcast_join(spark):
     plan = plan_of(q)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_packed_assignment_plan_zero_exchanges(spark):
+    """The production hot path (packed micro-degree codec): no shuffle,
+    coordinates packed into ONE int64 JVM-side (shiftleft in a Project
+    below ArrowEvalPython), tzid strings materialized JVM-side above it."""
+    import bench
+    from timezone_boundary_builder_spark.operators.spatial_join import (
+        assign_tzid_udf_packed,
+    )
+
+    bc = spark.sparkContext.broadcast(entry._local_cellmap())
+    pts = bench.synthetic_points_packed(spark, 1000)
+    plan = plan_of(assign_tzid_udf_packed(pts, bc, OCEAN_BANDS))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan
+    assert "element_at" in plan

@@ -203,3 +203,63 @@ def test_stream_dedup_first_seen_stateful(spark, tmp_path):
     got2 = spark.read.parquet(sink).toPandas().sort_values("keep_url")
     assert list(got2["keep_url"]) == ["u1", "u3", "u5"]
     assert len(got2) == 3
+
+
+def test_stream_dedup_state_ttl_eviction(spark, tmp_path):
+    """ProcessingTimeTimeout: after the TTL a fingerprint's state is
+    evicted, so a later recurrence is treated as new (bounded-state mode).
+
+    A TTL-holding stateful query is a CONTINUOUS query — Spark keeps
+    running empty micro-batches to fire pending timeouts, so availableNow
+    never self-terminates; the test drives the lifecycle explicitly."""
+    import time as _time
+
+    from timezone_boundary_builder_spark.streaming.assign_stream import (
+        stream_dedup_first_seen,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ttl_min = 1.5 / 60.0  # 1.5 s
+
+    def pages(rows, mode):
+        pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"]).assign(
+            html=lambda d: d.text.str.encode("utf8"),
+            lang="en",
+            warc_ts=lambda d: pd.to_datetime(d.warc_ts),
+        )
+        spark.createDataFrame(
+            pdf[["url", "warc_ts", "html", "text", "lang"]]
+        ).write.mode(mode).parquet(src)
+
+    def sink_urls():
+        try:
+            return set(spark.read.parquet(sink).toPandas()["keep_url"])
+        except Exception:
+            return set()
+
+    def run_until(expected: set, grace_s: float = 0.0, timeout_s: float = 120.0):
+        q = stream_dedup_first_seen(
+            spark, src, sink, ckpt, state_ttl_minutes=ttl_min
+        )
+        t0 = _time.time()
+        while _time.time() - t0 < timeout_s and not expected <= sink_urls():
+            _time.sleep(1)
+        assert expected <= sink_urls(), (expected, sink_urls())
+        if grace_s:
+            _time.sleep(grace_s)  # let pending state timeouts fire
+        q.stop()
+        q.awaitTermination(60)
+
+    pages([("u1", "2026-01-01 10:00", "alpha text")], "overwrite")
+    run_until({"u1"})
+
+    _time.sleep(3)  # u1's state passes its TTL while no query runs
+    pages([("u2", "2026-01-01 11:00", "beta text")], "append")
+    # the empty batches after u2 fire u1's timeout -> state evicted
+    run_until({"u1", "u2"}, grace_s=6.0)
+
+    pages([("u3", "2026-01-01 12:00", "ALPHA   TEXT")], "append")  # dup of u1
+    run_until({"u1", "u2", "u3"})
+    assert sorted(sink_urls()) == ["u1", "u2", "u3"]

@@ -94,6 +94,7 @@ def stream_dedup_first_seen(
     source_dir: str,
     sink_dir: str,
     checkpoint_dir: str,
+    state_ttl_minutes: float | None = None,
 ):
     """Custom stateful streaming operator: crawl-time exact dedup.
 
@@ -104,6 +105,11 @@ def stream_dedup_first_seen(
     exactly once. This is the streaming twin of dedup_exact: the batch op
     groupBy+min can't run incrementally because a later micro-batch must
     not re-emit a fingerprint the stream already kept.
+
+    state_ttl_minutes bounds the state store on unbounded crawls
+    (processing-time timeout evicts a fingerprint after the TTL, after
+    which a recurrence is treated as new — the standard state-size /
+    dedup-window trade every streaming dedup at crawl scale makes).
 
     Scale: state is ~40 bytes per distinct fingerprint, hash-partitioned
     by the shuffle on fingerprint — the same key the batch dedup shuffles
@@ -124,6 +130,9 @@ def stream_dedup_first_seen(
     def _dedup(key, pdfs, state: GroupState):
         import pandas as pd  # noqa: PLC0415 (worker-side import)
 
+        if state.hasTimedOut:
+            state.remove()  # TTL eviction: forget the fingerprint
+            return iter(())
         best = None
         for pdf in pdfs:
             pdf = pdf.sort_values(["warc_ts", "url"], kind="stable")
@@ -134,8 +143,12 @@ def stream_dedup_first_seen(
             ):
                 best = cand
         if state.exists or best is None:
+            if state.exists and state_ttl_minutes:
+                state.setTimeoutDuration(int(state_ttl_minutes * 60_000))
             return iter(())
         state.update((True,))
+        if state_ttl_minutes:
+            state.setTimeoutDuration(int(state_ttl_minutes * 60_000))
         return iter(
             [
                 pd.DataFrame(
@@ -153,7 +166,11 @@ def stream_dedup_first_seen(
         outputStructType="fingerprint string, keep_url string, first_ts timestamp",
         stateStructType="emitted boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_minutes
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         deduped.writeStream.format("parquet")
