@@ -134,3 +134,45 @@ def test_many_zones_assignment_matches_brute_force(many_zone_cm):
     full_tz, seg = cm.probe(lon, lat)
     cnt = cm.ivl_cand_off[seg + 1] - cm.ivl_cand_off[seg]
     assert int(cnt.max()) >= 2
+
+
+def test_many_zones_knn_matches_brute_force(many_zone_cm):
+    """Grid-CSR kNN prefilter at 100 zones: offshore points within/beyond
+    1852 m of the lattice's west edge must match a brute-force min-distance
+    oracle over ALL zones."""
+    from timezone_boundary_builder_spark.geom.kernels import (
+        min_distance_to_boundary_m,
+    )
+
+    cm, zones_pdf = many_zone_cm
+    rng = np.random.default_rng(17)
+    n = 2000
+    lon = -rng.uniform(0.0005, 0.04, size=n)  # west of x=0, straddles 1852 m
+    lat = rng.uniform(0.5, 99.5, size=n)
+    bands = [
+        {"tzid": "Etc/GMT+9", "left": -180.0, "right": -90.0},
+        {"tzid": "Etc/GMT+3", "left": -90.0, "right": 0.0},
+        {"tzid": "Etc/GMT-3", "left": 0.0, "right": 90.0},
+        {"tzid": "Etc/GMT-9", "left": 90.0, "right": 180.0},
+    ]
+    band_edges = np.array([b["left"] for b in bands] + [180.0])
+    code, method = assign_codes(cm, band_edges, 4, lon, lat, knn_max_m=1852.0)
+    pts = np.column_stack([lon, lat])
+    geoms = [from_geojson(g) for g in zones_pdf["geometry"]]
+    order = np.argsort(zones_pdf["tzid"].to_numpy())
+    tz_sorted = zones_pdf["tzid"].to_numpy()[order]
+    dist = np.stack(
+        [min_distance_to_boundary_m(pts, geoms[zi]) for zi in order], axis=0
+    )
+    dmin = dist.min(axis=0)
+    # winner = smallest tzid within 1e-9 m of the min
+    winner = (dist <= dmin[None, :] + 1e-9).argmax(axis=0)
+    knn = dmin <= 1852.0
+    assert knn.any() and (~knn).any()  # both sides exercised
+    got_knn = np.array([cm.tzids[c] if c < len(cm.tzids) else None for c in code])
+    for i in range(n):
+        if knn[i]:
+            assert method[i] == 2, i  # M_KNN
+            assert got_knn[i] == tz_sorted[winner[i]], i
+        else:
+            assert method[i] == 3, i  # M_OCEAN

@@ -162,6 +162,62 @@ def points_in_packed(points: np.ndarray, geom: PackedGeometry) -> np.ndarray:
     return points_in_rings(points, geom.coords, geom.ring_offsets)
 
 
+def points_in_edges(
+    px: np.ndarray, py: np.ndarray, x1: np.ndarray, y1: np.ndarray,
+    x2: np.ndarray, y2: np.ndarray,
+) -> np.ndarray:
+    """Even-odd PIP against a prebuilt edge soup (see CellMap.zone_edges —
+    skips the per-call edge-array construction of points_in_rings)."""
+    m = len(px)
+    if m == 0 or len(x1) == 0:
+        return np.zeros(m, dtype=bool)
+    chunk = max(1, _PIP_CHUNK_BUDGET // max(len(x1), 1))
+    parity = np.empty(m, dtype=np.int64)
+    for s in range(0, m, chunk):
+        e = min(m, s + chunk)
+        parity[s:e] = _crossings(px[s:e], py[s:e], x1, y1, x2, y2)
+    return (parity & 1).astype(bool)
+
+
+def min_distance_edges_m(
+    px: np.ndarray, py: np.ndarray, ax: np.ndarray, ay: np.ndarray,
+    bx: np.ndarray, by: np.ndarray,
+) -> np.ndarray:
+    """min_distance_to_boundary_m against a prebuilt edge soup (1D arrays;
+    no per-call segment-array construction)."""
+    m = len(px)
+    if m == 0:
+        return np.zeros(0)
+    n = len(ax)
+    if n == 0:
+        return np.full(m, np.inf)
+    plam = np.radians(px)[:, None]
+    pphi = np.radians(py)[:, None]
+    cosphi = np.cos(pphi)
+    out = np.empty(m)
+    chunk = max(1, _PIP_CHUNK_BUDGET // n)
+    alam = np.radians(ax)[None, :]
+    aphi = np.radians(ay)[None, :]
+    blam = np.radians(bx)[None, :]
+    bphi = np.radians(by)[None, :]
+    for s in range(0, m, chunk):
+        e = min(m, s + chunk)
+        axp = (alam - plam[s:e]) * cosphi[s:e]
+        ayp = aphi - pphi[s:e]
+        bxp = (blam - plam[s:e]) * cosphi[s:e]
+        byp = bphi - pphi[s:e]
+        dx = bxp - axp
+        dy = byp - ayp
+        seg_len2 = dx * dx + dy * dy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = -(axp * dx + ayp * dy) / seg_len2
+        t = np.clip(np.nan_to_num(t, nan=0.0), 0.0, 1.0)
+        cx = axp + t * dx
+        cy = ayp + t * dy
+        out[s:e] = np.sqrt((cx * cx + cy * cy).min(axis=1))
+    return out * EARTH_RADIUS_M
+
+
 # --------------------------------------------------------- distances (m)
 
 

@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..geom.kernels import min_distance_to_boundary_m, points_in_packed
+from ..geom.kernels import min_distance_edges_m, points_in_edges
 
 KNN_MAX_METERS = 1852.0  # 1 nautical mile
 # candidate prefilter for kNN: inflate zone bboxes by ~2x the max distance
@@ -69,13 +69,21 @@ def assign_codes(
     materialized JVM-side (assign_tzid_udf) or by the caller.
 
     Rows are processed in cache-resident chunks (per-point independent, so
-    chunking is semantics-free)."""
+    chunking is semantics-free). The chunk grows with the zone count: the
+    per-zone PIP/kNN loops have a fixed numpy-call cost per chunk, so at
+    the reference's 419-zone scale small chunks multiply that overhead by
+    the chunk count (measured 2.6x slower); per-zone edge caches
+    (CellMap.zone_edges) cut the per-call cost itself."""
     n = len(lon)
-    if n > ASSIGN_CHUNK:
+    n_zones = len(cm.tzids)
+    # >64 zones: per-zone loop overhead beats cache residency — use one
+    # block per Arrow batch (65536 * 8 = the 512k production batch size)
+    chunk = ASSIGN_CHUNK if n_zones <= 64 else ASSIGN_CHUNK * 8
+    if n > chunk:
         code = np.empty(n, dtype=np.int32)
         method = np.empty(n, dtype=np.int8)
-        for s in range(0, n, ASSIGN_CHUNK):
-            e = min(n, s + ASSIGN_CHUNK)
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
             code[s:e], method[s:e] = _assign_codes_block(
                 cm, band_edges, n_bands, lon[s:e], lat[s:e], knn_max_m
             )
@@ -92,7 +100,7 @@ def _assign_codes_block(
     knn_max_m: float,
 ) -> tuple[np.ndarray, np.ndarray]:
     n = len(lon)
-    geoms = cm.geoms()
+    edges = cm.zone_edges()
     n_zones = len(cm.tzids)
     code = np.full(n, -1, dtype=np.int32)
     method = np.full(n, M_NONE, dtype=np.int8)
@@ -132,8 +140,8 @@ def _assign_codes_block(
             zends = np.append(zstarts[1:], len(pair_z))
             for z, s0, s1 in zip(zvals, zstarts, zends):
                 idxs = pair_pt[s0:s1]
-                pts = np.column_stack([hl[idxs], ha[idxs]])
-                inside = points_in_packed(pts, geoms[int(z)])
+                x1, y1, x2, y2 = edges[int(z)]
+                inside = points_in_edges(hl[idxs], ha[idxs], x1, y1, x2, y2)
                 win = idxs[inside]
                 pip_best[win] = np.minimum(pip_best[win], z)
         pip_hit = pip_best < BIG
@@ -146,30 +154,34 @@ def _assign_codes_block(
             ml, ma = hl[miss], ha[miss]
             best_d = np.full(len(ml), np.inf)
             best_z = np.full(len(ml), -1, dtype=np.int64)
-            boxes = cm.knn_boxes
-            box_zone = cm.knn_box_zone
-            for z in range(len(geoms)):
-                # per-POLYGON padded boxes: tight even for antimeridian
-                # multipolygons whose zone-level bbox spans the world
-                near = np.zeros(len(ml), dtype=bool)
-                for bx in boxes[box_zone == z]:
-                    near |= (
-                        (ml >= bx[0] - KNN_BBOX_PAD_DEG)
-                        & (ma >= bx[1] - KNN_BBOX_PAD_DEG)
-                        & (ml <= bx[2] + KNN_BBOX_PAD_DEG)
-                        & (ma <= bx[3] + KNN_BBOX_PAD_DEG)
-                    )
-                if not near.any():
-                    continue
-                pts = np.column_stack([ml[near], ma[near]])
-                d = min_distance_to_boundary_m(pts, geoms[z])
-                sel = np.nonzero(near)[0]
-                # strictly-better distance wins; ties -> smaller tzid
-                better = d < best_d[sel] - 1e-9
-                tie = (np.abs(d - best_d[sel]) <= 1e-9) & (z < best_z[sel])
-                upd = better | tie
-                best_d[sel[upd]] = d[upd]
-                best_z[sel[upd]] = z
+            # grid-CSR candidate probe (O(points), not O(zones x points) —
+            # a per-zone bbox loop collapsed 12x at 419 zones); candidates
+            # expand to (point, zone) pairs exactly like the PIP stage
+            k0, k1 = cm.knn_candidates(ml, ma)
+            kcnt = k1 - k0
+            kp = np.nonzero(kcnt > 0)[0]
+            if len(kp):
+                p_cnt = kcnt[kp]
+                total = int(p_cnt.sum())
+                pair_pt = np.repeat(kp, p_cnt)
+                intra = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(p_cnt) - p_cnt, p_cnt
+                )
+                pair_z = cm.knn_grid_tz[np.repeat(k0[kp], p_cnt) + intra]
+                o = np.argsort(pair_z, kind="stable")
+                pair_pt = pair_pt[o]
+                pair_z = pair_z[o]
+                zvals, zstarts = np.unique(pair_z, return_index=True)
+                zends = np.append(zstarts[1:], len(pair_z))
+                # ascending z: strictly-better distance wins, ties keep the
+                # earlier (smaller-tzid) zone — identical to the old rule
+                for z, s0, s1 in zip(zvals, zstarts, zends):
+                    sel = pair_pt[s0:s1]
+                    x1, y1, x2, y2 = edges[int(z)]
+                    d = min_distance_edges_m(ml[sel], ma[sel], x1, y1, x2, y2)
+                    better = d < best_d[sel] - 1e-9
+                    best_d[sel[better]] = d[better]
+                    best_z[sel[better]] = z
             knn_ok = best_d <= knn_max_m
             miss_idx = np.nonzero(miss)[0]
             final[miss_idx[knn_ok]] = best_z[knn_ok]
