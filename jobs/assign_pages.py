@@ -44,6 +44,13 @@ def main(argv=None) -> int:
     p.add_argument("--snapshot", default=None)
     p.add_argument("--ts-day-min", default=None)
     p.add_argument("--ts-day-max", default=None)
+    p.add_argument(
+        "--incremental",
+        action="store_true",
+        help="process only the manifest DELTA since the last processed "
+        "snapshot (Iceberg-style incremental append consumption: at crawl "
+        "scale the corpus is never reprocessed)",
+    )
     args = p.parse_args(argv)
 
     from pyspark import SparkConf
@@ -78,6 +85,10 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     sid = args.snapshot or pages_table.current_snapshot_id(args.pages_root)
+
+    if args.incremental:
+        return _run_incremental(spark, args, sid, t0)
+
     cm = entry._local_cellmap()
     zones_fp = fingerprint("zones", *cm.tzids, *[g for g in cm.geojson])
     stage_fp = fingerprint(
@@ -139,6 +150,82 @@ def main(argv=None) -> int:
                 "methods": methods,
                 "text_invariant_ok": text_ok,
                 "lineage_partitions": lineage.count(),
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def _run_incremental(spark, args, sid, t0) -> int:
+    """Process only manifest entries added since the last processed
+    snapshot. The Iceberg-lite manifest is append-only (commit_append
+    extends the parent's list), so the delta is exactly the new data
+    files; each run appends one increment of assignments and advances the
+    cursor atomically. Re-running with no new snapshot is a no-op."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from timezone_boundary_builder_spark.operators.geocode import with_coordinates
+    from timezone_boundary_builder_spark.operators.spatial_join import (
+        assign_tzid_udf_packed,
+        pack_coords_col,
+    )
+    from timezone_boundary_builder_spark.sources import pages as pages_table
+    from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
+    from timezone_boundary_builder_spark.sources.pages import PAGES_SCHEMA
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    cursor_path = os.path.join(args.work_dir, "incremental.json")
+    state = {"last_snapshot": None, "increments": []}
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            state = _json.load(f)
+
+    cur = pages_table.read_snapshot(args.pages_root, sid)
+    seen_paths: set[str] = set()
+    if state["last_snapshot"]:
+        prev = pages_table.read_snapshot(args.pages_root, state["last_snapshot"])
+        seen_paths = {e["path"] for e in prev["manifest"]}
+    delta = [e for e in cur["manifest"] if e["path"] not in seen_paths]
+
+    rows = 0
+    methods: dict[str, int] = {}
+    if delta:
+        cm = entry._local_cellmap()
+        bc = spark.sparkContext.broadcast(cm)
+        scan = spark.read.schema(PAGES_SCHEMA).parquet(*[e["path"] for e in delta])
+        pts = with_coordinates(scan).select("url", pack_coords_col())
+        assigned = assign_tzid_udf_packed(pts, bc, OCEAN_BANDS)
+        inc_path = os.path.join(args.out_dir, "increments", f"snap-{sid}")
+        assigned.write.mode("overwrite").parquet(inc_path)
+        got = spark.read.parquet(inc_path)
+        rows = got.count()
+        methods = {
+            r["method"]: r["n"]
+            for r in got.groupBy("method").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        state["increments"].append(
+            {"snapshot": sid, "rows": rows, "path": inc_path}
+        )
+    state["last_snapshot"] = sid
+    tmp = cursor_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(state, f)
+    os.rename(tmp, cursor_path)  # atomic cursor advance
+
+    print(
+        json.dumps(
+            {
+                "snapshot": sid,
+                "incremental": True,
+                "delta_files": len(delta),
+                "rows": rows,
+                "methods": methods,
                 "wall_sec": round(time.time() - t0, 2),
             }
         )

@@ -68,3 +68,35 @@ def test_assign_job_partition_pruning(pages_root, tmp_path):
     )
     assert 0 < r["rows"] <= 600
     assert r["text_invariant_ok"] is True
+
+
+def test_assign_job_incremental(spark, pages_root, tmp_path):
+    """Incremental mode processes only the manifest delta per snapshot and
+    is a no-op when no new snapshot was committed."""
+    import shutil
+
+    from timezone_boundary_builder_spark.sources import pages as pt
+    from timezone_boundary_builder_spark.sources.fixtures import synthetic_pages
+
+    root = str(tmp_path / "tbl")
+    shutil.copytree(pages_root, root)  # snapshot 1 already committed (600)
+    work = str(tmp_path / "w3")
+    out = str(tmp_path / "o3")
+    r1 = _run(root, work, out, extra=("--incremental",))
+    assert r1["incremental"] is True and r1["rows"] == 600
+
+    # no new snapshot -> no-op
+    r2 = _run(root, work, out, extra=("--incremental",))
+    assert r2["rows"] == 0 and r2["delta_files"] == 0
+
+    # new append -> only the new 150 rows are processed
+    pdf = synthetic_pages(n=150, seed=77).drop(columns=["kind"])
+    pdf["url"] = pdf["url"].str.replace("example.org", "example.net")
+    pt.commit_append(root, spark.createDataFrame(pdf))
+    r3 = _run(root, work, out, extra=("--incremental",))
+    assert r3["rows"] == 150 and r3["delta_files"] >= 1
+
+    # the union of increments covers every row exactly once
+    inc = spark.read.parquet(f"{out}/increments/*")
+    assert inc.count() == 750
+    assert inc.select("url").distinct().count() == 750
