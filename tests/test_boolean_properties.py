@@ -92,3 +92,50 @@ def test_pip_boolean_consistency(ab, seed):
     np.testing.assert_array_equal(points_in_packed(pts, u), in_a | in_b)
     np.testing.assert_array_equal(points_in_packed(pts, i), in_a & in_b)
     np.testing.assert_array_equal(points_in_packed(pts, d), in_a & ~in_b)
+
+
+@st.composite
+def simple_star_and_box(draw):
+    """Random SIMPLE star polygon (angular gaps < ~160 deg keep the center
+    interior, which guarantees simplicity) with 2-decimal coords + a box."""
+    n = draw(st.integers(4, 9))
+    seed = draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    for _ in range(50):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        gaps = np.diff(np.concatenate([ang, [ang[0] + 2 * np.pi]]))
+        if np.min(gaps) >= 0.05 and np.max(gaps) <= 2.8:
+            break
+    else:
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    rad = rng.uniform(2, 30, n)
+    ring = np.round(np.column_stack([rad * np.cos(ang), rad * np.sin(ang)]), 2)
+    x0, y0 = rng.uniform(-20, 10, 2).round(2)
+    box = make_box(x0, y0, x0 + rng.uniform(5, 30), y0 + rng.uniform(5, 25))
+    return from_rings([[ring]]), box, seed
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(simple_star_and_box())
+def test_fractional_star_polygon_boolean_consistency(abx):
+    """Fractional (2-decimal) coordinates: inclusion-exclusion to snap-grid
+    tolerance AND pointwise PIP consistency away from boundaries."""
+    from timezone_boundary_builder_spark.geom.kernels import (
+        min_distance_to_boundary_m,
+    )
+
+    a, b, seed = abx
+    u, i, d = union(a, b), intersection(a, b), difference(a, b)
+    aa, ab_ = planar_area(a), planar_area(b)
+    assert abs(aa + ab_ - planar_area(u) - planar_area(i)) < 0.01
+    assert abs(planar_area(d) - (aa - planar_area(i))) < 0.01
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    pts = rng.uniform(-35, 35, size=(128, 2))
+    ina = points_in_packed(pts, a)
+    inb = points_in_packed(pts, b)
+    safe = (min_distance_to_boundary_m(pts, a) > 5000) & (
+        min_distance_to_boundary_m(pts, b) > 5000
+    )
+    assert np.array_equal(points_in_packed(pts, u)[safe], (ina | inb)[safe])
+    assert np.array_equal(points_in_packed(pts, i)[safe], (ina & inb)[safe])
+    assert np.array_equal(points_in_packed(pts, d)[safe], (ina & ~inb)[safe])

@@ -105,3 +105,17 @@ def test_include_exclude_and_source_pruning(spark):
     assert zones.count() == 2
     excl = apply_zone_filters(cfg, excluded_zones=["Test/Golf"])
     assert excl.select("tzid").distinct().count() == 7
+
+
+def test_lint_self_intersection():
+    bowtie = ('{"type":"Polygon","coordinates":'
+              '[[[0,0],[10,10],[10,0],[0,10],[0,0]]]}')
+    assert lint_geojson(bowtie) == "self-intersecting ring"
+    # the non-simple star that corrupted the boolean fuzz is caught
+    star = ('{"type":"Polygon","coordinates":[[[12.36,13.65],[8.57,14.63],'
+            '[12.09,23.56],[12.13,-25.04],[10.04,-8.15],[12.36,13.65]]]}')
+    assert lint_geojson(star) == "self-intersecting ring"
+    square = '{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}'
+    assert lint_geojson(square) is None
+    tri = '{"type":"Polygon","coordinates":[[[0,0],[10,0],[5,8],[0,0]]]}'
+    assert lint_geojson(tri) is None

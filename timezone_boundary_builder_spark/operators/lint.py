@@ -19,6 +19,46 @@ from pyspark.sql import DataFrame
 _ALLOWED_TYPES = {"Polygon", "MultiPolygon", "LineString", "Point", "MultiLineString"}
 
 
+def _ring_self_intersects(ring) -> bool:
+    """Proper (interior) crossing between any two non-adjacent edges of a
+    ring — a self-intersecting ring is garbage-in for the boolean kernels
+    (the reference hits the same class as JSTS TopologyExceptions and
+    repairs; the engine quarantines at ingest instead). O(E^2) vectorized;
+    ingest features have small rings."""
+    import numpy as np
+
+    pts = np.asarray(ring, dtype=np.float64)[:, :2]
+    if len(pts) >= 2 and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    n = len(pts)
+    if n < 4:  # a triangle cannot properly self-intersect
+        return False
+    a = pts
+    b = np.roll(pts, -1, axis=0)
+    # pairwise orientation tests: edge i = (a[i], b[i]) vs edge j
+    ax, ay = a[:, 0][:, None], a[:, 1][:, None]
+    bx, by = b[:, 0][:, None], b[:, 1][:, None]
+    cx, cy = a[:, 0][None, :], a[:, 1][None, :]
+    dx, dy = b[:, 0][None, :], b[:, 1][None, :]
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    d1 = orient(ax, ay, bx, by, cx, cy)
+    d2 = orient(ax, ay, bx, by, dx, dy)
+    d3 = orient(cx, cy, dx, dy, ax, ay)
+    d4 = orient(cx, cy, dx, dy, bx, by)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    # mask self and adjacent edge pairs (they share endpoints)
+    idx = np.arange(n)
+    adj = (
+        (idx[:, None] == idx[None, :])
+        | ((idx[:, None] + 1) % n == idx[None, :])
+        | ((idx[None, :] + 1) % n == idx[:, None])
+    )
+    return bool((proper & ~adj).any())
+
+
 def lint_geojson(gj: str | None, declared_type: str | None = None) -> str | None:
     """Returns None when valid, else a short error string. Checks mirror
     what geojsonhint catches on the reference's inputs: parseable JSON, a
@@ -54,6 +94,8 @@ def lint_geojson(gj: str | None, declared_type: str | None = None) -> str | None
                         and -90.0 <= pt[1] <= 90.0
                     ):
                         return f"coordinate out of range: {pt!r}"
+                if _ring_self_intersects(ring):
+                    return "self-intersecting ring"
     return None
 
 
