@@ -327,7 +327,13 @@ def _q_geo_combined_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oceans) as one partitionable relation; comparable output = feature
     counts per product. Golden counts are hand-derived from the fixture
     config: 8 zones; 1970 merges {Alpha,Hotel}; now merges
-    {Alpha,Hotel,Charlie}; oceans add 4 bands."""
+    {Alpha,Hotel,Charlie} and {Foxtrot,Etc/GMT+9}; oceans add 4 bands,
+    except now-with-oceans where Etc/GMT+9 merged into Foxtrot and is
+    skipped standalone (hasAlikeInNow, index.js:1367-1374)."""
+    from timezone_boundary_builder_spark.operators.derived import (
+        build_derived_zones_with_oceans,
+        ocean_member_tzids,
+    )
     from timezone_boundary_builder_spark.operators.outputs import combined_zone_table
 
     zones = _zones_spark(spark)
@@ -339,8 +345,13 @@ def _q_geo_combined_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1970": build_derived_zones(spark, zones, groups, "1970"),
         "now": build_derived_zones(spark, zones, groups, "now"),
     }
+    with_oceans = {
+        s: build_derived_zones_with_oceans(spark, products[s], oceans, groups, s)
+        for s in ("1970", "now")
+    }
+    skip = {s: ocean_member_tzids(groups, s) for s in ("1970", "now")}
     return (
-        combined_zone_table(products, oceans)
+        combined_zone_table(products, oceans, with_oceans, skip)
         .groupBy("product", "with_oceans")
         .agg(
             F.count(F.lit(1)).alias("n_features"),
@@ -1056,13 +1067,15 @@ def oracle_sql() -> dict[str, str]:
         "geo_zone_build": _zone_area_values_sql(),
         "geo_derived_1970": _derived_area_values_sql(),
         # hand-derived: 8 zones; 1970 merges {Alpha,Hotel} -> 7; now merges
-        # {Alpha,Hotel,Charlie} -> 6; with_oceans adds the 4 Etc bands
+        # {Alpha,Hotel,Charlie} -> 6 (Foxtrot's group only adds an ocean
+        # member); with_oceans adds the 4 Etc bands, except now-with-oceans
+        # where Etc/GMT+9 merged into Foxtrot (hasAlikeInNow) -> +3
         "geo_combined_outputs": (
             "SELECT product, with_oceans, CAST(n AS BIGINT) AS n_features, "
             "CAST(n AS BIGINT) AS n_tzids FROM (VALUES "
             "('comprehensive', false, 8), ('comprehensive', true, 12), "
             "('1970', false, 7), ('1970', true, 11), "
-            "('now', false, 6), ('now', true, 10)) AS t(product, with_oceans, n)"
+            "('now', false, 6), ('now', true, 9)) AS t(product, with_oceans, n)"
         ),
         "geo_zone_lookup": (
             "SELECT strategy, rep_tzid, "
@@ -1073,7 +1086,9 @@ def oracle_sql() -> dict[str, str]:
             "('1970', 'Test/Bravo', 'Test/Bravo'), "
             "('now', 'Test/Alpha', 'Test/Alpha'), "
             "('now', 'Test/Alpha', 'Test/Hotel'), "
-            "('now', 'Test/Alpha', 'Test/Charlie')) "
+            "('now', 'Test/Alpha', 'Test/Charlie'), "
+            "('now', 'Test/Foxtrot', 'Test/Foxtrot'), "
+            "('now', 'Test/Foxtrot', 'Etc/GMT+9')) "
             "AS t(strategy, rep_tzid, member_tzid) GROUP BY strategy, rep_tzid"
         ),
         "geo_validate_overlaps": (

@@ -39,10 +39,15 @@ def main(argv=None) -> int:
     import pandas as pd
     from pyspark.sql import SparkSession
 
-    from timezone_boundary_builder_spark.operators.derived import build_derived_zones
+    from timezone_boundary_builder_spark.operators.derived import (
+        build_derived_zones,
+        build_derived_zones_with_oceans,
+        ocean_member_tzids,
+    )
     from timezone_boundary_builder_spark.operators.oceans import build_ocean_zones
     from timezone_boundary_builder_spark.operators.outputs import (
         combine_and_write,
+        write_combined_zone_lookup,
         write_zone_lookup,
     )
     from timezone_boundary_builder_spark.operators.validate import assert_valid
@@ -178,14 +183,42 @@ def main(argv=None) -> int:
         products[strategy] = df
         stages[f"derived_{strategy}"] = {"cached": cached, "rows": df.count()}
 
-    counts = combine_and_write(spark, products, oceans, args.out_dir)
+    # with-oceans variants: group reps absorb member ocean bands
+    # (index.js:941-1009); those oceans are then skipped as standalone
+    # features (hasAlikeIn1970/Now, index.js:1367-1374)
+    groups_df = spark.createDataFrame(groups_pdf)
+    oceans_fp = manifest._data["oceans"]["output_hash"]
+    with_oceans_products = {}
+    ocean_skip = {}
+    for strategy in ("1970", "now"):
+        df, cached = manifest.run_stage(
+            spark,
+            f"derived_{strategy}_oceans",
+            fingerprint("derived_oceans", strategy, zones_fp, oceans_fp, groups_fp),
+            lambda s=strategy: build_derived_zones_with_oceans(
+                spark, products[s], oceans, groups_df, s
+            ),
+        )
+        with_oceans_products[strategy] = df
+        ocean_skip[strategy] = ocean_member_tzids(groups_df, strategy)
+        stages[f"derived_{strategy}_oceans"] = {"cached": cached, "rows": df.count()}
+
+    counts = combine_and_write(
+        spark,
+        products,
+        oceans,
+        args.out_dir,
+        with_oceans_products=with_oceans_products,
+        ocean_skip=ocean_skip,
+    )
     for strategy in ("1970", "now"):
         write_zone_lookup(
             spark,
-            spark.createDataFrame(groups_pdf),
+            groups_df,
             strategy,
             f"{args.out_dir}/lookup-{strategy}.json",
         )
+        write_combined_zone_lookup(spark, groups_df, strategy, args.out_dir)
     stages["outputs"] = counts
 
     print(json.dumps({"stages": stages, "wall_sec": round(time.time() - t0, 2)}))

@@ -131,3 +131,67 @@ def test_combined_outputs(spark, zones_df, tmp_path):
     write_zone_lookup(spark, groups, "1970", os.path.join(out, "lookup-1970.json"))
     lookup = json.load(open(os.path.join(out, "lookup-1970.json")))
     assert lookup["Test/Hotel"] == "Test/Alpha"
+
+
+def test_derived_with_oceans_absorbs_member_band(spark, zones_df, tmp_path):
+    """Reference makeDerivedTimezoneBoundariesWithOceans + hasAlikeInNow
+    (index.js:941-1009, 1206-1216, 1367-1374): the Etc/GMT+9 ocean is a
+    member of Foxtrot's 'now' group, so the now-with-oceans product unions
+    its computed ocean boundary into the Foxtrot rep and drops the
+    standalone Etc/GMT+9 feature."""
+    from timezone_boundary_builder_spark.geom.kernels import planar_area
+    from timezone_boundary_builder_spark.operators.derived import (
+        build_derived_zones_with_oceans,
+        ocean_member_tzids,
+    )
+
+    groups = spark.createDataFrame(zone_groups_pdf())
+    bands = spark.createDataFrame(pd.DataFrame(OCEAN_BANDS))
+    oceans = build_ocean_zones(spark, bands, zones_df)
+    products = {
+        "comprehensive": zones_df,
+        "1970": build_derived_zones(spark, zones_df, groups, "1970"),
+        "now": build_derived_zones(spark, zones_df, groups, "now"),
+    }
+    with_oceans = {
+        s: build_derived_zones_with_oceans(spark, products[s], oceans, groups, s)
+        for s in ("1970", "now")
+    }
+    skip = {s: ocean_member_tzids(groups, s) for s in ("1970", "now")}
+
+    # closed form: Foxtrot (2 x 10x20 = 400 deg2, antimeridian pair) union
+    # the GMT+9 ocean (90x180 band minus Foxtrot-west = 16000 deg2); the
+    # east half (170..180) lies outside the band -> 16400 exactly
+    now_oc = {r.tzid: r.geometry for r in with_oceans["now"].collect()}
+    fox = planar_area(from_geojson(now_oc["Test/Foxtrot"]))
+    assert fox == pytest.approx(16400.0)
+    # reps without ocean members pass through untouched
+    assert planar_area(from_geojson(now_oc["Test/Golf"])) == pytest.approx(375.0)
+    # 1970 has no ocean members: with-oceans base equals the derived set
+    assert with_oceans["1970"].count() == products["1970"].count()
+
+    out = str(tmp_path / "dist-oc")
+    counts = combine_and_write(
+        spark, products, oceans, out,
+        with_oceans_products=with_oceans, ocean_skip=skip,
+    )
+    assert counts["now-with-oceans.geojson"] == 6 + 3  # GMT+9 skipped
+    assert counts["1970-with-oceans.geojson"] == 7 + 4
+    assert counts["comprehensive-with-oceans.geojson"] == 8 + 4
+    fc = json.load(open(os.path.join(out, "now-with-oceans.geojson")))
+    tzids = {f["properties"]["tzid"] for f in fc["features"]}
+    assert "Etc/GMT+9" not in tzids and "Etc/GMT+3" in tzids
+    fc70 = json.load(open(os.path.join(out, "1970-with-oceans.geojson")))
+    assert "Etc/GMT+9" in {f["properties"]["tzid"] for f in fc70["features"]}
+
+    # reference-shaped lookup maps (writeCombinedZoneLookup,
+    # index.js:1726-1743): rep -> members; no-oceans variant drops Etc/GMT
+    from timezone_boundary_builder_spark.operators.outputs import (
+        write_combined_zone_lookup,
+    )
+
+    write_combined_zone_lookup(spark, groups, "now", out)
+    full = json.load(open(os.path.join(out, "timezone-names-with-oceans-now.json")))
+    assert full["Test/Foxtrot"] == ["Etc/GMT+9", "Test/Foxtrot"]
+    no_oc = json.load(open(os.path.join(out, "timezone-names-now.json")))
+    assert no_oc["Test/Foxtrot"] == ["Test/Foxtrot"]

@@ -52,3 +52,55 @@ def build_derived_zones(
         members.select("tzid").distinct(), "tzid", "left_anti"
     ).select(*[F.col(c) for c in merged.columns])
     return merged.unionByName(ungrouped)
+
+
+def ocean_member_tzids(zone_groups: DataFrame, strategy: str) -> DataFrame:
+    """Ocean-band tzids that appear as a MEMBER of any derived group for
+    the strategy — the reference's hasAlikeIn1970/Now set
+    (oceanZoneHasAlikeZone, index.js:1206-1216). These oceans merge into
+    their group representative and are skipped as standalone features in
+    the with-oceans combined product (index.js:1367-1374)."""
+    return (
+        zone_groups.where(
+            (F.col("strategy") == strategy)
+            & F.col("member_tzid").startswith("Etc/GMT")
+        )
+        .select(F.col("member_tzid").alias("tzid"))
+        .distinct()
+    )
+
+
+def build_derived_zones_with_oceans(
+    spark: SparkSession,
+    derived: DataFrame,
+    oceans: DataFrame,
+    zone_groups: DataFrame,
+    strategy: str,
+) -> DataFrame:
+    """With-oceans variant of a derived product (reference
+    makeDerivedTimezoneBoundariesWithOceans, index.js:941-1009): start from
+    the no-oceans derived geometry per representative and union in every
+    ocean-band member's computed boundary. Reps without ocean members pass
+    through untouched (the reference re-postprocesses them, but union with
+    nothing is the identity and post_process is idempotent)."""
+    ocean_members = zone_groups.where(
+        (F.col("strategy") == strategy)
+        & F.col("member_tzid").startswith("Etc/GMT")
+    ).select("rep_tzid", F.col("member_tzid").alias("ocean_tzid"))
+    ocean_geoms = ocean_members.join(
+        oceans.select(F.col("tzid").alias("ocean_tzid"), "geometry"),
+        "ocean_tzid",
+    ).select(F.col("rep_tzid").alias("tzid"), "geometry")
+    affected = ocean_geoms.select("tzid").distinct()
+    to_merge = (
+        derived.join(affected, "tzid", "left_semi")
+        .select("tzid", "geometry")
+        .unionByName(ocean_geoms)
+    )
+    merged = to_merge.groupBy("tzid").applyInPandas(
+        lambda pdf: dissolve_group(pdf, "tzid"), ZONE_SCHEMA
+    )
+    passthrough = derived.join(affected, "tzid", "left_anti").select(
+        *[F.col(c) for c in merged.columns]
+    )
+    return merged.unionByName(passthrough)

@@ -46,15 +46,44 @@ def write_feature_collection(zones: DataFrame, path: str) -> int:
     return len(rows)
 
 
+def _with_oceans_relation(
+    name: str,
+    land: DataFrame,
+    ocean_sel: DataFrame,
+    with_oceans_products: dict[str, DataFrame] | None,
+    ocean_skip: dict[str, DataFrame] | None,
+) -> DataFrame:
+    """The with-oceans feature set for one product (reference
+    combineAndWriteZones, index.js:1301-1389): base zones — for 1970/now
+    these are the derived-with-oceans variants whose reps absorbed member
+    ocean bands (index.js:941-1009) — plus every ocean zone NOT merged
+    into a group (hasAlikeIn1970/Now skip, index.js:1367-1374)."""
+    base = land
+    if with_oceans_products and name in with_oceans_products:
+        base = with_oceans_products[name].select("tzid", "geometry")
+    appended = ocean_sel
+    if ocean_skip and name in ocean_skip:
+        appended = ocean_sel.join(ocean_skip[name], "tzid", "left_anti")
+    return base.unionByName(appended)
+
+
 def combine_and_write(
     spark: SparkSession,
     products: dict[str, DataFrame],
     oceans: DataFrame,
     out_dir: str,
+    with_oceans_products: dict[str, DataFrame] | None = None,
+    ocean_skip: dict[str, DataFrame] | None = None,
 ) -> dict[str, int]:
     """products: {'comprehensive': zones, '1970': ..., 'now': ...} ->
     writes <product>.geojson and <product>-with-oceans.geojson plus
-    timezone-names JSONs; returns feature counts per file."""
+    timezone-names JSONs; returns feature counts per file.
+
+    with_oceans_products: per-product base for the with-oceans variant
+    (derived reps with member oceans unioned in, index.js:941-1009);
+    defaults to the product's own zones. ocean_skip: per-product tzid
+    DataFrame of oceans merged into a group — skipped as standalone
+    features (hasAlikeIn1970/Now, index.js:1367-1374)."""
     counts = {}
     ocean_sel = oceans.select("tzid", "geometry")
     for name, zones in products.items():
@@ -62,7 +91,9 @@ def combine_and_write(
         counts[f"{name}.geojson"] = write_feature_collection(
             land, os.path.join(out_dir, f"{name}.geojson")
         )
-        with_oc = land.unionByName(ocean_sel)
+        with_oc = _with_oceans_relation(
+            name, land, ocean_sel, with_oceans_products, ocean_skip
+        )
         counts[f"{name}-with-oceans.geojson"] = write_feature_collection(
             with_oc, os.path.join(out_dir, f"{name}-with-oceans.geojson")
         )
@@ -82,12 +113,18 @@ def combine_and_write(
     return counts
 
 
-def combined_zone_table(products: dict[str, DataFrame], oceans: DataFrame) -> DataFrame:
+def combined_zone_table(
+    products: dict[str, DataFrame],
+    oceans: DataFrame,
+    with_oceans_products: dict[str, DataFrame] | None = None,
+    ocean_skip: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """The S8 combined-output relation BEFORE the sink: one row per feature
     per (product, with_oceans) — the reference's six FeatureCollections
     (index.js:1301-1389) as a single partitionable DataFrame. At scale this
     is what `write.partitionBy('product','with_oceans')` consumes; the
-    GeoJSON sink above is the small-world twin."""
+    GeoJSON sink above is the small-world twin. with_oceans_products /
+    ocean_skip: see combine_and_write."""
     ocean_sel = oceans.select("tzid", "geometry")
     parts = []
     for name, zones in products.items():
@@ -101,7 +138,9 @@ def combined_zone_table(products: dict[str, DataFrame], oceans: DataFrame) -> Da
             )
         )
         parts.append(
-            land.unionByName(ocean_sel).select(
+            _with_oceans_relation(
+                name, land, ocean_sel, with_oceans_products, ocean_skip
+            ).select(
                 F.lit(name).alias("product"),
                 F.lit(True).alias("with_oceans"),
                 "tzid",
@@ -128,3 +167,30 @@ def write_zone_lookup(
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(lookup, f, sort_keys=True)
+
+
+def write_combined_zone_lookup(
+    spark: SparkSession, zone_groups: DataFrame, strategy: str, out_dir: str
+) -> None:
+    """Reference-shaped merged-zone maps (writeCombinedZoneLookup,
+    index.js:1726-1743): rep -> [member tzids], two variants per product —
+    the no-oceans file filters Etc/GMT members out of every group
+    (index.js:1729-1733)."""
+    rows = (
+        zone_groups.where(F.col("strategy") == strategy)
+        .groupBy("rep_tzid")
+        .agg(F.sort_array(F.collect_list("member_tzid")).alias("members"))
+        .collect()
+    )
+    full = {r.rep_tzid: list(r.members) for r in rows}
+    no_oceans = {
+        rep: [m for m in members if "Etc/GMT" not in m]
+        for rep, members in full.items()
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(
+        os.path.join(out_dir, f"timezone-names-with-oceans-{strategy}.json"), "w"
+    ) as f:
+        json.dump(full, f, sort_keys=True)
+    with open(os.path.join(out_dir, f"timezone-names-{strategy}.json"), "w") as f:
+        json.dump(no_oceans, f, sort_keys=True)

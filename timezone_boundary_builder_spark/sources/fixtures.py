@@ -169,6 +169,13 @@ ZONE_GROUPS = [
     {"strategy": "now", "rep_tzid": "Test/Alpha", "member_tzid": "Test/Alpha", "population": 1000000},
     {"strategy": "now", "rep_tzid": "Test/Alpha", "member_tzid": "Test/Hotel", "population": 20000},
     {"strategy": "now", "rep_tzid": "Test/Alpha", "member_tzid": "Test/Charlie", "population": 90000},
+    # a group with an ocean-band member: Foxtrot keeps GMT+9 clocks "now",
+    # so the Etc/GMT+9 ocean merges INTO the Foxtrot rep for the
+    # now-with-oceans product and is skipped as a standalone feature
+    # (reference hasAlikeInNow, index.js:1206-1216, 1367-1374; the real
+    # config does this for e.g. America/Adak vs Etc/GMT+10)
+    {"strategy": "now", "rep_tzid": "Test/Foxtrot", "member_tzid": "Test/Foxtrot", "population": 50000},
+    {"strategy": "now", "rep_tzid": "Test/Foxtrot", "member_tzid": "Etc/GMT+9", "population": 0},
 ]
 
 
