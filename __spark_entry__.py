@@ -418,6 +418,56 @@ def _q_geo_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_derived_now_oceans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 with-oceans variant (makeDerivedTimezoneBoundariesWithOceans,
+    index.js:941-1009): the 'now' product where Foxtrot's rep absorbs the
+    Etc/GMT+9 ocean band. Oracle = hand-derived areas (Foxtrot closed form:
+    400 zone + 16000 ocean, disjoint after band subtraction -> 16400)."""
+    from timezone_boundary_builder_spark.operators.derived import (
+        build_derived_zones_with_oceans,
+    )
+
+    zones = _zones_spark(spark)
+    groups = spark.createDataFrame(zone_groups_pdf())
+    bands = spark.createDataFrame(pd.DataFrame(OCEAN_BANDS))
+    oceans = build_ocean_zones(spark, bands, zones)
+    derived = build_derived_zones(spark, zones, groups, "now")
+    out = build_derived_zones_with_oceans(spark, derived, oceans, groups, "now")
+    return out.select("tzid", F.round("area_deg2", 6).alias("area_deg2_r"))
+
+
+def _q_geo_osm_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8b: the combined-osm-zones relation (combineAndWriteOSMZones,
+    index.js:1391-1405) — one feature per tzid from the raw per-tz OSM
+    boundary downloads, with the null-island placeholder for failed
+    downloads (index.js:643-660). Oracle = hand-computed init areas."""
+    import pandas as _pd
+
+    from timezone_boundary_builder_spark.geom.codec import from_geojson as _fg
+    from timezone_boundary_builder_spark.geom.kernels import planar_area as _pa
+    from timezone_boundary_builder_spark.sources.fixtures import (
+        osm_tz_boundaries_pdf,
+    )
+
+    raw = spark.createDataFrame(osm_tz_boundaries_pdf())
+
+    def _areas(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "tzid": pdf["tzid"],
+                    "placeholder": pdf["placeholder"],
+                    "area_deg2_r": [
+                        round(_pa(_fg(g)), 6) for g in pdf["geometry"]
+                    ],
+                }
+            )
+
+    return raw.mapInPandas(
+        _areas, "tzid string, placeholder boolean, area_deg2_r double"
+    )
+
+
 def _q_geo_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9 full-outer release diff: current zones vs a simulated last
     release (Golf missing, Bravo without its exclave)."""
@@ -729,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn_assign": _q_geo_knn_assign,
         "geo_ring_assembly": _q_geo_ring_assembly,
         "geo_source_union": _q_geo_source_union,
+        "geo_derived_now_oceans": _q_geo_derived_now_oceans,
+        "geo_osm_zones": _q_geo_osm_zones,
         "geo_release_diff": _q_geo_release_diff,
         "geo_tiles_raster": _q_geo_tiles_raster,
         "geo_tiles_summary": _q_geo_tiles_summary,
@@ -1063,6 +1115,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source_id, CAST(n_features AS INT) AS n_features, area_deg2_r "
             "FROM (VALUES ('alpha', 2, 900.0), ('bravo', 2, 600.0), "
             "('golf', 1, 375.0)) AS t(source_id, n_features, area_deg2_r)"
+        ),
+        # hand-derived 'now' product with oceans merged into reps:
+        # Alpha = (950+650-100 disputed) + 1100 Charlie (disjoint) = 2600;
+        # Bravo 925; Delta 600 (clipped); Echo 1410; Golf 375 passthrough;
+        # Foxtrot = 400 + GMT+9 ocean 16000 = 16400
+        "geo_derived_now_oceans": (
+            "SELECT tzid, area_deg2_r FROM (VALUES "
+            "('Test/Alpha', 2600.0), ('Test/Bravo', 925.0), "
+            "('Test/Delta', 600.0), ('Test/Echo', 1410.0), "
+            "('Test/Foxtrot', 16400.0), ('Test/Golf', 375.0)) "
+            "AS t(tzid, area_deg2_r)"
+        ),
+        # raw init-source areas: alpha 30x30, hotel 30x20, bravo 30x30,
+        # charlie 40x30 (no hole yet), delta 40x40 (unclipped), echo 40x30,
+        # foxtrot 2x(10x20), golf = failed download -> 0.2x0.2 placeholder
+        "geo_osm_zones": (
+            "SELECT tzid, placeholder, area_deg2_r FROM (VALUES "
+            "('Test/Alpha', false, 900.0), ('Test/Hotel', false, 600.0), "
+            "('Test/Bravo', false, 900.0), ('Test/Charlie', false, 1200.0), "
+            "('Test/Delta', false, 1600.0), ('Test/Echo', false, 1200.0), "
+            "('Test/Foxtrot', false, 400.0), ('Test/Golf', true, 0.04)) "
+            "AS t(tzid, placeholder, area_deg2_r)"
         ),
         "geo_zone_build": _zone_area_values_sql(),
         "geo_derived_1970": _derived_area_values_sql(),

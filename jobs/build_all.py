@@ -211,6 +211,19 @@ def main(argv=None) -> int:
         with_oceans_products=with_oceans_products,
         ocean_skip=ocean_skip,
     )
+    # combined-osm-zones: raw per-tz OSM boundaries as one collection
+    # (combineAndWriteOSMZones, index.js:1391-1405)
+    from timezone_boundary_builder_spark.operators.outputs import (
+        write_feature_collection,
+    )
+    from timezone_boundary_builder_spark.sources.fixtures import (
+        osm_tz_boundaries_pdf,
+    )
+
+    counts["combined-osm-zones.geojson"] = write_feature_collection(
+        spark.createDataFrame(osm_tz_boundaries_pdf()),
+        f"{args.out_dir}/combined-osm-zones.geojson",
+    )
     for strategy in ("1970", "now"):
         write_zone_lookup(
             spark,

@@ -36,6 +36,10 @@ def test_build_all_runs_and_resumes(tmp_path):
     r1 = _run(work, out)
     assert r1["stages"]["zones"] == {"cached": False, "rows": 8}
     assert r1["stages"]["outputs"]["comprehensive-with-oceans.geojson"] == 12
+    # hasAlikeInNow: Etc/GMT+9 merged into Foxtrot's group -> skipped
+    assert r1["stages"]["outputs"]["now-with-oceans.geojson"] == 9
+    assert r1["stages"]["outputs"]["combined-osm-zones.geojson"] == 8
+    assert os.path.exists(os.path.join(out, "timezone-names-with-oceans-now.json"))
     # second run: every checkpointed stage must be a manifest hit
     r2 = _run(work, out)
     for stage in ("zones", "oceans", "derived_1970", "derived_now"):

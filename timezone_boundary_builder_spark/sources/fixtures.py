@@ -238,6 +238,28 @@ def zone_groups_pdf() -> pd.DataFrame:
     return pd.DataFrame(ZONE_GROUPS)
 
 
+def osm_tz_boundaries_pdf() -> pd.DataFrame:
+    """Raw per-tz OSM `timezone=tzid` boundary table — the S6 downloads
+    (downloadOsmTimezoneBoundary, index.js:602-666) that feed the
+    combined-osm-zones output (combineAndWriteOSMZones, index.js:1391-1405).
+    Stand-in: each zone's init geometry; Test/Golf simulates a failed
+    download and carries the 0.2-degree null-island placeholder square
+    (index.js:643-660)."""
+    from ..operators.ring_assembly import NULL_ISLAND_GJ
+
+    rows = []
+    for tzid, ops in ZONES.items():
+        if tzid == "Test/Golf":
+            rows.append(
+                {"tzid": tzid, "geometry": NULL_ISLAND_GJ, "placeholder": True}
+            )
+            continue
+        init = ops[0]
+        gj = init.get("geometry") or SOURCES[init["source_id"]][1]
+        rows.append({"tzid": tzid, "geometry": gj, "placeholder": False})
+    return pd.DataFrame(rows)
+
+
 # ----------------------------------------------- OSM relation-ways table
 # Raw relation members as OSM delivers them (SURVEY S2): open polylines in
 # arbitrary order and direction. Deterministic decomposition of known
