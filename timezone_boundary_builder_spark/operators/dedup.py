@@ -141,23 +141,37 @@ def minhash_lsh_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
-    band hash = md5(concat of the band's rows). Self-join per band on the
-    bucket key (equi-join -> hash join; bucket keys are md5-uniform)."""
+    band hash = md5(concat of the band's rows).
+
+    Shape: bands are UNPIVOTED to (id, band_idx, bucket) rows and matched
+    with ONE self-join on (band_idx, bucket) — a single shuffle of
+    bands x docs small rows — instead of one join per band (which reads
+    the signature relation 2 x bands times and pays bands x the stage
+    setup; at 10^12 docs the per-band variant also shuffles the doc set
+    `bands` times). Bucket keys are md5-uniform so the join hash
+    partitions evenly; true hot buckets (boilerplate near-dup clusters)
+    are exactly the pairs we must emit, and AQE skew-join splits them."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{b}"))
-    # persist: each band join references `banded` twice; without this the
-    # whole upstream minhash would recompute 2 x bands times
-    banded = sigs.select(F.col(id_col), *band_cols).persist()
-    pairs = None
-    for b in range(bands):
-        l = banded.select(F.col(id_col).alias("id_a"), F.col(f"band_{b}").alias("bucket"))
-        r = banded.select(F.col(id_col).alias("id_b"), F.col(f"band_{b}").alias("bucket"))
-        p = l.join(r, "bucket").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stack_args = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    # persist: the self-join references `stacked` twice; without this the
+    # whole upstream minhash would recompute both times
+    stacked = banded.select(
+        F.col(id_col),
+        F.expr(f"stack({bands}, {stack_args}) AS (band_idx, bucket)"),
+    ).persist()
+    l = stacked.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
+    r = stacked.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
+    return (
+        l.join(r, ["band_idx", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 SIMHASH_BITS = 60  # 15 hex digits: always < 2^63, so the ANSI-mode
