@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -224,6 +225,29 @@ def main(argv=None) -> int:
         spark.createDataFrame(osm_tz_boundaries_pdf()),
         f"{args.out_dir}/combined-osm-zones.geojson",
     )
+
+    # S9 zip sink (reference zipGeoJsonFiles, index.js:1459-1477: `zip -j`
+    # per combined JSON) and S13 input-data archive (assembleAndZipInputData,
+    # index.js:1659-1706: configs + cache manifests for reproducibility)
+    import glob
+    import zipfile
+
+    for gj in sorted(glob.glob(f"{args.out_dir}/*.geojson")):
+        with zipfile.ZipFile(
+            f"{gj}.zip", "w", compression=zipfile.ZIP_DEFLATED
+        ) as zf:
+            zf.write(gj, arcname=os.path.basename(gj))
+    with zipfile.ZipFile(
+        f"{args.out_dir}/input-data.zip", "w", compression=zipfile.ZIP_DEFLATED
+    ) as zf:
+        zf.writestr("zones_config.json", cfg_pdf.to_json(orient="records"))
+        zf.writestr("sources.json", src_pdf.to_json(orient="records"))
+        zf.writestr("zone_groups.json", groups_pdf.to_json(orient="records"))
+        zf.writestr("ocean_bands.json", json.dumps(OCEAN_BANDS))
+        zf.writestr("expected_overlaps.json", expected_overlaps_pdf().to_json(orient="records"))
+        manifest_path = os.path.join(args.work_dir, "_manifest.json")
+        if os.path.exists(manifest_path):
+            zf.write(manifest_path, arcname="stage-manifest.json")
     for strategy in ("1970", "now"):
         write_zone_lookup(
             spark,

@@ -45,6 +45,14 @@ def test_build_all_runs_and_resumes(tmp_path):
     for stage in ("zones", "oceans", "derived_1970", "derived_now"):
         assert r2["stages"][stage]["cached"] is True, (stage, r2)
     assert os.path.exists(os.path.join(out, "timezone-names.json"))
+    # S9 zip sink + S13 input archive (index.js:1459-1477, 1659-1706)
+    import zipfile
+
+    assert zipfile.ZipFile(
+        os.path.join(out, "comprehensive-with-oceans.geojson.zip")
+    ).testzip() is None
+    names = zipfile.ZipFile(os.path.join(out, "input-data.zip")).namelist()
+    assert "zones_config.json" in names and "stage-manifest.json" in names
 
 
 def test_build_all_assemble_stage_resumes(tmp_path):
