@@ -76,6 +76,37 @@ def test_validation_fails_on_unlisted_overlap(spark):
         assert_valid(spark, zones, expected)
 
 
+def test_difference_reverse_order_op(spark):
+    """The one op kind unused by the current reference config but
+    implemented by its interpreter (index.js:840-841): new-source MINUS
+    accumulated geometry. Driven through the full Spark build path."""
+    from timezone_boundary_builder_spark.sources.fixtures import _box_gj
+
+    cfg = pd.DataFrame(
+        [
+            {
+                "tzid": "Test/Rev", "op_seq": 0, "op": "init",
+                "source": "manual-polygon", "source_id": None,
+                "geometry": _box_gj(0, 0, 10, 10), "description": "inner",
+            },
+            {
+                "tzid": "Test/Rev", "op_seq": 1,
+                "op": "difference-reverse-order",
+                "source": "manual-polygon", "source_id": None,
+                "geometry": _box_gj(-10, -10, 20, 20),
+                "description": "outer minus accumulated",
+            },
+        ]
+    )
+    src = spark.createDataFrame(sources_pdf())
+    z = build_zones(spark, spark.createDataFrame(cfg), src).toPandas()
+    assert len(z) == 1
+    assert z.iloc[0].area_deg2 == pytest.approx(900 - 100)
+    g = from_geojson(z.iloc[0].geometry)
+    assert not points_in_packed(np.array([[5.0, 5.0]]), g).any()  # hole
+    assert points_in_packed(np.array([[-5.0, -5.0]]), g).any()
+
+
 def test_derived_zones(spark, zones_df):
     groups = spark.createDataFrame(zone_groups_pdf())
     z70 = build_derived_zones(spark, zones_df, groups, "1970").toPandas()
