@@ -33,6 +33,16 @@ def main(argv=None) -> int:
     # index.js:264-323); comma-separated tzids
     p.add_argument("--included-zones", default="")
     p.add_argument("--excluded-zones", default="")
+    # reference CLI parity (index.js:36-96): --skip_1970_zones,
+    # --skip_now_zones, --skip_validation, --skip_zip
+    p.add_argument("--skip-1970-zones", action="store_true")
+    p.add_argument("--skip-now-zones", action="store_true")
+    p.add_argument("--skip-validation", action="store_true")
+    p.add_argument("--skip-zip", action="store_true")
+    # analyzeChangesFromLastRelease (index.js:1541-1657): path to a prior
+    # run's out-dir; additions/removals beyond the significance threshold
+    # land in release-changes.json
+    p.add_argument("--last-release-dir", default="")
     args = p.parse_args(argv)
     included = [z for z in args.included_zones.split(",") if z]
     excluded = [z for z in args.excluded_zones.split(",") if z]
@@ -155,8 +165,11 @@ def main(argv=None) -> int:
 
     # validation gate (raises on disallowed overlaps, reference
     # index.js:1192-1199) — cheap enough to run every time
-    assert_valid(spark, zones, spark.createDataFrame(expected_overlaps_pdf()))
-    stages["validate"] = {"ok": True}
+    if args.skip_validation:
+        stages["validate"] = {"skipped": True}
+    else:
+        assert_valid(spark, zones, spark.createDataFrame(expected_overlaps_pdf()))
+        stages["validate"] = {"ok": True}
 
     zones_fp = manifest._data["zones"]["output_hash"]
     oceans, cached = manifest.run_stage(
@@ -169,10 +182,15 @@ def main(argv=None) -> int:
     )
     stages["oceans"] = {"cached": cached, "rows": oceans.count()}
 
+    strategies = [
+        s
+        for s, skip in (("1970", args.skip_1970_zones), ("now", args.skip_now_zones))
+        if not skip
+    ]
     groups_pdf = zone_groups_pdf()
     groups_fp = fingerprint("groups", groups_pdf.to_json(orient="records"))
     products = {"comprehensive": zones}
-    for strategy in ("1970", "now"):
+    for strategy in strategies:
         df, cached = manifest.run_stage(
             spark,
             f"derived_{strategy}",
@@ -191,7 +209,7 @@ def main(argv=None) -> int:
     oceans_fp = manifest._data["oceans"]["output_hash"]
     with_oceans_products = {}
     ocean_skip = {}
-    for strategy in ("1970", "now"):
+    for strategy in strategies:
         df, cached = manifest.run_stage(
             spark,
             f"derived_{strategy}_oceans",
@@ -226,17 +244,46 @@ def main(argv=None) -> int:
         f"{args.out_dir}/combined-osm-zones.geojson",
     )
 
+    # release-change analysis (analyzeChangesFromLastRelease,
+    # index.js:1541-1657): buffered two-way diff vs a prior run's
+    # comprehensive product; significant additions/removals only
+    if args.last_release_dir:
+        from timezone_boundary_builder_spark.operators.release_diff import (
+            release_diff,
+        )
+        from timezone_boundary_builder_spark.operators.zone_build import (
+            with_zone_columns,
+        )
+
+        last = with_zone_columns(
+            spark.read.parquet(
+                os.path.join(args.last_release_dir, "comprehensive.parquet")
+            )
+        )
+        changes = release_diff(spark, zones, last).collect()
+        with open(os.path.join(args.out_dir, "release-changes.json"), "w") as f:
+            json.dump(
+                [
+                    {"tzid": r.tzid, "change": r.change, "area_deg2": r.area_deg2}
+                    for r in sorted(changes, key=lambda r: (r.tzid, r.change))
+                ],
+                f,
+                indent=1,
+            )
+        stages["analyze_changes"] = {"rows": len(changes)}
+
     # S9 zip sink (reference zipGeoJsonFiles, index.js:1459-1477: `zip -j`
     # per combined JSON) and S13 input-data archive (assembleAndZipInputData,
     # index.js:1659-1706: configs + cache manifests for reproducibility)
     import glob
     import zipfile
 
-    for gj in sorted(glob.glob(f"{args.out_dir}/*.geojson")):
-        with zipfile.ZipFile(
-            f"{gj}.zip", "w", compression=zipfile.ZIP_DEFLATED
-        ) as zf:
-            zf.write(gj, arcname=os.path.basename(gj))
+    if not args.skip_zip:
+        for gj in sorted(glob.glob(f"{args.out_dir}/*.geojson")):
+            with zipfile.ZipFile(
+                f"{gj}.zip", "w", compression=zipfile.ZIP_DEFLATED
+            ) as zf:
+                zf.write(gj, arcname=os.path.basename(gj))
     with zipfile.ZipFile(
         f"{args.out_dir}/input-data.zip", "w", compression=zipfile.ZIP_DEFLATED
     ) as zf:
@@ -248,7 +295,7 @@ def main(argv=None) -> int:
         manifest_path = os.path.join(args.work_dir, "_manifest.json")
         if os.path.exists(manifest_path):
             zf.write(manifest_path, arcname="stage-manifest.json")
-    for strategy in ("1970", "now"):
+    for strategy in strategies:
         write_zone_lookup(
             spark,
             groups_df,

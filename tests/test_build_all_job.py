@@ -9,7 +9,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(work, out):
+def _run(work, out, *extra):
     proc = subprocess.run(
         [
             sys.executable,
@@ -20,6 +20,7 @@ def _run(work, out):
             out,
             "--cores",
             "8",
+            *extra,
         ],
         cwd=REPO,
         capture_output=True,
@@ -53,6 +54,37 @@ def test_build_all_runs_and_resumes(tmp_path):
     ).testzip() is None
     names = zipfile.ZipFile(os.path.join(out, "input-data.zip")).namelist()
     assert "zones_config.json" in names and "stage-manifest.json" in names
+
+
+def test_build_all_flags_and_release_analysis(tmp_path):
+    """Reference CLI parity: --skip_1970_zones / --skip_zip / a release
+    diff vs a prior run's artifacts (analyzeChangesFromLastRelease)."""
+    base_work, base_out = str(tmp_path / "bw"), str(tmp_path / "bo")
+    _run(base_work, base_out)
+    r = _run(
+        str(tmp_path / "w3"),
+        str(tmp_path / "d3"),
+        "--excluded-zones",
+        "Test/Golf",
+        "--skip-1970-zones",
+        "--skip-zip",
+        "--last-release-dir",
+        base_out,
+    )
+    assert "derived_1970" not in r["stages"]
+    assert "derived_now" in r["stages"]
+    assert r["stages"]["analyze_changes"]["rows"] == 1
+    changes = json.load(open(os.path.join(str(tmp_path / "d3"), "release-changes.json")))
+    assert len(changes) == 1
+    assert changes[0]["tzid"] == "Test/Golf"
+    assert changes[0]["change"] == "removal"
+    assert abs(changes[0]["area_deg2"] - 375.0) < 1e-6
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "d3"), "comprehensive.geojson.zip")
+    )
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "d3"), "1970.geojson")
+    )
 
 
 def test_build_all_assemble_stage_resumes(tmp_path):

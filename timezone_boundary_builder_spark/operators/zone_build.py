@@ -112,6 +112,24 @@ def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame([zone_row(tzid, geom)])
 
 
+def with_zone_columns(df: DataFrame) -> DataFrame:
+    """(tzid, geometry) -> full zones_final shape (bbox, areas, geom_hash).
+    Re-derives the computed columns for externally-loaded zone tables —
+    e.g. a previous release read back from its published artifact, the
+    reference's downloadLastRelease path (index.js:1407-1457)."""
+
+    def _rows(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    zone_row(t, from_geojson(g))
+                    for t, g in zip(pdf["tzid"], pdf["geometry"])
+                ]
+            )
+
+    return df.select("tzid", "geometry").mapInPandas(_rows, ZONE_SCHEMA)
+
+
 def build_zones(
     spark: SparkSession, zones_config: DataFrame, sources: DataFrame
 ) -> DataFrame:
