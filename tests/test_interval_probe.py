@@ -176,3 +176,44 @@ def test_many_zones_knn_matches_brute_force(many_zone_cm):
             assert got_knn[i] == tz_sorted[winner[i]], i
         else:
             assert method[i] == 3, i  # M_OCEAN
+
+
+def test_knn_wraps_across_antimeridian():
+    """A point 100 m WEST of the seam with land 100 m EAST of it is inside
+    territorial waters and must take the land tzid: both the grid
+    prefilter and the distance kernel wrap longitude at +-180 (without
+    the wrap, the land reads as ~360 deg away and the point falls to the
+    Etc/GMT+9 ocean band)."""
+    gj = _box_gj(179.5, 0.0, 180.0, 10.0)  # land on the EAST side only
+    zones_pdf = pd.DataFrame(
+        [
+            {
+                "tzid": "Test/Seam",
+                "geometry": gj,
+                "min_x": 179.5,
+                "min_y": 0.0,
+                "max_x": 180.0,
+                "max_y": 10.0,
+            }
+        ]
+    )
+    cells, full = cover_polygon(from_geojson(gj), max_res=7)
+    cm = CellMap(
+        pd.DataFrame({"tzid": "Test/Seam", "cell_id": cells.astype(np.int64), "full": full}),
+        zones_pdf,
+    )
+    bands = [
+        {"tzid": "Etc/GMT+9", "left": -180.0, "right": -90.0},
+        {"tzid": "Etc/GMT+3", "left": -90.0, "right": 0.0},
+        {"tzid": "Etc/GMT-3", "left": 0.0, "right": 90.0},
+        {"tzid": "Etc/GMT-9", "left": 90.0, "right": 180.0},
+    ]
+    band_edges = np.array([b["left"] for b in bands] + [180.0])
+    # ~100 m and ~5 km west of the seam at lat 5; plus a control point on
+    # the east side just off the land's west edge (no wrap involved)
+    lon = np.array([-179.9991, -179.955, 179.4991])
+    lat = np.array([5.0, 5.0, 5.0])
+    code, method = assign_codes(cm, band_edges, 4, lon, lat, knn_max_m=1852.0)
+    assert code[0] == 0 and method[0] == 2  # wrapped kNN hit
+    assert code[1] == 1 and method[1] == 3  # beyond 1852 m -> GMT+9 band
+    assert code[2] == 0 and method[2] == 2  # same-side control

@@ -149,12 +149,17 @@ class CellMap:
         ncell = 360 * 180
         lists: dict[int, list[int]] = {}
         for (x0, y0, x1, y1), zi in zip(self.knn_boxes, self.knn_box_zone):
-            gx0 = max(int(np.floor(x0 - pad)) + 180, 0)
-            gx1 = min(int(np.floor(x1 + pad)) + 180, 359)
+            # lon columns WRAP at the antimeridian: a box touching +-180
+            # must also register candidates on the far side, else a point
+            # 100 m west of the seam never sees land 100 m east of it
+            # (GeoJSON geometries are split at +-180, so only the pad —
+            # never the box itself — crosses)
+            gx0 = int(np.floor(x0 - pad)) + 180
+            gx1 = int(np.floor(x1 + pad)) + 180
             gy0 = max(int(np.floor(y0 - pad)) + 90, 0)
             gy1 = min(int(np.floor(y1 + pad)) + 90, 179)
             for gx in range(gx0, gx1 + 1):
-                base = gx * 180
+                base = (gx % 360) * 180
                 for gy in range(gy0, gy1 + 1):
                     lists.setdefault(base + gy, []).append(int(zi))
         off = np.zeros(ncell + 1, dtype=np.int64)

@@ -175,10 +175,22 @@ def _assign_codes_block(
                 zends = np.append(zstarts[1:], len(pair_z))
                 # ascending z: strictly-better distance wins, ties keep the
                 # earlier (smaller-tzid) zone — identical to the old rule
+                # points within the grid pad of the antimeridian also get a
+                # lon+-360-shifted distance pass: the planar distance kernel
+                # does not wrap, so land just across the seam would
+                # otherwise read as ~360 deg away
+                seam = np.abs(ml) > 179.0
                 for z, s0, s1 in zip(zvals, zstarts, zends):
                     sel = pair_pt[s0:s1]
                     x1, y1, x2, y2 = edges[int(z)]
                     d = min_distance_edges_m(ml[sel], ma[sel], x1, y1, x2, y2)
+                    sw = seam[sel]
+                    if sw.any():
+                        mlw = ml[sel][sw]
+                        dw = min_distance_edges_m(
+                            mlw - np.sign(mlw) * 360.0, ma[sel][sw], x1, y1, x2, y2
+                        )
+                        d[sw] = np.minimum(d[sw], dw)
                     better = d < best_d[sel] - 1e-9
                     best_d[sel[better]] = d[better]
                     best_z[sel[better]] = z
