@@ -418,6 +418,35 @@ def _q_geo_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_tz_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 computed from the REAL tzdb (reference getZoneCfgSinceTime,
+    index.js:169-245): transition-scan fingerprints via stdlib zoneinfo,
+    window rep-pick, singleton-ocean drop. Oracle = historical tzdb facts
+    at pinned cutoffs (London/Lisbon/Dublin merge under current rules but
+    Lisbon splits since-1970 over its 1992-1996 CET years; Cancun absorbs
+    Etc/GMT+5 after abolishing DST in 2015)."""
+    from timezone_boundary_builder_spark.operators.tz_fingerprint import (
+        derive_zone_groups,
+    )
+
+    zones = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"tzid": "Europe/London", "population": 9_000_000},
+                {"tzid": "Europe/Lisbon", "population": 500_000},
+                {"tzid": "Europe/Dublin", "population": 1_200_000},
+                {"tzid": "America/New_York", "population": 8_000_000},
+                {"tzid": "America/Cancun", "population": 1_000_000},
+                {"tzid": "Etc/GMT+5", "population": 0},
+                {"tzid": "Etc/GMT+9", "population": 0},
+            ]
+        )
+    )
+    g70 = derive_zone_groups(spark, zones, "1970", 0, 946684800)
+    gnow = derive_zone_groups(spark, zones, "now", 1577836800, 2208988800)
+    return g70.unionByName(gnow).select("strategy", "rep_tzid", "member_tzid")
+
+
 def _q_geo_derived_now_oceans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 with-oceans variant (makeDerivedTimezoneBoundariesWithOceans,
     index.js:941-1009): the 'now' product where Foxtrot's rep absorbs the
@@ -779,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn_assign": _q_geo_knn_assign,
         "geo_ring_assembly": _q_geo_ring_assembly,
         "geo_source_union": _q_geo_source_union,
+        "geo_tz_groups": _q_geo_tz_groups,
         "geo_derived_now_oceans": _q_geo_derived_now_oceans,
         "geo_osm_zones": _q_geo_osm_zones,
         "geo_release_diff": _q_geo_release_diff,
@@ -1115,6 +1145,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source_id, CAST(n_features AS INT) AS n_features, area_deg2_r "
             "FROM (VALUES ('alpha', 2, 900.0), ('bravo', 2, 600.0), "
             "('golf', 1, 375.0)) AS t(source_id, n_features, area_deg2_r)"
+        ),
+        # historical tzdb facts at pinned cutoffs (see _q_geo_tz_groups)
+        "geo_tz_groups": (
+            "SELECT strategy, rep_tzid, member_tzid FROM (VALUES "
+            "('1970', 'America/Cancun', 'America/Cancun'), "
+            "('1970', 'America/New_York', 'America/New_York'), "
+            "('1970', 'Europe/London', 'Europe/Dublin'), "
+            "('1970', 'Europe/London', 'Europe/London'), "
+            "('1970', 'Europe/Lisbon', 'Europe/Lisbon'), "
+            "('now', 'America/Cancun', 'America/Cancun'), "
+            "('now', 'America/Cancun', 'Etc/GMT+5'), "
+            "('now', 'America/New_York', 'America/New_York'), "
+            "('now', 'Europe/London', 'Europe/Dublin'), "
+            "('now', 'Europe/London', 'Europe/Lisbon'), "
+            "('now', 'Europe/London', 'Europe/London')) "
+            "AS t(strategy, rep_tzid, member_tzid)"
         ),
         # hand-derived 'now' product with oceans merged into reps:
         # Alpha = (950+650-100 disputed) + 1100 Charlie (disjoint) = 2600;
