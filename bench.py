@@ -87,7 +87,48 @@ def synthetic_points_packed(spark: SparkSession, n: int):
     )
 
 
-def run_assignment(spark: SparkSession, n_points: int) -> float:
+def reference_world_cellmap():
+    """419 deterministic box zones (the validation-scale world of
+    tests/test_validate_scale.py) -> broadcastable CellMap. This is the
+    REFERENCE's real zone count; the 8-zone fixture world measures the
+    fixture path, this measures the production-shaped cover."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from timezone_boundary_builder_spark.geom.cellindex import cover_polygon
+    from timezone_boundary_builder_spark.geom.codec import from_geojson
+    from timezone_boundary_builder_spark.operators.cover import CellMap
+    from timezone_boundary_builder_spark.operators.zone_build import zone_row
+
+    rng = np.random.default_rng(7)
+    rows, covers = [], []
+    for i in range(419):
+        w = rng.uniform(0.5, 12)
+        h = rng.uniform(0.5, 8)
+        x0 = rng.uniform(-179, 179 - w)
+        y0 = rng.uniform(-60, 70 - h)
+        gj = _json.dumps(
+            {
+                "type": "Polygon",
+                "coordinates": [
+                    [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+                ],
+            }
+        )
+        g = from_geojson(gj)
+        rows.append(zone_row(f"Z/{i:04d}", g))
+        cells, full = cover_polygon(g, max_res=7)
+        covers.append(
+            pd.DataFrame(
+                {"tzid": f"Z/{i:04d}", "cell_id": cells.astype(np.int64), "full": full}
+            )
+        )
+    return CellMap(pd.concat(covers, ignore_index=True), pd.DataFrame(rows))
+
+
+def run_assignment(spark: SparkSession, n_points: int, cellmap=None) -> float:
     """Returns wall seconds to tzid-assign n_points via the two-stage join
     (scalar-pandas-UDF hot path over the packed micro-degree codec: 8 B/row
     down the Arrow pipe, int codes back; tzid strings materialize
@@ -98,7 +139,7 @@ def run_assignment(spark: SparkSession, n_points: int) -> float:
     )
     from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
 
-    bc = spark.sparkContext.broadcast(entry._local_cellmap())
+    bc = spark.sparkContext.broadcast(cellmap or entry._local_cellmap())
     pts = synthetic_points_packed(spark, n_points)
     t0 = time.perf_counter()
     out = assign_tzid_udf_packed(pts, bc, OCEAN_BANDS)
@@ -167,6 +208,18 @@ def main() -> None:
     spark = make_spark(CPUS)
     try:
         queries = timed_queries(spark)
+        # reference-scale secondary metric: the same assignment over the
+        # 419-zone world (the reference's real zone count)
+        pts_419 = int(os.environ.get("BENCH_419_POINTS", "16000000"))
+        cm419 = reference_world_cellmap()
+        run_assignment(spark, 2_000_000, cellmap=cm419)  # warmup
+        # best of 2: the first timed run can still catch a host-steal
+        # burst; the second runs against fully-warm workers
+        dt419 = min(
+            run_assignment(spark, pts_419, cellmap=cm419) for _ in range(2)
+        )
+        thr_419 = pts_419 / dt419
+        log(f"419-zone world: {dt419:.2f}s -> {thr_419:,.0f} pages/sec")
     finally:
         spark.stop()
     total = round(sum(queries.values()), 3)
@@ -182,6 +235,7 @@ def main() -> None:
                 f"pages_per_sec_local{SCALE_4N}": round(thr_4n),
                 "scaling_points": SCALE_POINTS,
                 f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}": round(eff, 3),
+                f"pages_per_sec_419zones_local{CPUS}": round(thr_419),
             },
             separators=(",", ":"),
         )
