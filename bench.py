@@ -87,11 +87,18 @@ def synthetic_points_packed(spark: SparkSession, n: int):
     )
 
 
-def reference_world_cellmap():
+def reference_world_cellmap(max_res: int = 9):
     """419 deterministic box zones (the validation-scale world of
     tests/test_validate_scale.py) -> broadcastable CellMap. This is the
     REFERENCE's real zone count; the 8-zone fixture world measures the
-    fixture path, this measures the production-shaped cover."""
+    fixture path, this measures the production-shaped cover.
+
+    max_res=9 is the measured sweet spot for this world (single-core
+    kernel 2.57 / 2.54 / 3.22 M pts/s at res 7/8/9; 5k/12k/28k cover
+    cells): finer cells convert exact-PIP boundary residue into direct
+    full-cell hits while the broadcast stays tiny. Assignments are
+    IDENTICAL at every res — resolution only moves work between the
+    cell and pip stages."""
     import json as _json
 
     import numpy as np
@@ -119,7 +126,7 @@ def reference_world_cellmap():
         )
         g = from_geojson(gj)
         rows.append(zone_row(f"Z/{i:04d}", g))
-        cells, full = cover_polygon(g, max_res=7)
+        cells, full = cover_polygon(g, max_res=max_res)
         covers.append(
             pd.DataFrame(
                 {"tzid": f"Z/{i:04d}", "cell_id": cells.astype(np.int64), "full": full}
