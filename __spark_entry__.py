@@ -594,6 +594,20 @@ def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH candidate pairs -> iterative-join connected
+    components; cluster_id = min doc id (the deterministic keep_id).
+    Oracle: DuckDB recursive transitive closure over the same pair SQL."""
+    from timezone_boundary_builder_spark.operators.dedup import (
+        connected_components,
+    )
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=4, shingle_size=3)
+    pairs = minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
+    comp = connected_components(pairs)
+    return comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
@@ -821,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "text_quality": _q_text_quality,
         "text_tokens": _q_text_tokens,
         "text_langid": _q_text_langid,
@@ -1337,6 +1352,27 @@ def oracle_sql() -> dict[str, str]:
             p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                    FROM banded a JOIN banded b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id)
             SELECT DISTINCT id_a, id_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE sigs AS ({mh}),
+            banded AS (
+              SELECT doc_id,
+                     md5(mh_0 || '|' || mh_1) AS band_0,
+                     md5(mh_2 || '|' || mh_3) AS band_1
+              FROM sigs),
+            p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM banded a JOIN banded b ON a.band_0 = b.band_0 AND a.doc_id < b.doc_id),
+            p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM banded a JOIN banded b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id),
+            pairs AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)),
+            edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+            comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                     FROM reach GROUP BY s)
+            SELECT cluster_id, count(*) AS n_docs FROM comp GROUP BY cluster_id""",
         "ann_cosine_topk": f"""
             WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
                        FROM embeddings),

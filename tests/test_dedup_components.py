@@ -1,0 +1,32 @@
+"""Connected-components clustering over candidate pairs: hand-built
+graphs with known components, including a chain (worst-case diameter for
+min-label propagation) and disjoint clusters."""
+
+import pandas as pd
+
+from timezone_boundary_builder_spark.operators.dedup import connected_components
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]).astype("int64")
+    )
+    out = connected_components(pairs).toPandas()
+    return dict(zip(out.doc_id, out.cluster_id))
+
+
+def test_chain_triangle_and_pair(spark):
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    got = _cc(spark, edges)
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_label_is_min_id_regardless_of_edge_order(spark):
+    # the same component expressed with reversed/duplicate edges
+    got = _cc(spark, [(7, 3), (3, 9), (9, 7), (9, 3)])
+    assert got == {3: 3, 7: 3, 9: 3}

@@ -174,6 +174,67 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Near-dup clusters from candidate pairs: min-label propagation to a
+    fixpoint (iterative-join connected components; rounds = graph
+    diameter, which is 2-4 for dense near-dup clusters — the
+    large-star/small-star O(log n) variant only pays off on long chains).
+    Returns (doc_id, cluster_id) where cluster_id = min doc id reachable —
+    so the cluster label doubles as the deterministic keep_id.
+
+    Scale shape: only docs that appear in >=1 pair enter the label table
+    (singletons are trivially their own cluster and never shuffle), so
+    the iteration state is proportional to the near-dup population, not
+    the corpus. Each round is one join + one min-aggregate on the edge
+    list; rounds needed = graph diameter in doublings (near-dup clusters
+    are dense, so 2-4 rounds in practice). The loop stops at the first
+    round that changes no label."""
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    for _ in range(max_rounds):
+        # candidate label via neighbors: min(label of neighbor)
+        nbr = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.s, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out
+
+
 SIMHASH_BITS = 60  # 15 hex digits: always < 2^63, so the ANSI-mode
 # decimal->long cast can never overflow (16 digits crashed under Spark 4's
 # default ANSI semantics whenever a word hash had the top bit set — the
