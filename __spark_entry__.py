@@ -594,6 +594,30 @@ def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
 
 
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: exactly 5 docs per lang by
+    md5(id||seed) order — identical rows on any cluster size and in the
+    SQL oracle (auditable corpus curation)."""
+    from timezone_boundary_builder_spark.operators.sampling import (
+        sample_stratified,
+    )
+
+    return sample_stratified(
+        _docs(spark, sf_dir), "lang", "doc_id", n=5, seed=7
+    ).select("lang", "doc_id")
+
+
+def _q_sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% corpus sample: map-only md5-prefix filter."""
+    from timezone_boundary_builder_spark.operators.sampling import (
+        sample_hash_fraction,
+    )
+
+    return sample_hash_fraction(_docs(spark, sf_dir), "doc_id", 0.2, seed=7).select(
+        "doc_id", "lang"
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: LSH candidate pairs -> iterative-join connected
     components; cluster_id = min doc id (the deterministic keep_id).
@@ -836,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "sample_stratified": _q_sample_stratified,
+        "sample_hash_fraction": _q_sample_hash_fraction,
         "text_quality": _q_text_quality,
         "text_tokens": _q_text_tokens,
         "text_langid": _q_text_langid,
@@ -1352,6 +1378,20 @@ def oracle_sql() -> dict[str, str]:
             p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                    FROM banded a JOIN banded b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id)
             SELECT DISTINCT id_a, id_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)""",
+        "sample_stratified": """
+            WITH ranked AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|7')) AS rn
+              FROM documents)
+            SELECT lang, doc_id FROM ranked WHERE rn <= 5""",
+        "sample_hash_fraction": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8) < '"
+            + format(int(0.2 * 16**8), "08x")
+            + "'"
+        ),
         "dedup_clusters": f"""
             WITH RECURSIVE sigs AS ({mh}),
             banded AS (

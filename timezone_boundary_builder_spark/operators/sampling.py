@@ -1,0 +1,55 @@
+"""Deterministic sampling for training-data curation.
+
+Both operators are reproducible across runs, cluster sizes, and engines —
+the "random" order is md5 of (id, seed), so the same rows are selected on
+local[1], on 1000 executors, and by the DuckDB oracle. That property is
+what makes sampled corpora auditable (re-running the pipeline cannot
+silently change the training set).
+
+- `sample_stratified`: exact n per stratum via a row_number window over
+  the hash order. Spark 4 pushes rank<=n below the exchange
+  (WindowGroupLimit), so each map task ships at most n rows per stratum —
+  a skewed stratum (one dominant language) never concentrates more than
+  n_tasks x n rows on the reducer.
+- `sample_hash_fraction`: pure map-side filter `md5_prefix < threshold`;
+  selects each row independently with probability ~frac (exact over the
+  hash space), no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8  # 16^8 buckets: frac resolution ~2.3e-10
+
+
+def hash_order_col(id_col: str, seed: int):
+    """Deterministic pseudo-random sort key, identical in ANSI SQL:
+    md5(CAST(id AS STRING) || '|' || seed)."""
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}")))
+
+
+def sample_stratified(
+    df: DataFrame, strata_col: str, id_col: str, n: int, seed: int = 7
+) -> DataFrame:
+    """Exactly min(n, stratum size) rows per stratum, chosen by hash
+    order. Ties are impossible (md5 of distinct ids)."""
+    w = Window.partitionBy(strata_col).orderBy(hash_order_col(id_col, seed))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def sample_hash_fraction(
+    df: DataFrame, id_col: str, frac: float, seed: int = 7
+) -> DataFrame:
+    """Keep rows whose hash prefix falls below frac of the hash space.
+    Map-only (no shuffle); deterministic in the row id, independent of
+    partitioning and engine."""
+    thr = format(int(frac * 16**_HEX_DIGITS), f"0{_HEX_DIGITS}x")
+    return df.where(
+        F.substring(hash_order_col(id_col, seed), 1, _HEX_DIGITS) < F.lit(thr)
+    )
