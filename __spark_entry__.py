@@ -594,6 +594,26 @@ def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
 
 
+def _q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A C4-style cleaning pipeline as ONE composed relation: quality
+    gates (word count, stopword ratio) -> exact-dedup keep-min-doc. The
+    whole thing is scan -> codegen'd filters -> one window over the
+    fingerprint; no Python anywhere."""
+    from pyspark.sql import Window as W
+
+    from timezone_boundary_builder_spark.operators.text import with_quality
+
+    q = with_quality(_docs(spark, sf_dir))
+    kept = q.where((F.col("n_words_q") >= 20) & (F.col("stopword_ratio") >= 0.05))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = W.partitionBy(F.md5(norm)).orderBy("doc_id")
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling: exactly 5 docs per lang by
     md5(id||seed) order — identical rows on any cluster size and in the
@@ -860,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "pipeline_clean": _q_pipeline_clean,
         "sample_stratified": _q_sample_stratified,
         "sample_hash_fraction": _q_sample_hash_fraction,
         "text_quality": _q_text_quality,
@@ -1378,6 +1399,20 @@ def oracle_sql() -> dict[str, str]:
             p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                    FROM banded a JOIN banded b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id)
             SELECT DISTINCT id_a, id_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)""",
+        "pipeline_clean": f"""
+            WITH q AS (
+              SELECT doc_id, lang, text,
+                     len({words}) AS nw,
+                     len(list_filter({words}, w -> w IN ({stop_list}))) * 1.0
+                       / len({words}) AS sr
+              FROM documents),
+            kept AS (SELECT doc_id, lang, text FROM q
+                     WHERE nw >= 20 AND sr >= 0.05),
+            d AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY md5({norm})
+                                            ORDER BY doc_id) AS rn
+                  FROM kept)
+            SELECT doc_id, lang FROM d WHERE rn = 1""",
         "sample_stratified": """
             WITH ranked AS (
               SELECT lang, doc_id,
