@@ -771,6 +771,28 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity splits a session):
+    lag + conditional cumsum over a per-user window — one shuffle on
+    user_id, everything else codegen'd. Per session: event count and
+    duration."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts is TIMESTAMP_NTZ with sub-second precision; session tz is pinned
+    # to UTC, so the fractional epoch matches DuckDB's epoch(ts) exactly
+    ep = F.col("ts").cast("timestamp").cast("double")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ep - F.lag(ep).over(w)
+    with_s = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    ).withColumn("session_seq", F.sum("new_sess").over(w))
+    return with_s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round((F.max(ep) - F.min(ep)) * 1000.0).cast("long").alias("duration_ms"),
+    )
+
+
 # ----------------------------------------------------- relational queries
 
 
@@ -896,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
         # relational coverage
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
@@ -1338,6 +1361,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                            OR lag(ts) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, event_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS session_seq
+              FROM g)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   CAST(round((max(epoch(ts)) - min(epoch(ts))) * 1000.0) AS BIGINT)
+                     AS duration_ms
+            FROM s GROUP BY user_id, session_seq""",
         "dedup_exact": f"""
             SELECT md5({norm}) AS fingerprint, min(doc_id) AS keep_id,
                    count(*) AS dup_count
