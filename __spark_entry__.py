@@ -543,6 +543,29 @@ def _q_geo_tiles_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_tiles_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup: res-5 raster memberships aggregated to their
+    res-4 parents ENTIRELY with JVM-side bit arithmetic on the cell id
+    (parent = (morton >> 2) | (res-1) << 58; no UDF, no geometry reread).
+    Per (parent, tzid): child count and how many children were full —
+    the hypertable-rollup pattern for serving coarser zoom levels."""
+    from timezone_boundary_builder_spark.operators.tiles import raster_tiles
+
+    tiles = raster_tiles(_zones_spark(spark), res=5)
+    morton = F.col("cell_id").bitwiseAND(F.lit((1 << 58) - 1))
+    parent = F.shiftright(morton, 2) + F.lit(4 << 58).cast("long")
+    return (
+        tiles.withColumn("parent_id", parent)
+        .groupBy("parent_id", "tzid")
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.sum(F.when(F.col("coverage") == "full", 1).otherwise(0)).alias(
+                "n_full_children"
+            ),
+        )
+    )
+
+
 def _q_geo_tiles_vector_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conservation check as a query: a zone's vector tiles partition it,
     so per-zone tile-area sums must reproduce the zone-area goldens."""
@@ -896,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tiles_summary": _q_geo_tiles_summary,
         "geo_tiles_serve": _q_geo_tiles_serve,
         "geo_tiles_vector_area": _q_geo_tiles_vector_area,
+        "geo_tiles_pyramid": _q_geo_tiles_pyramid,
         # webtext pipeline ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -1198,6 +1222,16 @@ def oracle_sql() -> dict[str, str]:
         "geo_cell_covers": _cell_covers_values_sql(),
         "geo_tiles_raster": _raster_tiles_values_sql(),
         "geo_tiles_summary": _tile_summary_values_sql(),
+        # same parent bit arithmetic over the res-5 raster goldens
+        "geo_tiles_pyramid": f"""
+            WITH r AS ({_raster_tiles_values_sql()})
+            SELECT ((cell_id & ((1::BIGINT << 58) - 1)) >> 2)
+                     + (4::BIGINT << 58) AS parent_id,
+                   tzid,
+                   count(*) AS n_children,
+                   sum(CASE WHEN coverage = 'full' THEN 1 ELSE 0 END)
+                     AS n_full_children
+            FROM r GROUP BY 1, 2""",
         "ann_lsh": _ann_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_ivf": _ivf_sql(),
