@@ -617,6 +617,30 @@ def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
 
 
+def _q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: synthesized crawl URLs (testdata has none) ->
+    fixed normalization chain (scheme/www/fragment/tracking-params) ->
+    groupBy canonical key. All JVM-side regexps; the oracle renders the
+    identical chain in SQL."""
+    from timezone_boundary_builder_spark.operators.web import canonical_url_col
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".com/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_campaign=x&fbclid="),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+    return (
+        docs.withColumn("curl", canonical_url_col(url))
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
 def _q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A C4-style cleaning pipeline as ONE composed relation: quality
     gates (word count, stopword ratio) -> exact-dedup keep-min-doc. The
@@ -927,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "pipeline_clean": _q_pipeline_clean,
+        "dedup_url": _q_dedup_url,
         "sample_stratified": _q_sample_stratified,
         "sample_hash_fraction": _q_sample_hash_fraction,
         "text_quality": _q_text_quality,
@@ -949,6 +974,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_customer_order_stats": _q_rel_customer_order_stats,
         "rel_shipping_priority": _q_rel_shipping_priority,
     }
+
+
+def _dedup_url_sql() -> str:
+    from timezone_boundary_builder_spark.operators.web import canonical_url_sql
+
+    url_expr = (
+        "'https://www.' || source || '.com/page/' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '?utm_campaign=x&fbclid=' || CAST(doc_id AS VARCHAR) || '#frag'"
+    )
+    return (
+        f"SELECT {canonical_url_sql(url_expr)} AS curl, "
+        "min(doc_id) AS keep_id, count(*) AS dup_count "
+        "FROM documents GROUP BY 1"
+    )
 
 
 def _zone_area_values_sql() -> str:
@@ -1474,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
             p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                    FROM banded a JOIN banded b ON a.band_1 = b.band_1 AND a.doc_id < b.doc_id)
             SELECT DISTINCT id_a, id_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)""",
+        "dedup_url": _dedup_url_sql(),
         "pipeline_clean": f"""
             WITH q AS (
               SELECT doc_id, lang, text,
