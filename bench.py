@@ -171,6 +171,9 @@ def timed_queries(spark: SparkSession) -> dict[str, float]:
         "dedup_exact",
         "dedup_minhash",
         "dedup_lsh_pairs",
+        "dedup_clusters",
+        "pipeline_clean",
+        "events_sessions",
         "text_quality",
         "text_langid",
         "ann_cosine_topk",
