@@ -105,3 +105,34 @@ def test_packed_assignment_plan_zero_exchanges(spark):
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan
     assert "element_at" in plan
+
+
+def test_stratified_sampling_pushes_partial_top_n(spark):
+    """Per-stratum sampling must do partial top-n BEFORE the exchange
+    (Spark 4 WindowGroupLimit) so a skewed stratum ships at most n rows
+    per map task, and the scan must prune to the two needed columns."""
+    q = entry.queries()["sample_stratified"](spark, SF)
+    plan = plan_of(q)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1][:200] or \
+        plan.count("WindowGroupLimit") >= 2  # partial + final
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = scan.split("FileScan parquet [")[1].split("]")[0]
+    assert set(c.split("#")[0] for c in cols.split(",")) == {"doc_id", "lang"}
+
+
+def test_hash_fraction_sampling_is_map_only(spark):
+    q = entry.queries()["sample_hash_fraction"](spark, SF)
+    plan = plan_of(q)
+    assert "Exchange" not in plan, plan
+
+
+def test_lsh_pairs_single_stacked_join(spark):
+    """LSH banding must unpivot to one self-join (Generate stack) rather
+    than one join per band."""
+    q = entry.queries()["dedup_lsh_pairs"](spark, SF)
+    plan = plan_of(q)
+    assert "stack(" in plan
+    # one logical self-join: hash-join count in the final plan is 1
+    n_joins = plan.count("HashJoin") + plan.count("SortMergeJoin")
+    assert n_joins == 1, plan
