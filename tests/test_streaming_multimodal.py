@@ -263,3 +263,31 @@ def test_stream_dedup_state_ttl_eviction(spark, tmp_path):
     pages([("u3", "2026-01-01 12:00", "ALPHA   TEXT")], "append")  # dup of u1
     run_until({"u1", "u2", "u3"})
     assert sorted(sink_urls()) == ["u1", "u2", "u3"]
+
+
+def test_stream_sessions_matches_batch(spark, tmp_path):
+    """Native session_window (merging stateful windows) on a stream must
+    reproduce the identical operator tree on a static read."""
+    from timezone_boundary_builder_spark.streaming.assign_stream import (
+        batch_sessions,
+        stream_sessions,
+    )
+
+    src = str(tmp_path / "evs")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+    q = (
+        stream_sessions(spark, src)
+        .writeStream.format("memory")
+        .queryName("sessions_s")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from sessions_s").toPandas()
+    exp = batch_sessions(spark, src).toPandas()
+    key = ["user_id", "sess_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -89,6 +89,50 @@ def stream_event_counts(
     )
 
 
+def stream_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows over a streamed events table via the
+    native session_window (merging windows; state closes once the
+    watermark passes a session's end). Batch twin: the same
+    session_window groupBy on a static read — tests assert the streaming
+    availableNow result equals it row-for-row."""
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(source_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
+def batch_sessions(
+    spark: SparkSession, source_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """The batch twin of stream_sessions (identical operator tree on a
+    static scan)."""
+    ev = spark.read.parquet(source_dir)
+    return (
+        ev.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
 def stream_dedup_first_seen(
     spark: SparkSession,
     source_dir: str,
