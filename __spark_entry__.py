@@ -59,6 +59,7 @@ from timezone_boundary_builder_spark.operators.zone_build import (
 )
 from timezone_boundary_builder_spark.sources.fixtures import (
     OCEAN_BANDS,
+    _box_gj,
     expected_overlaps_pdf,
     sources_pdf,
     zone_groups_pdf,
@@ -463,6 +464,63 @@ def _q_geo_derived_now_oceans(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived = build_derived_zones(spark, zones, groups, "now")
     out = build_derived_zones_with_oceans(spark, derived, oceans, groups, "now")
     return out.select("tzid", F.round("area_deg2", 6).alias("area_deg2_r"))
+
+
+def _q_geo_lint_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config lint (reference `npm test` gate, lint-json.js:12-49) over a
+    deliberately-broken copy of the fixture config: one dangling overpass
+    source ref, one manual op with a short description, one unused source,
+    one expected overlap without a description. Oracle = the four known
+    error rows. The clean fixture yielding ZERO rows is asserted in
+    tests/test_ingest_filters."""
+    from timezone_boundary_builder_spark.operators.lint import lint_config
+
+    cfg = zones_config_pdf()
+    cfg = pd.concat(
+        [
+            cfg,
+            pd.DataFrame(
+                [
+                    {
+                        "tzid": "Test/Broken", "op_seq": 0, "op": "init",
+                        "source": "overpass", "source_id": "nosuch",
+                        "geometry": None, "description": None,
+                    },
+                    {
+                        "tzid": "Test/Broken", "op_seq": 1, "op": "union",
+                        "source": "manual-polygon", "source_id": None,
+                        "geometry": _box_gj(0, 0, 1, 1), "description": "x",
+                    },
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    src = pd.concat(
+        [
+            sources_pdf(),
+            pd.DataFrame(
+                [{"source_id": "orphan", "query_kind": "timezone",
+                  "geometry": _box_gj(0, 0, 1, 1), "content_hash": "0"}]
+            ),
+        ],
+        ignore_index=True,
+    )
+    ov = pd.concat(
+        [
+            expected_overlaps_pdf(),
+            pd.DataFrame(
+                [{"tz_a": "Test/A", "tz_b": "Test/B", "min_x": 0.0, "min_y": 0.0,
+                  "max_x": 1.0, "max_y": 1.0, "description": ""}]
+            ),
+        ],
+        ignore_index=True,
+    )
+    return lint_config(
+        spark.createDataFrame(cfg),
+        spark.createDataFrame(src),
+        spark.createDataFrame(ov),
+    )
 
 
 def _q_geo_osm_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_source_union": _q_geo_source_union,
         "geo_tz_groups": _q_geo_tz_groups,
         "geo_derived_now_oceans": _q_geo_derived_now_oceans,
+        "geo_lint_config": _q_geo_lint_config,
         "geo_osm_zones": _q_geo_osm_zones,
         "geo_release_diff": _q_geo_release_diff,
         "geo_tiles_raster": _q_geo_tiles_raster,
@@ -1303,6 +1362,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source_id, CAST(n_features AS INT) AS n_features, area_deg2_r "
             "FROM (VALUES ('alpha', 2, 900.0), ('bravo', 2, 600.0), "
             "('golf', 1, 375.0)) AS t(source_id, n_features, area_deg2_r)"
+        ),
+        # the four deliberately-planted lint errors (see _q_geo_lint_config)
+        "geo_lint_config": (
+            "SELECT kind, detail FROM (VALUES "
+            "('missing_source', 'Test/Broken:0:nosuch'), "
+            "('missing_description', 'Test/Broken:1'), "
+            "('unused_source', 'orphan'), "
+            "('overlap_missing_description', 'Test/A:Test/B')) "
+            "AS t(kind, detail)"
         ),
         # historical tzdb facts at pinned cutoffs (see _q_geo_tz_groups)
         "geo_tz_groups": (

@@ -102,6 +102,21 @@ def main(argv=None) -> int:
 
     stages = {}
 
+    # config lint gate — the reference's `npm test` (lint-json.js): abort
+    # before any compute when the config tables are inconsistent
+    from timezone_boundary_builder_spark.operators.lint import lint_config
+
+    lint_errors = lint_config(
+        spark.createDataFrame(cfg_pdf),
+        spark.createDataFrame(src_pdf),
+        spark.createDataFrame(expected_overlaps_pdf()),
+    ).collect()
+    if lint_errors:
+        for r in lint_errors:
+            print(f"lint: {r.kind}: {r.detail}", file=sys.stderr)
+        raise SystemExit(f"{len(lint_errors)} config lint errors found")
+    stages["lint"] = {"errors": 0}
+
     # S2 ingest: raw OSM relation ways -> assembled source geometries (the
     # reference gets this from osmtogeojson on Overpass downloads,
     # index.js:504; here the ways are the fixture's decomposed sources)

@@ -119,3 +119,22 @@ def test_lint_self_intersection():
     assert lint_geojson(square) is None
     tri = '{"type":"Polygon","coordinates":[[[0,0],[10,0],[5,8],[0,0]]]}'
     assert lint_geojson(tri) is None
+
+
+def test_lint_config_clean_fixture_has_no_errors(spark):
+    """The canonical fixture config must pass the lint-json.js-equivalent
+    gate with zero rows (the broken-config positive cases live in the
+    geo_lint_config oracle query)."""
+    from timezone_boundary_builder_spark.operators.lint import lint_config
+    from timezone_boundary_builder_spark.sources.fixtures import (
+        expected_overlaps_pdf,
+        sources_pdf,
+        zones_config_pdf,
+    )
+
+    out = lint_config(
+        spark.createDataFrame(zones_config_pdf()),
+        spark.createDataFrame(sources_pdf()),
+        spark.createDataFrame(expected_overlaps_pdf()),
+    )
+    assert out.count() == 0

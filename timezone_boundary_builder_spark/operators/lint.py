@@ -123,3 +123,63 @@ def lint_features(features: DataFrame, geometry_col: str = "geometry") -> DataFr
         f"{f.name} {f.dataType.simpleString()}" for f in features.schema.fields
     )
     return features.mapInPandas(_lint, schema + ", lint_ok boolean, lint_error string")
+
+
+def lint_config(
+    zones_config: DataFrame,
+    sources: DataFrame,
+    expected_overlaps: DataFrame,
+) -> DataFrame:
+    """Config lint — the reference's `npm test` gate (lint-json.js:12-49)
+    as a relation of (kind, detail) error rows, empty when clean:
+
+    - missing_source:  an overpass op references no sources entry
+    - missing_description: a manual-* op with description absent/<3 chars
+    - unused_source:   a sources entry no overpass op references
+    - overlap_missing_description: an expected-overlap bound without one
+
+    All four checks are anti-joins/filters over the (tiny) config tables —
+    broadcast by Catalyst, no UDFs."""
+    from pyspark.sql import functions as F
+
+    overpass_ops = zones_config.where(F.col("source") == "overpass")
+    src_ids = sources.select("source_id").distinct()
+    missing_source = (
+        overpass_ops.join(src_ids, "source_id", "left_anti")
+        .select(
+            F.lit("missing_source").alias("kind"),
+            F.concat_ws(
+                ":", F.col("tzid"), F.col("op_seq").cast("string"), F.col("source_id")
+            ).alias("detail"),
+        )
+    )
+    bad_desc = (
+        zones_config.where(
+            F.col("source").contains("manual")
+            & (F.col("description").isNull() | (F.length("description") < 3))
+        )
+        .select(
+            F.lit("missing_description").alias("kind"),
+            F.concat_ws(":", F.col("tzid"), F.col("op_seq").cast("string")).alias(
+                "detail"
+            ),
+        )
+    )
+    unused = (
+        src_ids.join(
+            overpass_ops.select("source_id").distinct(), "source_id", "left_anti"
+        )
+        .select(F.lit("unused_source").alias("kind"), F.col("source_id").alias("detail"))
+    )
+    bad_overlap = (
+        expected_overlaps.where(
+            F.col("description").isNull() | (F.length("description") < 3)
+        )
+        .select(
+            F.lit("overlap_missing_description").alias("kind"),
+            F.concat_ws(":", F.col("tz_a"), F.col("tz_b")).alias("detail"),
+        )
+    )
+    return missing_source.unionByName(bad_desc).unionByName(unused).unionByName(
+        bad_overlap
+    )
