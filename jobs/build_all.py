@@ -183,7 +183,12 @@ def main(argv=None) -> int:
     if args.skip_validation:
         stages["validate"] = {"skipped": True}
     else:
-        assert_valid(spark, zones, spark.createDataFrame(expected_overlaps_pdf()))
+        assert_valid(
+            spark,
+            zones,
+            spark.createDataFrame(expected_overlaps_pdf()),
+            debug_dir=os.path.join(args.work_dir, "validation-debug"),
+        )
         stages["validate"] = {"ok": True}
 
     zones_fp = manifest._data["zones"]["output_hash"]

@@ -76,6 +76,26 @@ def test_validation_fails_on_unlisted_overlap(spark):
         assert_valid(spark, zones, expected)
 
 
+def test_validation_writes_debug_artifacts(spark, tmp_path):
+    """Reference index.js:1159-1171: each failing pair's disallowed
+    overlap polygons land in a {tzA}-{tzB}-overlap.json FeatureCollection
+    for human review; the overlap here is Bravo x Juliett's 5x10 strip."""
+    from timezone_boundary_builder_spark.geom.kernels import planar_area
+
+    zc = spark.createDataFrame(zones_config_pdf(include_invalid_overlap=True))
+    zones = build_zones(spark, zc, spark.createDataFrame(sources_pdf()))
+    expected = spark.createDataFrame(expected_overlaps_pdf())
+    dbg = str(tmp_path / "vdbg")
+    with pytest.raises(ValueError, match="Zone validation unsuccessful"):
+        assert_valid(spark, zones, expected, debug_dir=dbg)
+    files = os.listdir(dbg)
+    assert files == ["Test-Bravo-Test-Juliett-overlap.json"]
+    fc = json.load(open(os.path.join(dbg, files[0])))
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 1
+    g = from_geojson(json.dumps(fc["features"][0]["geometry"]))
+    assert planar_area(g) == pytest.approx(50.0)  # 5 x 10 strip
+
+
 def test_difference_reverse_order_op(spark):
     """The one op kind unused by the current reference config but
     implemented by its interpreter (index.js:840-841): new-source MINUS

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..geom.boolean import intersection
-from ..geom.codec import from_geojson
+from ..geom.codec import from_geojson, from_rings, to_geojson
 from ..geom.kernels import bbox as bbox_of
 from ..geom.kernels import geodesic_area_m2, planar_area, ring_area_sq_meters
 
@@ -36,7 +36,7 @@ MIN_POLY_M2 = 10.0  # reference index.js:1141
 OVERLAP_SCHEMA = (
     "tz_a string, tz_b string, overlap_area_deg2 double, "
     "poly_min_x double, poly_min_y double, poly_max_x double, poly_max_y double, "
-    "poly_area_m2 double"
+    "poly_area_m2 double, poly_geometry string"
 )
 
 
@@ -73,6 +73,7 @@ def _pair_overlaps(pdf: pd.DataFrame) -> pd.DataFrame:
                     "poly_max_x": mxx,
                     "poly_max_y": mxy,
                     "poly_area_m2": m2,
+                    "poly_geometry": to_geojson(from_rings([rings]), as_string=True),
                 }
             )
     if not out:
@@ -86,6 +87,7 @@ def _pair_overlaps(pdf: pd.DataFrame) -> pd.DataFrame:
                 "poly_max_x",
                 "poly_max_y",
                 "poly_area_m2",
+                "poly_geometry",
             ]
         )
     return pd.DataFrame(out)
@@ -127,7 +129,24 @@ def validate_overlaps(
 ) -> DataFrame:
     """-> (tz_a, tz_b, overlap_area_deg2, allowed) with allowed=false rows
     being validation violations (engine correctness gate)."""
-    overlaps = find_overlaps(spark, zones)
+    return _validate_polys(find_overlaps(spark, zones), expected)
+
+
+def _validate_polys(overlaps: DataFrame, expected: DataFrame) -> DataFrame:
+    joined = _allowed_join(overlaps, expected)
+    return (
+        joined.groupBy("tz_a", "tz_b")
+        .agg(
+            F.round(F.max("overlap_area_deg2"), 6).alias("overlap_area_deg2"),
+            F.min(F.col("poly_allowed").cast("int")).cast("boolean").alias("allowed"),
+        )
+        .orderBy("tz_a", "tz_b")
+    )
+
+
+def _allowed_join(overlaps: DataFrame, expected: DataFrame) -> DataFrame:
+    """One row per overlap polygon with its allowed flag (and geometry,
+    for the debug artifacts)."""
     # probe both key orders (reference index.js:1075)
     exp = expected.select("tz_a", "tz_b", "min_x", "min_y", "max_x", "max_y")
     exp_both = exp.unionByName(
@@ -154,21 +173,53 @@ def validate_overlaps(
         overlaps.tz_b,
         "overlap_area_deg2",
         "poly_min_x",
+        "poly_geometry",
         exp_both.min_x.isNotNull().alias("poly_allowed"),
     )
-    return (
-        joined.groupBy("tz_a", "tz_b")
-        .agg(
-            F.round(F.max("overlap_area_deg2"), 6).alias("overlap_area_deg2"),
-            F.min(F.col("poly_allowed").cast("int")).cast("boolean").alias("allowed"),
-        )
-        .orderBy("tz_a", "tz_b")
-    )
+    return joined
 
 
-def assert_valid(spark: SparkSession, zones: DataFrame, expected: DataFrame) -> None:
+def assert_valid(
+    spark: SparkSession,
+    zones: DataFrame,
+    expected: DataFrame,
+    debug_dir: str | None = None,
+) -> None:
     """Raises like the reference (index.js:1192-1199) when any overlap
-    polygon is outside every allowed bound."""
-    bad = validate_overlaps(spark, zones, expected).where(~F.col("allowed")).count()
-    if bad:
-        raise ValueError(f"Zone validation unsuccessful: {bad} disallowed overlaps")
+    polygon is outside every allowed bound. With debug_dir set, each
+    failing pair's disallowed polygons are written as
+    `{tzA}-{tzB}-overlap.json` FeatureCollections before raising — the
+    reference's human-review artifacts (index.js:1159-1171, '/' -> '-'
+    in filenames)."""
+    import json
+    import os
+
+    joined = _allowed_join(find_overlaps(spark, zones), expected)
+    bad_polys = joined.where(~F.col("poly_allowed")).select(
+        "tz_a", "tz_b", "poly_geometry"
+    )
+    rows = bad_polys.collect()
+    if not rows:
+        return
+    if debug_dir:
+        os.makedirs(debug_dir, exist_ok=True)
+        by_pair: dict[tuple, list] = {}
+        for r in rows:
+            by_pair.setdefault((r.tz_a, r.tz_b), []).append(
+                json.loads(r.poly_geometry)
+            )
+        for (a, b), geoms in sorted(by_pair.items()):
+            fn = f"{a.replace('/', '-')}-{b.replace('/', '-')}-overlap.json"
+            with open(os.path.join(debug_dir, fn), "w") as f:
+                json.dump(
+                    {
+                        "type": "FeatureCollection",
+                        "features": [
+                            {"type": "Feature", "properties": {}, "geometry": g}
+                            for g in geoms
+                        ],
+                    },
+                    f,
+                )
+    n_pairs = len({(r.tz_a, r.tz_b) for r in rows})
+    raise ValueError(f"Zone validation unsuccessful: {n_pairs} disallowed overlaps")
