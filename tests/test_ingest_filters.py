@@ -138,3 +138,28 @@ def test_lint_config_clean_fixture_has_no_errors(spark):
         spark.createDataFrame(expected_overlaps_pdf()),
     )
     assert out.count() == 0
+
+
+def test_lint_rejects_invalid_ring_nesting():
+    """Overlapping/nested holes make boolean results undefined (the class
+    JSTS throws TopologyException on); ingest lint must quarantine them.
+    Valid holed polygons and touching rings still pass."""
+    import json
+
+    from timezone_boundary_builder_spark.operators.lint import lint_geojson
+
+    def poly(*rings):
+        return json.dumps({"type": "Polygon", "coordinates": list(rings)})
+
+    outer = [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+    h1 = [[1, 1], [1, 4], [4, 4], [4, 1], [1, 1]]
+    h1_overlap = [[3, 3], [3, 6], [6, 6], [6, 3], [3, 3]]   # crosses h1
+    h1_nested = [[2, 2], [2, 3], [3, 3], [3, 2], [2, 2]]    # inside h1
+    h_cross_shell = [[8, 8], [8, 12], [12, 12], [12, 8], [8, 8]]
+    h_touch = [[4, 5], [4, 8], [8, 8], [8, 5], [4, 5]]      # touches h1 corner
+
+    assert lint_geojson(poly(outer, h1)) is None
+    assert lint_geojson(poly(outer, h1, h_touch)) is None
+    assert lint_geojson(poly(outer, h1, h1_overlap)) == "crossing rings"
+    assert lint_geojson(poly(outer, h1, h1_nested)) == "hole inside hole"
+    assert lint_geojson(poly(outer, h_cross_shell)) == "crossing rings"

@@ -59,6 +59,69 @@ def _ring_self_intersects(ring) -> bool:
     return bool((proper & ~adj).any())
 
 
+def _rings_properly_cross(r1, r2) -> bool:
+    """Any PROPER edge crossing between two rings (touching at vertices or
+    along edges is tolerated — common in real OSM data)."""
+    import numpy as np
+
+    def edges(r):
+        p = np.asarray(r, dtype=np.float64)[:, :2]
+        if len(p) >= 2 and np.array_equal(p[0], p[-1]):
+            p = p[:-1]
+        return p, np.roll(p, -1, axis=0)
+
+    a, b = edges(r1)
+    c, d = edges(r2)
+    ax, ay = a[:, 0][:, None], a[:, 1][:, None]
+    bx, by = b[:, 0][:, None], b[:, 1][:, None]
+    cx, cy = c[:, 0][None, :], c[:, 1][None, :]
+    dx, dy = d[:, 0][None, :], d[:, 1][None, :]
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    d1 = orient(ax, ay, bx, by, cx, cy)
+    d2 = orient(ax, ay, bx, by, dx, dy)
+    d3 = orient(cx, cy, dx, dy, ax, ay)
+    d4 = orient(cx, cy, dx, dy, bx, by)
+    return bool(((d1 * d2 < 0) & (d3 * d4 < 0)).any())
+
+
+def _point_strictly_in_ring(pt, ring) -> bool:
+    """Ray-casting parity for one point against one ring (strict: points
+    on the boundary count as outside for lint purposes)."""
+    import numpy as np
+
+    p = np.asarray(ring, dtype=np.float64)[:, :2]
+    if len(p) >= 2 and np.array_equal(p[0], p[-1]):
+        p = p[:-1]
+    x, y = float(pt[0]), float(pt[1])
+    a = p
+    b = np.roll(p, -1, axis=0)
+    cond = (a[:, 1] > y) != (b[:, 1] > y)
+    with_span = cond & (
+        x < (b[:, 0] - a[:, 0]) * (y - a[:, 1]) / np.where(cond, b[:, 1] - a[:, 1], 1.0)
+        + a[:, 0]
+    )
+    return bool(with_span.sum() % 2 == 1)
+
+
+def _invalid_ring_nesting(rings) -> str | None:
+    """Inter-ring topology within ONE polygon: holes must not properly
+    cross the shell or each other, and no hole may sit inside another
+    hole (overlapping/nested holes make boolean results undefined — the
+    class of input the reference's JSTS throws TopologyException on)."""
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            if _rings_properly_cross(rings[i], rings[j]):
+                return "crossing rings"
+    for i in range(1, len(rings)):
+        for j in range(1, len(rings)):
+            if i != j and _point_strictly_in_ring(rings[j][0], rings[i]):
+                return "hole inside hole"
+    return None
+
+
 def lint_geojson(gj: str | None, declared_type: str | None = None) -> str | None:
     """Returns None when valid, else a short error string. Checks mirror
     what geojsonhint catches on the reference's inputs: parseable JSON, a
@@ -96,6 +159,10 @@ def lint_geojson(gj: str | None, declared_type: str | None = None) -> str | None
                         return f"coordinate out of range: {pt!r}"
                 if _ring_self_intersects(ring):
                     return "self-intersecting ring"
+            if len(rings) > 1:
+                nest_err = _invalid_ring_nesting(rings)
+                if nest_err:
+                    return nest_err
     return None
 
 
