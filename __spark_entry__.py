@@ -743,6 +743,26 @@ def _q_sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: whitespace token counts -> 8
+    deterministic shards -> per-shard hash-ordered greedy fill at 2000
+    tokens. Output: per (shard, batch) doc count + token sum. One shuffle,
+    window cumsum; the oracle mirrors the identical window in SQL."""
+    from timezone_boundary_builder_spark.operators.sampling import (
+        pack_token_batches,
+    )
+    from timezone_boundary_builder_spark.operators.text import with_token_counts
+
+    docs = with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("ws_tokens").cast("double").alias("toks")
+    )
+    packed = pack_token_batches(docs, "doc_id", "toks", budget=2000.0, n_shards=8)
+    return packed.groupBy("shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("toks"), 6).alias("sum_tokens"),
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: LSH candidate pairs -> iterative-join connected
     components; cluster_id = min doc id (the deterministic keep_id).
@@ -1013,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": _q_dedup_url,
         "sample_stratified": _q_sample_stratified,
         "sample_hash_fraction": _q_sample_hash_fraction,
+        "pack_batches": _q_pack_batches,
         "text_quality": _q_text_quality,
         "text_tokens": _q_text_tokens,
         "text_langid": _q_text_langid,
@@ -1604,6 +1625,23 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(CAST(doc_id AS VARCHAR) || '|7')) AS rn
               FROM documents)
             SELECT lang, doc_id FROM ranked WHERE rn <= 5""",
+        "pack_batches": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len({words}) AS DOUBLE) AS toks,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8)
+                          AS BIGINT) % 8 AS shard,
+                     md5(CAST(doc_id AS VARCHAR) || '|8') AS ord
+              FROM documents),
+            c AS (
+              SELECT shard, toks,
+                     coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+              FROM t)
+            SELECT shard, CAST(floor(cum_before / 2000.0) AS BIGINT) AS batch_id,
+                   count(*) AS n_docs, round(sum(toks), 6) AS sum_tokens
+            FROM c GROUP BY 1, 2""",
         "sample_hash_fraction": (
             "SELECT doc_id, lang FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8) < '"

@@ -43,6 +43,41 @@ def sample_stratified(
     )
 
 
+def pack_token_batches(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: float,
+    n_shards: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Greedy sequence packing for pretraining batches: rows are dealt to
+    `n_shards` deterministic shards (hash of id), ordered pseudo-randomly
+    within the shard, and cut into batches whenever the running token sum
+    crosses `budget` (batch = floor(cumsum_before / budget) — a document
+    straddling the boundary starts the next batch, the classic greedy
+    fill). Adds (shard, batch_id) columns.
+
+    Scale shape: ONE shuffle (hash-partition by shard) and a per-shard
+    window cumsum — no global ordering anywhere. Packing quality is
+    per-shard, which is what production packers do: a global greedy pack
+    would serialize the corpus through one task."""
+    shard = F.pmod(
+        F.conv(F.substring(hash_order_col(id_col, seed), 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(hash_order_col(id_col, seed + 1))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("shard", shard)
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0.0))
+    return out.withColumn(
+        "batch_id", F.floor(cum_before / F.lit(float(budget))).cast("long")
+    )
+
+
 def sample_hash_fraction(
     df: DataFrame, id_col: str, frac: float, seed: int = 7
 ) -> DataFrame:
