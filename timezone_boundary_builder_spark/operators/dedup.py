@@ -203,31 +203,30 @@ def connected_components(
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).persist()
+    cached_prev = labels
     for _ in range(max_rounds):
-        # candidate label via neighbors: min(label of neighbor)
+        # candidate label via neighbors: min(label of neighbor); the old
+        # label rides along so convergence detection needs no extra join
         nbr = (
             edges.join(labels, edges.d == labels.node)
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr, labels.node == nbr.s, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.where(F.col("label") != F.col("old_label")).count()
+        cached_prev.unpersist()
+        cached_prev = stepped
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
