@@ -51,6 +51,18 @@ def test_stream_assign_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 400
 
+    # second tranche lands in the source dir; a third restart from the
+    # SAME checkpoint processes exactly the delta (exactly-once across
+    # restarts: 400 old rows untouched, 150 new rows appear once)
+    tranche2 = synthetic_pages(n=150, seed=11).drop(columns=["kind"])
+    tranche2["url"] = "t2-" + tranche2["url"].astype(str)
+    spark.createDataFrame(tranche2).write.mode("append").parquet(src)
+    q3 = stream_assign(spark, src, sink, ckpt, bc, OCEAN_BANDS)
+    q3.awaitTermination(120)
+    out = spark.read.parquet(sink).toPandas()
+    assert len(out) == 550 and out.url.nunique() == 550
+    assert (out.url.str.startswith("t2-")).sum() == 150
+
 
 def test_stream_event_counts_matches_batch(spark, tmp_path):
     src = str(tmp_path / "events")
