@@ -820,24 +820,26 @@ def _q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_geocode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real geocode operator (regexp, JVM-side) driven over text with
     deterministically embedded coordinates (integer-built so Spark and the
-    SQL oracle render identical strings)."""
+    SQL oracle render identical strings). Pages rotate through all four
+    recognized formats: geo: URI, @() map link, geo.position meta tag,
+    ICBM meta tag (event_id % 4)."""
     from timezone_boundary_builder_spark.operators.geocode import with_coordinates
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    lat_i = (F.col("event_id") % 170 - 85).cast("int")
-    lon_i = (F.col("event_id") % 350 - 175).cast("int")
-    pages = ev.select(
-        F.col("event_id").cast("string").alias("url"),
-        F.concat(
-            F.lit("crawl snippet geo:"),
-            lat_i.cast("string"),
-            F.lit("."),
-            F.lpad((F.col("event_id") % 100).cast("string"), 2, "0"),
-            F.lit(","),
-            lon_i.cast("string"),
-            F.lit(" trailing words"),
-        ).alias("text"),
+    lat_s = F.concat(
+        (F.col("event_id") % 170 - 85).cast("int").cast("string"),
+        F.lit("."),
+        F.lpad((F.col("event_id") % 100).cast("string"), 2, "0"),
     )
+    lon_s = (F.col("event_id") % 350 - 175).cast("int").cast("string")
+    fmt = F.col("event_id") % 4
+    text = (
+        F.when(fmt == 0, F.concat(F.lit("crawl snippet geo:"), lat_s, F.lit(","), lon_s, F.lit(" trailing words")))
+        .when(fmt == 1, F.concat(F.lit("crawl snippet @("), lat_s, F.lit(", "), lon_s, F.lit(") trailing words")))
+        .when(fmt == 2, F.concat(F.lit('<meta name="geo.position" content="'), lat_s, F.lit(";"), lon_s, F.lit('"> body text')))
+        .otherwise(F.concat(F.lit('<META name="ICBM" content="'), lat_s, F.lit(", "), lon_s, F.lit('"> body text')))
+    )
+    pages = ev.select(F.col("event_id").cast("string").alias("url"), text.alias("text"))
     return with_coordinates(pages).select("url", "lat", "lon")
 
 
@@ -1480,17 +1482,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geocode_extract": r"""
             WITH pages AS (
-              SELECT CAST(event_id AS VARCHAR) AS url,
-                     'crawl snippet geo:' || CAST(CAST(event_id % 170 - 85 AS INT) AS VARCHAR)
-                     || '.' || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0')
-                     || ',' || CAST(CAST(event_id % 350 - 175 AS INT) AS VARCHAR)
-                     || ' trailing words' AS text
+              SELECT CAST(event_id AS VARCHAR) AS url, event_id % 4 AS fmt,
+                     CAST(CAST(event_id % 170 - 85 AS INT) AS VARCHAR)
+                     || '.' || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') AS lat_s,
+                     CAST(CAST(event_id % 350 - 175 AS INT) AS VARCHAR) AS lon_s
               FROM events),
+            texted AS (
+              SELECT url,
+                     CASE fmt
+                       WHEN 0 THEN 'crawl snippet geo:' || lat_s || ',' || lon_s || ' trailing words'
+                       WHEN 1 THEN 'crawl snippet @(' || lat_s || ', ' || lon_s || ') trailing words'
+                       WHEN 2 THEN '<meta name="geo.position" content="' || lat_s || ';' || lon_s || '"> body text'
+                       ELSE '<META name="ICBM" content="' || lat_s || ', ' || lon_s || '"> body text'
+                     END AS text
+              FROM pages),
             ext AS (
               SELECT url,
-                     TRY_CAST(nullif(regexp_extract(text, 'geo:(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)', 1), '') AS DOUBLE) AS lat,
-                     TRY_CAST(nullif(regexp_extract(text, 'geo:(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)', 2), '') AS DOUBLE) AS lon
-              FROM pages)
+                     TRY_CAST(nullif(coalesce(
+                       nullif(regexp_extract(text, 'geo:(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)', 1), ''),
+                       nullif(regexp_extract(text, '@\((-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)\)', 1), ''),
+                       nullif(regexp_extract(text, '(?i)<meta\s+name="geo\.position"\s+content="(-?\d+(?:\.\d+)?);(-?\d+(?:\.\d+)?)"', 1), ''),
+                       nullif(regexp_extract(text, '(?i)<meta\s+name="ICBM"\s+content="(-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)"', 1), '')
+                     ), '') AS DOUBLE) AS lat,
+                     TRY_CAST(nullif(coalesce(
+                       nullif(regexp_extract(text, 'geo:(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)', 2), ''),
+                       nullif(regexp_extract(text, '@\((-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)\)', 2), ''),
+                       nullif(regexp_extract(text, '(?i)<meta\s+name="geo\.position"\s+content="(-?\d+(?:\.\d+)?);(-?\d+(?:\.\d+)?)"', 2), ''),
+                       nullif(regexp_extract(text, '(?i)<meta\s+name="ICBM"\s+content="(-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)"', 2), '')
+                     ), '') AS DOUBLE) AS lon
+              FROM texted)
             SELECT url,
                    CASE WHEN lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180 THEN lat END AS lat,
                    CASE WHEN lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180 THEN lon END AS lon
