@@ -1498,18 +1498,8 @@ def oracle_sql() -> dict[str, str]:
               FROM pages),
             ext AS (
               SELECT url,
-                     TRY_CAST(nullif(coalesce(
-                       nullif(regexp_extract(text, 'geo:(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)', 1), ''),
-                       nullif(regexp_extract(text, '@\((-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)\)', 1), ''),
-                       nullif(regexp_extract(text, '(?i)<meta\s+name="geo\.position"\s+content="(-?\d+(?:\.\d+)?);(-?\d+(?:\.\d+)?)"', 1), ''),
-                       nullif(regexp_extract(text, '(?i)<meta\s+name="ICBM"\s+content="(-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)"', 1), '')
-                     ), '') AS DOUBLE) AS lat,
-                     TRY_CAST(nullif(coalesce(
-                       nullif(regexp_extract(text, 'geo:(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)', 2), ''),
-                       nullif(regexp_extract(text, '@\((-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)\)', 2), ''),
-                       nullif(regexp_extract(text, '(?i)<meta\s+name="geo\.position"\s+content="(-?\d+(?:\.\d+)?);(-?\d+(?:\.\d+)?)"', 2), ''),
-                       nullif(regexp_extract(text, '(?i)<meta\s+name="ICBM"\s+content="(-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)"', 2), '')
-                     ), '') AS DOUBLE) AS lon
+                     TRY_CAST(nullif(regexp_extract(text, '(?i)(?:geo:|@\(|<meta\s+name="geo\.position"\s+content="|<meta\s+name="icbm"\s+content=")(-?\d+(?:\.\d+)?)[,;]\s*(-?\d+(?:\.\d+)?)', 1), '') AS DOUBLE) AS lat,
+                     TRY_CAST(nullif(regexp_extract(text, '(?i)(?:geo:|@\(|<meta\s+name="geo\.position"\s+content="|<meta\s+name="icbm"\s+content=")(-?\d+(?:\.\d+)?)[,;]\s*(-?\d+(?:\.\d+)?)', 2), '') AS DOUBLE) AS lon
               FROM texted)
             SELECT url,
                    CASE WHEN lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180 THEN lat END AS lat,

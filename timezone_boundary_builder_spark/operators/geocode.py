@@ -2,8 +2,8 @@
 extracted coordinates").
 
 Stays entirely JVM-side (regexp_extract inside whole-stage codegen) — no
-Python in this hot path. Four deterministic formats are recognized, in
-priority order:
+Python in this hot path. Four deterministic formats are recognized (the
+FIRST occurrence in the text wins):
 
     geo:<lat>,<lon>                                  (RFC 5870-style)
     @(<lat>, <lon>)                                  (map-link style)
@@ -11,8 +11,8 @@ priority order:
     <meta name="ICBM" content="lat, lon">            (ICBM meta tag)
 
 The meta-tag forms are how real Common-Crawl pages carry coordinates;
-matching is case-insensitive on the tag/attribute names and tolerant of
-attribute order not varying (name before content, the dominant form).
+matching is case-insensitive and assumes name-before-content attribute
+order (the dominant form).
 
 The `text` column is passed through UNTOUCHED — the per-row invariant
 (BASELINE.json input_hint: "byte-identical extracted text per url") is
@@ -25,16 +25,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# ONE alternation pattern for all four forms: prefix alternatives, then
+# lat [,;] lon. A single pattern keeps the extraction at two
+# regexp_extract calls — the split-per-format variant (8 calls inside two
+# coalesces) pushed whole-stage codegen past the 64 KB method limit and
+# silently fell back to interpreted mode.
+COORD_RE = (
+    r'(?i)(?:geo:|@\(|<meta\s+name="geo\.position"\s+content="'
+    r'|<meta\s+name="icbm"\s+content=")'
+    r"(-?\d+(?:\.\d+)?)[,;]\s*(-?\d+(?:\.\d+)?)"
+)
+# kept for reference/tests: the per-format patterns COORD_RE unifies
 GEO_RE = r"geo:(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)"
 AT_RE = r"@\((-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)\)"
-GEOPOS_RE = (
-    r'(?i)<meta\s+name="geo\.position"\s+content="'
-    r"(-?\d+(?:\.\d+)?);(-?\d+(?:\.\d+)?)\""
-)
-ICBM_RE = (
-    r'(?i)<meta\s+name="ICBM"\s+content="'
-    r"(-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)\""
-)
 
 
 def _first_match(text: Column, pattern: str, group: int) -> Column:
@@ -45,18 +48,8 @@ def _first_match(text: Column, pattern: str, group: int) -> Column:
 def with_coordinates(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds lat/lon DOUBLE columns (null when no coordinate is present)."""
     t = F.col(text_col)
-    lat = F.coalesce(
-        _first_match(t, GEO_RE, 1),
-        _first_match(t, AT_RE, 1),
-        _first_match(t, GEOPOS_RE, 1),
-        _first_match(t, ICBM_RE, 1),
-    )
-    lon = F.coalesce(
-        _first_match(t, GEO_RE, 2),
-        _first_match(t, AT_RE, 2),
-        _first_match(t, GEOPOS_RE, 2),
-        _first_match(t, ICBM_RE, 2),
-    )
+    lat = _first_match(t, COORD_RE, 1)
+    lon = _first_match(t, COORD_RE, 2)
     # reject out-of-range coordinates as unparseable
     lat_ok = (lat >= -90) & (lat <= 90)
     lon_ok = (lon >= -180) & (lon <= 180)
