@@ -133,13 +133,17 @@ def main(argv=None) -> int:
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     joined = scan.join(assigned, "url", "inner")
-    h_out = joined.agg(
+    joined.write.mode("overwrite").parquet(f"{args.out_dir}/assigned_pages")
+    # hash the WRITTEN output, not the in-memory join: one join execution
+    # instead of two, and the invariant covers the bytes that actually
+    # landed in the sink
+    written = spark.read.parquet(f"{args.out_dir}/assigned_pages")
+    h_out = written.agg(
         F.bit_xor(F.xxhash64("url", "text")).alias("h"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     text_ok = (h_in["h"] == h_out["h"]) and (h_in["n"] == h_out["n"])
     assert text_ok, "text passthrough invariant violated"
-    joined.write.mode("overwrite").parquet(f"{args.out_dir}/assigned_pages")
 
     print(
         json.dumps(
