@@ -855,6 +855,21 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_html_meta(docs)
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing over the binary column (stubbed
+    pixels: dimensions from the deterministic fake decode = sha256 of the
+    payload bytes, which DuckDB reproduces with sha256(text))."""
+    from timezone_boundary_builder_spark.operators.multimodal import resize_images
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+    )
+    return resize_images(docs).select(
+        "url", "out_w", "out_h", F.round("scale", 6).alias("scale_r")
+    )
+
+
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1->N frame sampling over a binary media column (stubbed decode,
     real distributed explode inside the Arrow batch)."""
@@ -1046,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "geocode_extract": _q_geocode_extract,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "events_windowed": _q_events_windowed,
@@ -1505,6 +1521,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180 THEN lat END AS lat,
                    CASE WHEN lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180 THEN lon END AS lon
             FROM ext""",
+        "multimodal_resize": """
+            WITH d AS (
+              SELECT doc_id,
+                     64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) AS w,
+                     64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) AS h
+              FROM documents),
+            s AS (
+              SELECT doc_id, w, h, least(224.0 / w, 224.0 / h) AS scale
+              FROM d)
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   GREATEST(1, CAST(floor(w * scale) AS INT)) AS out_w,
+                   GREATEST(1, CAST(floor(h * scale) AS INT)) AS out_h,
+                   round(scale, 6) AS scale_r
+            FROM s""",
         "multimodal_meta": """
             SELECT CAST(doc_id AS VARCHAR) AS url,
                    octet_length(encode(text)) AS n_bytes,

@@ -121,6 +121,49 @@ def frame_sample(
     return pages.select("url", media_col).mapInPandas(_frames, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "url string, out_w int, out_h int, scale double, resized binary"
+)
+
+
+def resize_images(
+    pages: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Binary -> aspect-preserving resize to fit (target_w, target_h).
+    The Spark plumbing (mapInPandas, Arrow binary round-trip, batch
+    shapes) is real; the pixel work is the clearly-marked stub pattern:
+    with use_real_codec the PIL path raises NotImplementedError in this
+    container, otherwise dimensions come from the deterministic fake
+    decode and the 'resized' payload is a content-addressed placeholder
+    of the computed output size (so downstream schema/size logic is
+    testable without a codec)."""
+
+    def _resize(batches):
+        for pdf in batches:
+            rows = []
+            for url, b in zip(pdf["url"], pdf["html"]):
+                b = bytes(b) if b is not None else b""
+                if use_real_codec:
+                    (w, h), arr = _decode_image_real(b)
+                else:
+                    w, h, _ = _fake_image_features(b)
+                scale = min(target_w / w, target_h / h)
+                out_w = max(1, int(w * scale))
+                out_h = max(1, int(h * scale))
+                payload = hashlib.sha256(
+                    b + f"|{out_w}x{out_h}".encode()
+                ).digest()
+                rows.append((url, out_w, out_h, float(scale), payload))
+            yield pd.DataFrame(
+                rows, columns=["url", "out_w", "out_h", "scale", "resized"]
+            )
+
+    return pages.select("url", "html").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
 def _decode_image_real(data: bytes):
     """STUB: real decode requires PIL/libvips, not present in this
     container. The function gate is real; the decode is not."""
