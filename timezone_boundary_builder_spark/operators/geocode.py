@@ -35,9 +35,6 @@ COORD_RE = (
     r'|<meta\s+name="icbm"\s+content=")'
     r"(-?\d+(?:\.\d+)?)[,;]\s*(-?\d+(?:\.\d+)?)"
 )
-# kept for reference/tests: the per-format patterns COORD_RE unifies
-GEO_RE = r"geo:(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)"
-AT_RE = r"@\((-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)\)"
 
 
 def _first_match(text: Column, pattern: str, group: int) -> Column:
