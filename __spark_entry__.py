@@ -1365,9 +1365,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT ((cell_id & ((1::BIGINT << 58) - 1)) >> 2)
                      + (4::BIGINT << 58) AS parent_id,
                    tzid,
-                   count(*) AS n_children,
-                   sum(CASE WHEN coverage = 'full' THEN 1 ELSE 0 END)
-                     AS n_full_children
+                   CAST(count(*) AS BIGINT) AS n_children,
+                   CAST(sum(CASE WHEN coverage = 'full' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_full_children
             FROM r GROUP BY 1, 2""",
         "ann_lsh": _ann_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
@@ -1512,11 +1512,15 @@ def oracle_sql() -> dict[str, str]:
                        ELSE '<META name="ICBM" content="' || lat_s || ', ' || lon_s || '"> body text'
                      END AS text
               FROM pages),
+            hitd AS (
+              SELECT url,
+                     regexp_extract(text, '(?i)(?:geo:-?\d+(?:\.\d+)?,\s*-?\d+(?:\.\d+)?|@\(-?\d+(?:\.\d+)?,\s*-?\d+(?:\.\d+)?\)|<meta\s+name="(?:geo\.position|icbm)"\s+content="-?\d+(?:\.\d+)?[;,]\s*-?\d+(?:\.\d+)?")', 0) AS hit
+              FROM texted),
             ext AS (
               SELECT url,
-                     TRY_CAST(nullif(regexp_extract(text, '(?i)(?:geo:|@\(|<meta\s+name="geo\.position"\s+content="|<meta\s+name="icbm"\s+content=")(-?\d+(?:\.\d+)?)[,;]\s*(-?\d+(?:\.\d+)?)', 1), '') AS DOUBLE) AS lat,
-                     TRY_CAST(nullif(regexp_extract(text, '(?i)(?:geo:|@\(|<meta\s+name="geo\.position"\s+content="|<meta\s+name="icbm"\s+content=")(-?\d+(?:\.\d+)?)[,;]\s*(-?\d+(?:\.\d+)?)', 2), '') AS DOUBLE) AS lon
-              FROM texted)
+                     TRY_CAST(nullif(regexp_extract(hit, '(-?\d+(?:\.\d+)?)[,;]\s*(-?\d+(?:\.\d+)?)', 1), '') AS DOUBLE) AS lat,
+                     TRY_CAST(nullif(regexp_extract(hit, '(-?\d+(?:\.\d+)?)[,;]\s*(-?\d+(?:\.\d+)?)', 2), '') AS DOUBLE) AS lon
+              FROM hitd)
             SELECT url,
                    CASE WHEN lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180 THEN lat END AS lat,
                    CASE WHEN lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180 THEN lon END AS lon

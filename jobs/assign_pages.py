@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import shutil
 import sys
 import time
 
@@ -133,17 +135,26 @@ def main(argv=None) -> int:
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     joined = scan.join(assigned, "url", "inner")
-    joined.write.mode("overwrite").parquet(f"{args.out_dir}/assigned_pages")
-    # hash the WRITTEN output, not the in-memory join: one join execution
-    # instead of two, and the invariant covers the bytes that actually
-    # landed in the sink
-    written = spark.read.parquet(f"{args.out_dir}/assigned_pages")
+    # stage-then-promote: write to a staging path, hash the WRITTEN bytes
+    # (one join execution, and the invariant covers what actually landed
+    # on disk), and only rename into the consumer-visible path once the
+    # check passes — a violation must never leave corrupt parquet where
+    # downstream readers can pick it up
+    final_path = f"{args.out_dir}/assigned_pages"
+    staging_path = f"{final_path}.__staging__"
+    joined.write.mode("overwrite").parquet(staging_path)
+    written = spark.read.parquet(staging_path)
     h_out = written.agg(
         F.bit_xor(F.xxhash64("url", "text")).alias("h"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     text_ok = (h_in["h"] == h_out["h"]) and (h_in["n"] == h_out["n"])
-    assert text_ok, "text passthrough invariant violated"
+    if not text_ok:
+        shutil.rmtree(staging_path, ignore_errors=True)
+        raise AssertionError("text passthrough invariant violated")
+    if os.path.exists(final_path):
+        shutil.rmtree(final_path)
+    os.replace(staging_path, final_path)
 
     print(
         json.dumps(

@@ -168,3 +168,44 @@ def test_udf_assign_equals_mapinpandas(spark, zones_df, zones_pdf):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_geocode_separator_strictness(spark):
+    """Each format pairs its own separator/terminator (ADVICE round 1):
+    'geo:' takes ',' only, '@(' requires the closing ')', meta tags take
+    [;,] and require the closing quote. Cross-format separators and
+    unterminated forms must NOT parse."""
+    cases = [
+        # (text, expect_lat, expect_lon) — None means "must not parse"
+        ("x geo:12.5,-34.1 y", 12.5, -34.1),
+        ("x @(12, 34) y", 12.0, 34.0),
+        ('<meta name="geo.position" content="12;34"> b', 12.0, 34.0),
+        ('<META name="ICBM" content="12, 34"> b', 12.0, 34.0),
+        ("x geo:12;34 y", None, None),        # geo: with ';' — rejected
+        ("x @(12;34 y", None, None),          # '@(' with ';' — rejected
+        ("x @(12, 34 y", None, None),         # unterminated '@(' — rejected
+        ('<meta name="geo.position" content="12;34 b', None, None),  # no closing quote
+        ("no coordinates here", None, None),
+    ]
+    pages = spark.createDataFrame(
+        [(str(i), t) for i, (t, _, _) in enumerate(cases)], ["url", "text"]
+    )
+    got = {
+        r["url"]: (r["lat"], r["lon"])
+        for r in with_coordinates(pages).collect()
+    }
+    for i, (t, lat, lon) in enumerate(cases):
+        assert got[str(i)] == (lat, lon), (t, got[str(i)], (lat, lon))
+
+
+def test_sample_hash_fraction_edges(spark):
+    """frac >= 1 keeps every row, frac <= 0 keeps none (the lexicographic
+    hex-threshold compare is only valid strictly inside (0, 1))."""
+    from timezone_boundary_builder_spark.operators.sampling import sample_hash_fraction
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    assert sample_hash_fraction(df, "doc_id", 1.0).count() == 500
+    assert sample_hash_fraction(df, "doc_id", 1.5).count() == 500
+    assert sample_hash_fraction(df, "doc_id", 0.0).count() == 0
+    mid = sample_hash_fraction(df, "doc_id", 0.5).count()
+    assert 175 <= mid <= 325, mid

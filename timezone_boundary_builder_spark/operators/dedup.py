@@ -191,9 +191,12 @@ def connected_components(
     (singletons are trivially their own cluster and never shuffle), so
     the iteration state is proportional to the near-dup population, not
     the corpus. Each round is one join + one min-aggregate on the edge
-    list; rounds needed = graph diameter in doublings (near-dup clusters
-    are dense, so 2-4 rounds in practice). The loop stops at the first
-    round that changes no label."""
+    list; min-label propagation advances one hop per round, so rounds
+    needed = graph diameter (near-dup clusters are dense, so 2-4 rounds
+    in practice; a pathological chain of k docs needs ~k rounds). The
+    loop stops at the first round that changes no label and raises if
+    max_rounds is exhausted before convergence — a silent exit would
+    return inconsistent cluster ids."""
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -229,6 +232,13 @@ def connected_components(
         labels = stepped.select("node", "label")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); the near-dup graph has a "
+            f"chain longer than max_rounds — raise max_rounds"
+        )
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     edges.unpersist()
     return out

@@ -25,16 +25,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# ONE alternation pattern for all four forms: prefix alternatives, then
-# lat [,;] lon. A single pattern keeps the extraction at two
-# regexp_extract calls — the split-per-format variant (8 calls inside two
-# coalesces) pushed whole-stage codegen past the 64 KB method limit and
-# silently fell back to interpreted mode.
+# ONE strict alternation pattern for all four forms, each branch pairing
+# its prefix with its own separator and terminator (geo: takes ',' only;
+# @( takes ',' and REQUIRES the closing ')'; the meta tags take [;,] and
+# require the closing '"') — a shared loose `[,;]` tail cross-accepted
+# 'geo:12;34' and unterminated '@(12;34'. The whole match is extracted
+# once (group 0) and the lat/lon pair is re-parsed from that short
+# substring, keeping the stage at three regexp_extract calls — the
+# split-per-format variant (8 calls inside two coalesces) pushed
+# whole-stage codegen past the 64 KB method limit and silently fell back
+# to interpreted mode.
+_NUM = r"-?\d+(?:\.\d+)?"
 COORD_RE = (
-    r'(?i)(?:geo:|@\(|<meta\s+name="geo\.position"\s+content="'
-    r'|<meta\s+name="icbm"\s+content=")'
-    r"(-?\d+(?:\.\d+)?)[,;]\s*(-?\d+(?:\.\d+)?)"
+    f"(?i)(?:geo:{_NUM},\\s*{_NUM}"
+    f"|@\\({_NUM},\\s*{_NUM}\\)"
+    f'|<meta\\s+name="(?:geo\\.position|icbm)"\\s+content="{_NUM}[;,]\\s*{_NUM}")'
 )
+PAIR_RE = f"({_NUM})[,;]\\s*({_NUM})"
 
 
 def _first_match(text: Column, pattern: str, group: int) -> Column:
@@ -44,9 +51,9 @@ def _first_match(text: Column, pattern: str, group: int) -> Column:
 
 def with_coordinates(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds lat/lon DOUBLE columns (null when no coordinate is present)."""
-    t = F.col(text_col)
-    lat = _first_match(t, COORD_RE, 1)
-    lon = _first_match(t, COORD_RE, 2)
+    hit = F.regexp_extract(F.col(text_col), COORD_RE, 0)
+    lat = _first_match(hit, PAIR_RE, 1)
+    lon = _first_match(hit, PAIR_RE, 2)
     # reject out-of-range coordinates as unparseable
     lat_ok = (lat >= -90) & (lat <= 90)
     lon_ok = (lon >= -180) & (lon <= 180)

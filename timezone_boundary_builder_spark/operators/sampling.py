@@ -83,7 +83,14 @@ def sample_hash_fraction(
 ) -> DataFrame:
     """Keep rows whose hash prefix falls below frac of the hash space.
     Map-only (no shuffle); deterministic in the row id, independent of
-    partitioning and engine."""
+    partitioning and engine. frac >= 1 keeps everything and frac <= 0
+    keeps nothing — the lexicographic threshold compare only works for
+    thresholds inside the 8-hex-digit space (int(1.0 * 16**8) formats to
+    9 chars and would lexicographically exclude ~94% of rows)."""
+    if frac >= 1.0:
+        return df
+    if frac <= 0.0:
+        return df.where(F.lit(False))
     thr = format(int(frac * 16**_HEX_DIGITS), f"0{_HEX_DIGITS}x")
     return df.where(
         F.substring(hash_order_col(id_col, seed), 1, _HEX_DIGITS) < F.lit(thr)
