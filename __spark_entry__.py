@@ -523,6 +523,84 @@ def _q_geo_lint_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_real_config_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part A driven by the REAL reference configs (north_star: match
+    "the reference's own expectedZoneOverlaps / osmBoundarySources
+    validation checks"): the real timezones.json op lists (419 init / 12
+    union / 9 difference / 1 intersect), the real 411-source table, and
+    the real 34 allowed-overlap bboxes, with deterministic synthetic
+    geometries placed so every config semantic bites (see
+    sources/real_config.py). Runs build -> validate -> lint and emits
+    config-derived invariants plus one row per allowed overlap pair; the
+    oracle is the literal golden table hand-derived from the raw JSONs
+    (reference index.js:829-854, 1045-1202; lint-json.js:12-49)."""
+    from timezone_boundary_builder_spark.operators.lint import lint_config
+    from timezone_boundary_builder_spark.operators.validate import validate_overlaps
+    from timezone_boundary_builder_spark.operators.zone_build import build_zones
+    from timezone_boundary_builder_spark.sources.real_config import (
+        real_expected_overlaps_pdf,
+        real_sources_pdf,
+        real_zones_config_pdf,
+    )
+
+    zc_all = spark.createDataFrame(real_zones_config_pdf())
+    zc = zc_all.drop("planted")
+    src = spark.createDataFrame(real_sources_pdf())
+    exp = spark.createDataFrame(real_expected_overlaps_pdf())
+    zones = build_zones(spark, zc, src).cache()
+    v = validate_overlaps(spark, zones, exp).cache()
+
+    op_counts = (
+        zc_all.where(~F.col("planted"))
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("op_count").alias("metric"), F.col("op").alias("item"), "value")
+    )
+    planted = (
+        zc_all.where(F.col("planted"))
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("planted_ops").alias("metric"), F.lit("union").alias("item"), "value")
+    )
+    zone_stats = zones.agg(
+        F.count(F.lit(1)).alias("built"),
+        F.sum((F.col("area_deg2") <= 0).cast("long")).alias("empty"),
+    ).selectExpr(
+        "stack(2, 'zones_built', 'all', built, 'zones_empty', 'all', empty) "
+        "as (metric, item, value)"
+    )
+    v_stats = v.agg(
+        F.count(F.lit(1)).alias("observed"),
+        F.sum(F.col("allowed").cast("long")).alias("allowed"),
+        F.sum((~F.col("allowed")).cast("long")).alias("violations"),
+    ).selectExpr(
+        "stack(3, 'overlap_pairs', 'observed', observed, "
+        "'overlap_pairs', 'allowed', allowed, "
+        "'overlap_pairs', 'violations', violations) as (metric, item, value)"
+    )
+    pair_rows = v.where(F.col("allowed")).select(
+        F.lit("pair_allowed").alias("metric"),
+        F.concat_ws("-", F.col("tz_a"), F.col("tz_b")).alias("item"),
+        F.lit(1).cast("long").alias("value"),
+    )
+    lint_cnt = (
+        lint_config(zc, src, exp)
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(F.lit("lint_errors").alias("metric"), F.lit("all").alias("item"), "value")
+    )
+    src_cnt = src.agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("sources").alias("metric"), F.lit("total").alias("item"), "value"
+    )
+    bounds_cnt = exp.agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("allowed_bounds").alias("metric"), F.lit("rows").alias("item"), "value"
+    )
+    out = op_counts
+    for part in (planted, zone_stats, v_stats, pair_rows, lint_cnt, src_cnt, bounds_cnt):
+        out = out.unionByName(part)
+    return out.withColumn("value", F.col("value").cast("long")).orderBy(
+        "metric", "item"
+    )
+
+
 def _q_geo_osm_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8b: the combined-osm-zones relation (combineAndWriteOSMZones,
     index.js:1391-1405) — one feature per tzid from the raw per-tz OSM
@@ -1033,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tz_groups": _q_geo_tz_groups,
         "geo_derived_now_oceans": _q_geo_derived_now_oceans,
         "geo_lint_config": _q_geo_lint_config,
+        "geo_real_config_build": _q_geo_real_config_build,
         "geo_osm_zones": _q_geo_osm_zones,
         "geo_release_diff": _q_geo_release_diff,
         "geo_tiles_raster": _q_geo_tiles_raster,
@@ -1369,6 +1448,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN coverage = 'full' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_full_children
             FROM r GROUP BY 1, 2""",
+        # golden invariants hand-derived from the raw reference configs
+        # (timezones.json op-kind counts, expectedZoneOverlaps.json pair
+        # keys + 34 bounds rows, osmBoundarySources.json 411 sources) —
+        # independent of the engine's geometry kernels
+        "geo_real_config_build": """
+            SELECT metric, item, CAST(value AS BIGINT) AS value FROM (VALUES
+            ('allowed_bounds', 'rows', 34),
+            ('lint_errors', 'all', 0),
+            ('op_count', 'difference', 9),
+            ('op_count', 'init', 419),
+            ('op_count', 'intersect', 1),
+            ('op_count', 'union', 12),
+            ('overlap_pairs', 'allowed', 25),
+            ('overlap_pairs', 'observed', 25),
+            ('overlap_pairs', 'violations', 0),
+            ('pair_allowed', 'Africa/Juba-Africa/Khartoum', 1),
+            ('pair_allowed', 'Africa/Ouagadougou-Africa/Porto-Novo', 1),
+            ('pair_allowed', 'America/Anchorage-America/Dawson', 1),
+            ('pair_allowed', 'America/Argentina/Rio_Gallegos-America/Punta_Arenas', 1),
+            ('pair_allowed', 'America/La_Paz-America/Porto_Velho', 1),
+            ('pair_allowed', 'America/Los_Angeles-America/Vancouver', 1),
+            ('pair_allowed', 'America/Moncton-America/New_York', 1),
+            ('pair_allowed', 'America/Sitka-America/Vancouver', 1),
+            ('pair_allowed', 'Asia/Bangkok-Asia/Yangon', 1),
+            ('pair_allowed', 'Asia/Hebron-Asia/Jerusalem', 1),
+            ('pair_allowed', 'Asia/Ho_Chi_Minh-Asia/Manila', 1),
+            ('pair_allowed', 'Asia/Ho_Chi_Minh-Asia/Shanghai', 1),
+            ('pair_allowed', 'Asia/Kathmandu-Asia/Kolkata', 1),
+            ('pair_allowed', 'Asia/Kolkata-Asia/Shanghai', 1),
+            ('pair_allowed', 'Asia/Manila-Asia/Shanghai', 1),
+            ('pair_allowed', 'Asia/Pyongyang-Asia/Shanghai', 1),
+            ('pair_allowed', 'Asia/Shanghai-Asia/Thimphu', 1),
+            ('pair_allowed', 'Asia/Shanghai-Asia/Urumqi', 1),
+            ('pair_allowed', 'Asia/Tbilisi-Europe/Moscow', 1),
+            ('pair_allowed', 'Europe/Amsterdam-Europe/Berlin', 1),
+            ('pair_allowed', 'Europe/Athens-Europe/Istanbul', 1),
+            ('pair_allowed', 'Europe/Belgrade-Europe/Zagreb', 1),
+            ('pair_allowed', 'Europe/Berlin-Europe/Luxembourg', 1),
+            ('pair_allowed', 'Europe/Ljubljana-Europe/Zagreb', 1),
+            ('pair_allowed', 'Europe/Paris-Europe/Rome', 1),
+            ('planted_ops', 'union', 50),
+            ('sources', 'total', 411),
+            ('zones_built', 'all', 419),
+            ('zones_empty', 'all', 0)
+            ) AS t(metric, item, value)
+            ORDER BY metric, item""",
         "ann_lsh": _ann_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_ivf": _ivf_sql(),
