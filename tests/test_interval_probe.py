@@ -217,3 +217,134 @@ def test_knn_wraps_across_antimeridian():
     assert code[0] == 0 and method[0] == 2  # wrapped kNN hit
     assert code[1] == 1 and method[1] == 3  # beyond 1852 m -> GMT+9 band
     assert code[2] == 0 and method[2] == 2  # same-side control
+
+
+def _mk_cellmap(rows):
+    zones_pdf = pd.DataFrame(rows)
+    covers = []
+    for r in zones_pdf.itertuples():
+        cells, full = cover_polygon(from_geojson(r.geometry), max_res=7)
+        covers.append(
+            pd.DataFrame(
+                {"tzid": r.tzid, "cell_id": cells.astype(np.int64), "full": full}
+            )
+        )
+    return CellMap(pd.concat(covers, ignore_index=True), zones_pdf), zones_pdf
+
+
+def _box_row(tzid, x0, y0, x1, y1):
+    return {
+        "tzid": tzid,
+        "geometry": _box_gj(x0, y0, x1, y1),
+        "min_x": float(x0),
+        "min_y": float(y0),
+        "max_x": float(x1),
+        "max_y": float(y1),
+    }
+
+
+_POLAR_BANDS = [
+    {"tzid": "Etc/GMT+9", "left": -180.0, "right": -90.0},
+    {"tzid": "Etc/GMT+3", "left": -90.0, "right": 0.0},
+    {"tzid": "Etc/GMT-3", "left": 0.0, "right": 90.0},
+    {"tzid": "Etc/GMT-9", "left": 90.0, "right": 180.0},
+]
+_POLAR_EDGES = np.array([b["left"] for b in _POLAR_BANDS] + [180.0])
+
+
+def test_knn_pad_covers_high_latitude():
+    """At 86 deg latitude 1852 m of longitude is ~0.18 deg — more than the
+    base 0.1 deg grid pad. A point 0.1505 deg east of a polar zone
+    (~1169 m under the kernel metric) must still see the zone as a kNN
+    candidate: the grid's lon pad scales by 1/cos(lat)."""
+    cm, _ = _mk_cellmap([_box_row("Polar/A", 10.0, 85.5, 10.85, 86.5)])
+    lon = np.array([11.0005, 11.30, 10.4])
+    lat = np.array([86.0, 86.0, 86.0])
+    code, method = assign_codes(cm, _POLAR_EDGES, 4, lon, lat, knn_max_m=1852.0)
+    assert code[0] == 0 and method[0] == 2  # 1169 m east -> kNN hit
+    assert method[1] == 3  # 3494 m east -> ocean band
+    assert code[2] == 0 and method[2] in (0, 1)  # interior control
+
+
+def test_knn_seam_mask_is_metric_at_high_latitude():
+    """A point 1.8 deg of lon from cross-seam land at lat 89.5 is only
+    ~1749 m away (cos shrinks the degree): the wrap pass must fire even
+    though |lon| < 179, i.e. the seam mask is metric, not a fixed degree
+    threshold."""
+    cm, _ = _mk_cellmap([_box_row("Polar/Seam", -180.0, 89.0, -179.0, 89.8)])
+    lon = np.array([178.2, 170.0])
+    lat = np.array([89.5, 89.5])
+    code, method = assign_codes(cm, _POLAR_EDGES, 4, lon, lat, knn_max_m=1852.0)
+    assert code[0] == 0 and method[0] == 2  # wrapped kNN hit at |lon|<179
+    assert method[1] == 3  # 10686 m across the seam -> ocean
+
+
+def test_polar_band_soak_matches_brute_force():
+    """Exactness soak at |lat| >= 79: random points against a ring of polar
+    zones (including seam-adjacent ones, both hemispheres) must match a
+    brute-force oracle over ALL zones with explicit lon+-360 wrap —
+    interior, kNN-within-1852 m, and ocean rows alike."""
+    from timezone_boundary_builder_spark.geom.kernels import (
+        min_distance_to_boundary_m,
+    )
+
+    rows = []
+    for k in range(12):
+        x0 = -180.0 + k * 30.0 + 3.0
+        rows.append(_box_row(f"Polar/N{k:02d}", x0, 80.0 + (k % 4), x0 + 9.0, 84.0 + (k % 4)))
+    rows.append(_box_row("Polar/SeamW", -180.0, 86.0, -176.5, 88.5))
+    rows.append(_box_row("Polar/SeamE", 177.0, 85.0, 180.0, 87.0))
+    rows.append(_box_row("Polar/South", -40.0, -88.0, -20.0, -81.0))
+    cm, zones_pdf = _mk_cellmap(rows)
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    lon = rng.uniform(-180.0, 180.0, size=n)
+    lat = np.where(
+        rng.random(n) < 0.85,
+        rng.uniform(79.0, 89.9, size=n),
+        -rng.uniform(79.0, 89.9, size=n),
+    )
+    code, method = assign_codes(cm, _POLAR_EDGES, 4, lon, lat, knn_max_m=1852.0)
+
+    pts = np.column_stack([lon, lat])
+    order = np.argsort(zones_pdf["tzid"].to_numpy())
+    tz_sorted = zones_pdf["tzid"].to_numpy()[order]
+    geoms = [from_geojson(zones_pdf["geometry"].iloc[zi]) for zi in order]
+    inside = np.stack([points_in_packed(pts, g) for g in geoms], axis=0)
+    dist = np.full((len(geoms), n), np.inf)
+    for r, g in enumerate(geoms):
+        for shift in (0.0, -360.0, 360.0):
+            sp = np.column_stack([lon + shift, lat])
+            dist[r] = np.minimum(dist[r], min_distance_to_boundary_m(sp, g))
+    n_zones = len(cm.tzids)
+
+    any_in = inside.any(axis=0)
+    first = inside.argmax(axis=0)
+    # land rows: smallest containing tzid
+    want_land = np.array(
+        [cm.tzids.index(tz_sorted[f]) for f in first[any_in]], dtype=np.int64
+    )
+    assert np.array_equal(code[any_in], want_land)
+    # offshore rows: same strictly-better / ascending-tzid rule as the kernel
+    off_idx = np.nonzero(~any_in)[0]
+    dmin = np.full(len(off_idx), np.inf)
+    dwin = np.full(len(off_idx), -1, dtype=np.int64)
+    for r in range(len(geoms)):
+        better = dist[r, off_idx] < dmin - 1e-9
+        dmin[better] = dist[r, off_idx[better]]
+        dwin[better] = r
+    knn = dmin <= 1852.0
+    assert knn.sum() > 50  # the polar shell is actually exercised
+    got = code[off_idx]
+    for i in np.nonzero(knn)[0]:
+        assert method[off_idx[i]] == 2, (lon[off_idx[i]], lat[off_idx[i]])
+        assert cm.tzids[got[i]] == tz_sorted[dwin[i]], (
+            lon[off_idx[i]],
+            lat[off_idx[i]],
+        )
+    band_idx = np.clip(
+        np.searchsorted(_POLAR_EDGES, lon[off_idx[~knn]], side="right") - 1, 0, 3
+    )
+    assert np.array_equal(got[~knn], n_zones + band_idx)
+    assert (method[off_idx[~knn]] == 3).all()

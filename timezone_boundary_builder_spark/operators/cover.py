@@ -108,8 +108,8 @@ class CellMap:
         """Per-POLYGON bboxes for the kNN prefilter. A whole-zone bbox is
         useless for antimeridian multipolygons (it spans the world, so every
         offshore point pays a distance computation); per-polygon boxes stay
-        tight. Valid for zones below ~|lat| 80 where the 0.1 deg pad still
-        exceeds 1852 m of longitude."""
+        tight. The grid registration pads these boxes with a lat-dependent
+        lon pad (see _build_knn_grid), so they are valid at all latitudes."""
         boxes = []
         zone_of = []
         for zi, gj in enumerate(self.geojson):
@@ -133,7 +133,7 @@ class CellMap:
         self.knn_box_zone = np.asarray(zone_of, dtype=np.int32)
         self._build_knn_grid()
 
-    KNN_GRID_PAD_DEG = 0.1  # > 1852 m of lon below ~|lat| 80
+    KNN_GRID_PAD_DEG = 0.1  # ~6x the 1852 m lat pad; lon pad scales by 1/cos
 
     def _build_knn_grid(self) -> None:
         """1-degree lat-lon grid -> candidate-zone CSR for the kNN
@@ -144,7 +144,17 @@ class CellMap:
         knn_grid_tz[off[cell]:off[cell+1]]. The grid cells COVER each
         padded polygon box, so the candidate set is a superset of the
         padded-bbox set: any zone within 1852 m of a point is always a
-        candidate; extra candidates only cost a distance computation."""
+        candidate; extra candidates only cost a distance computation.
+
+        The LATITUDE pad is a constant 0.1 deg (11 km — 6x the 1852 m
+        rule everywhere on the sphere). The LONGITUDE pad must grow as
+        1/cos(lat): a degree of longitude shrinks toward the poles, so a
+        fixed 0.1 deg stops covering 1852 m beyond ~|lat| 80 (1852 m at
+        84 deg is already 0.16 deg of lon). Each box gets
+        pad/cos(max |lat| of the padded box), keeping the same 6x safety
+        margin at every latitude; boxes whose pad reaches the pole (or
+        spans the globe) register every lon column — near the pole all
+        longitudes really are within 1852 m of each other."""
         pad = self.KNN_GRID_PAD_DEG
         ncell = 360 * 180
         lists: dict[int, list[int]] = {}
@@ -154,8 +164,14 @@ class CellMap:
             # 100 m west of the seam never sees land 100 m east of it
             # (GeoJSON geometries are split at +-180, so only the pad —
             # never the box itself — crosses)
-            gx0 = int(np.floor(x0 - pad)) + 180
-            gx1 = int(np.floor(x1 + pad)) + 180
+            max_abs_lat = min(max(abs(y0), abs(y1)) + pad, 90.0)
+            cos_lat = np.cos(np.radians(max_abs_lat))
+            lon_pad = pad / cos_lat if cos_lat > 1e-6 else 360.0
+            if lon_pad >= 180.0 or (x1 - x0) + 2 * lon_pad >= 360.0:
+                gx0, gx1 = 0, 359
+            else:
+                gx0 = int(np.floor(x0 - lon_pad)) + 180
+                gx1 = int(np.floor(x1 + lon_pad)) + 180
             gy0 = max(int(np.floor(y0 - pad)) + 90, 0)
             gy1 = min(int(np.floor(y1 + pad)) + 90, 179)
             for gx in range(gx0, gx1 + 1):

@@ -174,12 +174,22 @@ def _assign_codes_block(
                 zvals, zstarts = np.unique(pair_z, return_index=True)
                 zends = np.append(zstarts[1:], len(pair_z))
                 # ascending z: strictly-better distance wins, ties keep the
-                # earlier (smaller-tzid) zone — identical to the old rule
-                # points within the grid pad of the antimeridian also get a
+                # earlier (smaller-tzid) zone — identical to the old rule.
+                # Points metrically close to the antimeridian also get a
                 # lon+-360-shifted distance pass: the planar distance kernel
                 # does not wrap, so land just across the seam would
-                # otherwise read as ~360 deg away
-                seam = np.abs(ml) > 179.0
+                # otherwise read as ~360 deg away. "Close" is measured in
+                # METERS under the kernel's own equirectangular metric
+                # (lon gap x cos(point lat)): any cross-seam geometry is at
+                # least (180-|lon|)*cos(lat) deg-of-arc away, so points
+                # beyond knn_max on that bound can skip the second pass —
+                # and at high latitude, where 1 deg of lon shrinks, the
+                # mask correctly widens (a fixed |lon|>179 test misses
+                # in-range land beyond 1 deg of the seam near the poles)
+                m_per_deg = np.radians(1.0) * 6378137.0
+                seam = (180.0 - np.abs(ml)) * np.cos(np.radians(ma)) * m_per_deg <= (
+                    knn_max_m * 1.05
+                )
                 for z, s0, s1 in zip(zvals, zstarts, zends):
                     sel = pair_pt[s0:s1]
                     x1, y1, x2, y2 = edges[int(z)]
