@@ -39,6 +39,7 @@ def main(argv=None) -> int:
     p.add_argument("--skip-now-zones", action="store_true")
     p.add_argument("--skip-validation", action="store_true")
     p.add_argument("--skip-zip", action="store_true")
+    p.add_argument("--skip-shapefiles", action="store_true")
     # analyzeChangesFromLastRelease (index.js:1541-1657): path to a prior
     # run's out-dir; additions/removals beyond the significance threshold
     # land in release-changes.json
@@ -304,6 +305,16 @@ def main(argv=None) -> int:
                 f"{gj}.zip", "w", compression=zipfile.ZIP_DEFLATED
             ) as zf:
                 zf.write(gj, arcname=os.path.basename(gj))
+
+    # S10 shapefile sink (makeShapefiles, index.js:1479-1539): every
+    # combined product GeoJSON -> .shp/.shx/.dbf/.prj/.cpg + flat zip,
+    # written by the pure-Python ESRI writer (no GDAL in the sandbox)
+    if not args.skip_shapefiles:
+        from timezone_boundary_builder_spark.operators.shapefile import (
+            write_product_shapefiles,
+        )
+
+        stages["shapefiles"] = write_product_shapefiles(args.out_dir, args.work_dir)
     with zipfile.ZipFile(
         f"{args.out_dir}/input-data.zip", "w", compression=zipfile.ZIP_DEFLATED
     ) as zf:
