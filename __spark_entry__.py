@@ -14,6 +14,7 @@ same formula, same doubles, so values match bit-for-bit.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from functools import lru_cache
 
@@ -601,6 +602,181 @@ def _q_geo_real_config_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_manifest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/B10 checkpoint-resume as a gate relation (reference
+    FileCache/FileLookupCache, util/cache.js:50-128): a two-stage pipeline
+    run four times against one manifest root — cold build, warm resume
+    (both stages cached), config-fingerprint change (downstream recomputes,
+    upstream stays cached), and output corruption (deleted parquet fails
+    the output-hash re-verify of util/cache.js:108-126 and forces a
+    recompute). Emits (run, stage, cached, n_rows); oracle = the literal
+    expected cache-hit table."""
+    import tempfile
+
+    from timezone_boundary_builder_spark.plans.manifests import (
+        StageManifest,
+        fingerprint,
+    )
+
+    root = tempfile.mkdtemp(prefix="manifest_gate_")
+    rows = []
+
+    def _run(run_id: int, agg_version: str, corrupt: bool = False) -> None:
+        if corrupt:
+            import glob as _glob
+
+            for f in _glob.glob(os.path.join(root, "src", "*.parquet"))[:1]:
+                os.remove(f)
+        m = StageManifest(root)
+        src_fp = fingerprint("src", "v1")
+        src, src_cached = m.run_stage(
+            spark,
+            "src",
+            src_fp,
+            lambda: spark.range(10)
+            .coalesce(1)
+            .select(
+                F.col("id").alias("doc_id"), (F.col("id") % 3).alias("grp")
+            ),
+        )
+        agg, agg_cached = m.run_stage(
+            spark,
+            "agg",
+            fingerprint("agg", agg_version, src_fp),
+            lambda: src.groupBy("grp").agg(F.count(F.lit(1)).alias("n")),
+        )
+        rows.append((run_id, "src", src_cached, src.count()))
+        rows.append((run_id, "agg", agg_cached, agg.count()))
+
+    _run(1, "v1")
+    _run(2, "v1")
+    _run(3, "v2")
+    _run(4, "v2", corrupt=True)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["run", "stage", "cached", "n_rows"])
+    ).select(
+        F.col("run").cast("int"),
+        "stage",
+        "cached",
+        F.col("n_rows").cast("long"),
+    )
+
+
+def _q_geo_lineage_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 lineage + metrics as a gate relation: a row-preserving tokenize
+    stage over `documents` wrapped in StageMetrics accumulators, with
+    per-partition lineage tables aggregated to (side, n_rows, key_min,
+    key_max) for input and output — row conservation and key-range
+    equality are directly DuckDB-checkable against the raw parquet; the
+    stage_metrics row proves the accumulator wrap counted every Arrow
+    batch exactly once."""
+    from timezone_boundary_builder_spark.plans.lineage import (
+        StageMetrics,
+        lineage_table,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ms = StageMetrics(spark, "tokenize")
+
+    def _tok(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": [len(str(t).split()) for t in pdf["text"]],
+                }
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        ms.wrap(_tok), "doc_id long, n_tokens long"
+    )
+
+    def _rollup(df: DataFrame, side: str) -> DataFrame:
+        return (
+            lineage_table(df, "doc_id")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.min("key_min").alias("key_min"),
+                F.max("key_max").alias("key_max"),
+            )
+            .select(F.lit(side).alias("side"), "n_rows", "key_min", "key_max")
+        )
+
+    pdf = _rollup(docs, "input").unionByName(_rollup(out, "output")).toPandas()
+    snap = ms.snapshot()
+    assert snap["rows_in"] == snap["rows_out"], snap  # conservation
+    pdf = pd.concat(
+        [
+            pdf,
+            pd.DataFrame(
+                [
+                    {
+                        "side": "stage_metrics",
+                        "n_rows": snap["rows_out"],
+                        "key_min": "tokenize",
+                        "key_max": "tokenize",
+                    }
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    return spark.createDataFrame(pdf).select(
+        "side", F.col("n_rows").cast("long"), "key_min", "key_max"
+    )
+
+
+def _q_geo_zone_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 include/exclude pruning over the REAL reference config
+    (--included_zones/--excluded_zones, index.js:264-323, + download-list
+    pruning index.js:312-323): zone/op/source counts under four filter
+    cases. Oracle = literal goldens hand-derived from the raw
+    timezones.json (441 ops over 419 zones) and osmBoundarySources.json
+    (411 sources; Asia-Shanghai-tz is exclusive to Asia/Shanghai while the
+    China-Bhutan disputed area is shared with Asia/Thimphu, so excluding
+    Shanghai drops exactly one source)."""
+    from timezone_boundary_builder_spark.operators.zone_build import (
+        apply_zone_filters,
+        prune_sources,
+    )
+    from timezone_boundary_builder_spark.sources.real_config import (
+        real_sources_pdf,
+        real_zones_config_pdf,
+    )
+
+    zc = (
+        spark.createDataFrame(real_zones_config_pdf())
+        .where(~F.col("planted"))
+        .drop("planted")
+    )
+    src = spark.createDataFrame(real_sources_pdf())
+    cases = [
+        ("no_filter", None, None),
+        ("include_ny_phoenix", ["America/New_York", "America/Phoenix"], None),
+        ("include_shanghai", ["Asia/Shanghai"], None),
+        ("exclude_shanghai", None, ["Asia/Shanghai"]),
+    ]
+    out = None
+    for name, inc, exc in cases:
+        kept = apply_zone_filters(zc, inc, exc)
+        pruned = prune_sources(src, kept)
+        part = (
+            kept.agg(
+                F.countDistinct("tzid").alias("zones"),
+                F.count(F.lit(1)).alias("ops"),
+            )
+            .crossJoin(pruned.agg(F.count(F.lit(1)).alias("sources")))
+            .select(
+                F.lit(name).alias("filter_case"),
+                F.col("zones").cast("long"),
+                F.col("ops").cast("long"),
+                F.col("sources").cast("long"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _q_geo_osm_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8b: the combined-osm-zones relation (combineAndWriteOSMZones,
     index.js:1391-1405) — one feature per tzid from the raw per-tz OSM
@@ -1112,6 +1288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_derived_now_oceans": _q_geo_derived_now_oceans,
         "geo_lint_config": _q_geo_lint_config,
         "geo_real_config_build": _q_geo_real_config_build,
+        "geo_manifest_resume": _q_geo_manifest_resume,
+        "geo_lineage_conservation": _q_geo_lineage_conservation,
+        "geo_zone_filter_prune": _q_geo_zone_filter_prune,
         "geo_osm_zones": _q_geo_osm_zones,
         "geo_release_diff": _q_geo_release_diff,
         "geo_tiles_raster": _q_geo_tiles_raster,
@@ -1494,6 +1673,38 @@ def oracle_sql() -> dict[str, str]:
             ('zones_empty', 'all', 0)
             ) AS t(metric, item, value)
             ORDER BY metric, item""",
+        # expected cache-hit/miss table for the four-run resume scenario
+        # (cold, warm, fingerprint change, corrupted output) — the
+        # FileLookupCache contract of util/cache.js:50-128
+        "geo_manifest_resume": """
+            SELECT CAST(run AS INT) AS run, stage, cached,
+                   CAST(n_rows AS BIGINT) AS n_rows FROM (VALUES
+            (1, 'src', false, 10), (1, 'agg', false, 3),
+            (2, 'src', true, 10), (2, 'agg', true, 3),
+            (3, 'src', true, 10), (3, 'agg', false, 3),
+            (4, 'src', false, 10), (4, 'agg', true, 3)
+            ) AS t(run, stage, cached, n_rows)""",
+        # row conservation + key-range equality straight off the parquet
+        "geo_lineage_conservation": """
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS k FROM documents)
+            SELECT 'input' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+                   min(k) AS key_min, max(k) AS key_max FROM d
+            UNION ALL
+            SELECT 'output', CAST(count(*) AS BIGINT), min(k), max(k) FROM d
+            UNION ALL
+            SELECT 'stage_metrics', CAST(count(*) AS BIGINT),
+                   'tokenize', 'tokenize' FROM d""",
+        # hand-derived from the raw reference JSONs (see the query
+        # docstring for the per-case arithmetic)
+        "geo_zone_filter_prune": """
+            SELECT filter_case, CAST(zones AS BIGINT) AS zones,
+                   CAST(ops AS BIGINT) AS ops,
+                   CAST(sources AS BIGINT) AS sources FROM (VALUES
+            ('no_filter', 419, 441, 411),
+            ('include_ny_phoenix', 2, 4, 3),
+            ('include_shanghai', 1, 2, 2),
+            ('exclude_shanghai', 418, 439, 410)
+            ) AS t(filter_case, zones, ops, sources)""",
         "ann_lsh": _ann_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_ivf": _ivf_sql(),
