@@ -449,6 +449,58 @@ def _q_geo_tz_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g70.unionByName(gnow).select("strategy", "rep_tzid", "member_tzid")
 
 
+def _q_geo_tz_real_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 over the REAL 419 reference tzids (getZoneCfgSinceTime semantics,
+    index.js:169-245): the engine's zoneinfo transition-scan fingerprints
+    group the full timezones.json zone list at the 1970 and 2020 cutoffs
+    (horizon 2036-01-01, inside every TZif file's explicit-transition
+    range). Oracle = goldens derived by an INDEPENDENT implementation —
+    direct TZif v2 binary parsing of /usr/share/zoneinfo (transition
+    table + ttinfo records), no zoneinfo library, no shared code with the
+    engine's scan/bisect kernel — one row per multi-member group (rep =
+    lexicographic min; population is constant so the reference's
+    population sort, index.js:230-233, reduces to the tzid tie-break)
+    plus a singleton-count row per strategy."""
+    from timezone_boundary_builder_spark.operators.tz_fingerprint import (
+        derive_zone_groups,
+    )
+    from timezone_boundary_builder_spark.sources.real_config import (
+        real_zones_config_pdf,
+    )
+
+    cfg = real_zones_config_pdf()
+    ids = sorted(cfg[~cfg.planted].tzid.unique())
+    zones = spark.createDataFrame(
+        pd.DataFrame({"tzid": ids, "population": 0})
+    )
+    out = None
+    for strat, cutoff in (("1970", 0), ("now", 1577836800)):
+        g = derive_zone_groups(spark, zones, strat, cutoff, 2082758400)
+        agg = g.groupBy("strategy", "rep_tzid").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(
+                F.array_sort(F.collect_list("member_tzid")), ","
+            ).alias("members_csv"),
+        )
+        multi = agg.where(F.col("n_members") > 1)
+        singles = (
+            agg.where(F.col("n_members") == 1)
+            .groupBy("strategy")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .select(
+                "strategy",
+                F.lit("_singletons").alias("rep_tzid"),
+                "n_members",
+                F.lit("").alias("members_csv"),
+            )
+        )
+        part = multi.unionByName(singles)
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "strategy", "rep_tzid", F.col("n_members").cast("long"), "members_csv"
+    )
+
+
 def _q_geo_derived_now_oceans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 with-oceans variant (makeDerivedTimezoneBoundariesWithOceans,
     index.js:941-1009): the 'now' product where Foxtrot's rep absorbs the
@@ -1285,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_ring_assembly": _q_geo_ring_assembly,
         "geo_source_union": _q_geo_source_union,
         "geo_tz_groups": _q_geo_tz_groups,
+        "geo_tz_real_groups": _q_geo_tz_real_groups,
         "geo_derived_now_oceans": _q_geo_derived_now_oceans,
         "geo_lint_config": _q_geo_lint_config,
         "geo_real_config_build": _q_geo_real_config_build,
@@ -1673,6 +1726,90 @@ def oracle_sql() -> dict[str, str]:
             ('zones_empty', 'all', 0)
             ) AS t(metric, item, value)
             ORDER BY metric, item""",
+        # TZif-binary-parse goldens for the real 419-zone groupings (see
+        # _q_geo_tz_real_groups docstring; generated offline from
+        # /usr/share/zoneinfo, cross-validated against the engine's
+        # zoneinfo scan at both cutoffs)
+        "geo_tz_real_groups": """
+            SELECT strategy, rep_tzid, CAST(n_members AS BIGINT) AS n_members,
+                   members_csv FROM (VALUES
+            ('1970', 'Africa/Abidjan', 13, 'Africa/Abidjan,Africa/Accra,Africa/Bamako,Africa/Banjul,Africa/Conakry,Africa/Dakar,Africa/Freetown,Africa/Lome,Africa/Nouakchott,Africa/Ouagadougou,Atlantic/Reykjavik,Atlantic/St_Helena,Etc/UTC'),
+            ('1970', 'Africa/Addis_Ababa', 14, 'Africa/Addis_Ababa,Africa/Asmara,Africa/Dar_es_Salaam,Africa/Djibouti,Africa/Kampala,Africa/Mogadishu,Africa/Nairobi,Antarctica/Syowa,Asia/Aden,Asia/Kuwait,Asia/Riyadh,Indian/Antananarivo,Indian/Comoro,Indian/Mayotte'),
+            ('1970', 'Africa/Bangui', 10, 'Africa/Bangui,Africa/Brazzaville,Africa/Douala,Africa/Kinshasa,Africa/Lagos,Africa/Libreville,Africa/Luanda,Africa/Malabo,Africa/Niamey,Africa/Porto-Novo'),
+            ('1970', 'Africa/Blantyre', 11, 'Africa/Blantyre,Africa/Bujumbura,Africa/Gaborone,Africa/Harare,Africa/Johannesburg,Africa/Kigali,Africa/Lubumbashi,Africa/Lusaka,Africa/Maputo,Africa/Maseru,Africa/Mbabane'),
+            ('1970', 'America/Anguilla', 21, 'America/Anguilla,America/Antigua,America/Aruba,America/Blanc-Sablon,America/Curacao,America/Dominica,America/Grenada,America/Guadeloupe,America/Kralendijk,America/La_Paz,America/Lower_Princes,America/Marigot,America/Montserrat,America/Port_of_Spain,America/Puerto_Rico,America/St_Barthelemy,America/St_Kitts,America/St_Lucia,America/St_Thomas,America/St_Vincent,America/Tortola'),
+            ('1970', 'America/Atikokan', 3, 'America/Atikokan,America/Cayman,America/Panama'),
+            ('1970', 'America/Creston', 2, 'America/Creston,America/Phoenix'),
+            ('1970', 'America/Nassau', 2, 'America/Nassau,America/Toronto'),
+            ('1970', 'Antarctica/DumontDUrville', 3, 'Antarctica/DumontDUrville,Pacific/Chuuk,Pacific/Port_Moresby'),
+            ('1970', 'Antarctica/McMurdo', 2, 'Antarctica/McMurdo,Pacific/Auckland'),
+            ('1970', 'Arctic/Longyearbyen', 5, 'Arctic/Longyearbyen,Europe/Berlin,Europe/Copenhagen,Europe/Oslo,Europe/Stockholm'),
+            ('1970', 'Asia/Bahrain', 2, 'Asia/Bahrain,Asia/Qatar'),
+            ('1970', 'Asia/Bangkok', 5, 'Asia/Bangkok,Asia/Jakarta,Asia/Phnom_Penh,Asia/Vientiane,Indian/Christmas'),
+            ('1970', 'Asia/Brunei', 3, 'Asia/Brunei,Asia/Kuching,Asia/Makassar'),
+            ('1970', 'Asia/Dubai', 4, 'Asia/Dubai,Asia/Muscat,Indian/Mahe,Indian/Reunion'),
+            ('1970', 'Asia/Hong_Kong', 2, 'Asia/Hong_Kong,Asia/Macau'),
+            ('1970', 'Asia/Jayapura', 3, 'Asia/Jayapura,Asia/Tokyo,Pacific/Palau'),
+            ('1970', 'Asia/Kuala_Lumpur', 2, 'Asia/Kuala_Lumpur,Asia/Singapore'),
+            ('1970', 'Asia/Yangon', 2, 'Asia/Yangon,Indian/Cocos'),
+            ('1970', 'Europe/Amsterdam', 3, 'Europe/Amsterdam,Europe/Brussels,Europe/Luxembourg'),
+            ('1970', 'Europe/Belgrade', 6, 'Europe/Belgrade,Europe/Ljubljana,Europe/Podgorica,Europe/Sarajevo,Europe/Skopje,Europe/Zagreb'),
+            ('1970', 'Europe/Bratislava', 2, 'Europe/Bratislava,Europe/Prague'),
+            ('1970', 'Europe/Busingen', 3, 'Europe/Busingen,Europe/Vaduz,Europe/Zurich'),
+            ('1970', 'Europe/Dublin', 5, 'Europe/Dublin,Europe/Guernsey,Europe/Isle_of_Man,Europe/Jersey,Europe/London'),
+            ('1970', 'Europe/Helsinki', 2, 'Europe/Helsinki,Europe/Mariehamn'),
+            ('1970', 'Europe/Monaco', 2, 'Europe/Monaco,Europe/Paris'),
+            ('1970', 'Europe/Rome', 3, 'Europe/Rome,Europe/San_Marino,Europe/Vatican'),
+            ('1970', 'Indian/Kerguelen', 2, 'Indian/Kerguelen,Indian/Maldives'),
+            ('1970', 'Pacific/Funafuti', 5, 'Pacific/Funafuti,Pacific/Majuro,Pacific/Tarawa,Pacific/Wake,Pacific/Wallis'),
+            ('1970', 'Pacific/Guadalcanal', 2, 'Pacific/Guadalcanal,Pacific/Pohnpei'),
+            ('1970', 'Pacific/Guam', 2, 'Pacific/Guam,Pacific/Saipan'),
+            ('1970', 'Pacific/Honolulu', 2, 'Pacific/Honolulu,Pacific/Tahiti'),
+            ('1970', 'Pacific/Midway', 3, 'Pacific/Midway,Pacific/Niue,Pacific/Pago_Pago'),
+            ('1970', '_singletons', 268, ''),
+            ('now', 'Africa/Abidjan', 17, 'Africa/Abidjan,Africa/Accra,Africa/Bamako,Africa/Banjul,Africa/Bissau,Africa/Conakry,Africa/Dakar,Africa/Freetown,Africa/Lome,Africa/Monrovia,Africa/Nouakchott,Africa/Ouagadougou,Africa/Sao_Tome,America/Danmarkshavn,Atlantic/Reykjavik,Atlantic/St_Helena,Etc/UTC'),
+            ('now', 'Africa/Addis_Ababa', 22, 'Africa/Addis_Ababa,Africa/Asmara,Africa/Dar_es_Salaam,Africa/Djibouti,Africa/Kampala,Africa/Mogadishu,Africa/Nairobi,Antarctica/Syowa,Asia/Aden,Asia/Baghdad,Asia/Bahrain,Asia/Kuwait,Asia/Qatar,Asia/Riyadh,Europe/Istanbul,Europe/Kirov,Europe/Minsk,Europe/Moscow,Europe/Simferopol,Indian/Antananarivo,Indian/Comoro,Indian/Mayotte'),
+            ('now', 'Africa/Algiers', 13, 'Africa/Algiers,Africa/Bangui,Africa/Brazzaville,Africa/Douala,Africa/Kinshasa,Africa/Lagos,Africa/Libreville,Africa/Luanda,Africa/Malabo,Africa/Ndjamena,Africa/Niamey,Africa/Porto-Novo,Africa/Tunis'),
+            ('now', 'Africa/Blantyre', 15, 'Africa/Blantyre,Africa/Bujumbura,Africa/Gaborone,Africa/Harare,Africa/Johannesburg,Africa/Khartoum,Africa/Kigali,Africa/Lubumbashi,Africa/Lusaka,Africa/Maputo,Africa/Maseru,Africa/Mbabane,Africa/Tripoli,Africa/Windhoek,Europe/Kaliningrad'),
+            ('now', 'Africa/Casablanca', 2, 'Africa/Casablanca,Africa/El_Aaiun'),
+            ('now', 'Africa/Ceuta', 33, 'Africa/Ceuta,Arctic/Longyearbyen,Europe/Amsterdam,Europe/Andorra,Europe/Belgrade,Europe/Berlin,Europe/Bratislava,Europe/Brussels,Europe/Budapest,Europe/Busingen,Europe/Copenhagen,Europe/Gibraltar,Europe/Ljubljana,Europe/Luxembourg,Europe/Madrid,Europe/Malta,Europe/Monaco,Europe/Oslo,Europe/Paris,Europe/Podgorica,Europe/Prague,Europe/Rome,Europe/San_Marino,Europe/Sarajevo,Europe/Skopje,Europe/Stockholm,Europe/Tirane,Europe/Vaduz,Europe/Vatican,Europe/Vienna,Europe/Warsaw,Europe/Zagreb,Europe/Zurich'),
+            ('now', 'America/Anchorage', 6, 'America/Anchorage,America/Juneau,America/Metlakatla,America/Nome,America/Sitka,America/Yakutat'),
+            ('now', 'America/Anguilla', 31, 'America/Anguilla,America/Antigua,America/Aruba,America/Barbados,America/Blanc-Sablon,America/Boa_Vista,America/Campo_Grande,America/Caracas,America/Cuiaba,America/Curacao,America/Dominica,America/Grenada,America/Guadeloupe,America/Guyana,America/Kralendijk,America/La_Paz,America/Lower_Princes,America/Manaus,America/Marigot,America/Martinique,America/Montserrat,America/Port_of_Spain,America/Porto_Velho,America/Puerto_Rico,America/Santo_Domingo,America/St_Barthelemy,America/St_Kitts,America/St_Lucia,America/St_Thomas,America/St_Vincent,America/Tortola'),
+            ('now', 'America/Araguaina', 27, 'America/Araguaina,America/Argentina/Buenos_Aires,America/Argentina/Catamarca,America/Argentina/Cordoba,America/Argentina/Jujuy,America/Argentina/La_Rioja,America/Argentina/Mendoza,America/Argentina/Rio_Gallegos,America/Argentina/Salta,America/Argentina/San_Juan,America/Argentina/San_Luis,America/Argentina/Tucuman,America/Argentina/Ushuaia,America/Bahia,America/Belem,America/Cayenne,America/Fortaleza,America/Maceio,America/Montevideo,America/Paramaribo,America/Punta_Arenas,America/Recife,America/Santarem,America/Sao_Paulo,Antarctica/Palmer,Antarctica/Rothera,Atlantic/Stanley'),
+            ('now', 'America/Atikokan', 10, 'America/Atikokan,America/Bogota,America/Cancun,America/Cayman,America/Eirunepe,America/Guayaquil,America/Jamaica,America/Lima,America/Panama,America/Rio_Branco'),
+            ('now', 'America/Bahia_Banderas', 4, 'America/Bahia_Banderas,America/Merida,America/Mexico_City,America/Monterrey'),
+            ('now', 'America/Belize', 9, 'America/Belize,America/Costa_Rica,America/El_Salvador,America/Guatemala,America/Managua,America/Regina,America/Swift_Current,America/Tegucigalpa,Pacific/Galapagos'),
+            ('now', 'America/Boise', 5, 'America/Boise,America/Cambridge_Bay,America/Denver,America/Edmonton,America/Inuvik'),
+            ('now', 'America/Chicago', 11, 'America/Chicago,America/Indiana/Knox,America/Indiana/Tell_City,America/Matamoros,America/Menominee,America/North_Dakota/Beulah,America/North_Dakota/Center,America/North_Dakota/New_Salem,America/Rankin_Inlet,America/Resolute,America/Winnipeg'),
+            ('now', 'America/Creston', 5, 'America/Creston,America/Dawson_Creek,America/Fort_Nelson,America/Hermosillo,America/Phoenix'),
+            ('now', 'America/Dawson', 2, 'America/Dawson,America/Whitehorse'),
+            ('now', 'America/Detroit', 15, 'America/Detroit,America/Grand_Turk,America/Indiana/Indianapolis,America/Indiana/Marengo,America/Indiana/Petersburg,America/Indiana/Vevay,America/Indiana/Vincennes,America/Indiana/Winamac,America/Iqaluit,America/Kentucky/Louisville,America/Kentucky/Monticello,America/Nassau,America/New_York,America/Port-au-Prince,America/Toronto'),
+            ('now', 'America/Glace_Bay', 6, 'America/Glace_Bay,America/Goose_Bay,America/Halifax,America/Moncton,America/Thule,Atlantic/Bermuda'),
+            ('now', 'America/Los_Angeles', 3, 'America/Los_Angeles,America/Tijuana,America/Vancouver'),
+            ('now', 'America/Noronha', 2, 'America/Noronha,Atlantic/South_Georgia'),
+            ('now', 'Antarctica/Davis', 14, 'Antarctica/Davis,Asia/Bangkok,Asia/Barnaul,Asia/Ho_Chi_Minh,Asia/Hovd,Asia/Jakarta,Asia/Krasnoyarsk,Asia/Novokuznetsk,Asia/Novosibirsk,Asia/Phnom_Penh,Asia/Pontianak,Asia/Tomsk,Asia/Vientiane,Indian/Christmas'),
+            ('now', 'Antarctica/DumontDUrville', 9, 'Antarctica/DumontDUrville,Asia/Ust-Nera,Asia/Vladivostok,Australia/Brisbane,Australia/Lindeman,Pacific/Chuuk,Pacific/Guam,Pacific/Port_Moresby,Pacific/Saipan'),
+            ('now', 'Antarctica/Macquarie', 4, 'Antarctica/Macquarie,Australia/Hobart,Australia/Melbourne,Australia/Sydney'),
+            ('now', 'Antarctica/Mawson', 14, 'Antarctica/Mawson,Asia/Aqtau,Asia/Aqtobe,Asia/Ashgabat,Asia/Atyrau,Asia/Dushanbe,Asia/Karachi,Asia/Oral,Asia/Qyzylorda,Asia/Samarkand,Asia/Tashkent,Asia/Yekaterinburg,Indian/Kerguelen,Indian/Maldives'),
+            ('now', 'Antarctica/McMurdo', 2, 'Antarctica/McMurdo,Pacific/Auckland'),
+            ('now', 'Asia/Almaty', 2, 'Asia/Almaty,Asia/Qostanay'),
+            ('now', 'Asia/Anadyr', 9, 'Asia/Anadyr,Asia/Kamchatka,Pacific/Funafuti,Pacific/Kwajalein,Pacific/Majuro,Pacific/Nauru,Pacific/Tarawa,Pacific/Wake,Pacific/Wallis'),
+            ('now', 'Asia/Baku', 12, 'Asia/Baku,Asia/Dubai,Asia/Muscat,Asia/Tbilisi,Asia/Yerevan,Europe/Astrakhan,Europe/Samara,Europe/Saratov,Europe/Ulyanovsk,Indian/Mahe,Indian/Mauritius,Indian/Reunion'),
+            ('now', 'Asia/Bishkek', 6, 'Asia/Bishkek,Asia/Dhaka,Asia/Omsk,Asia/Thimphu,Asia/Urumqi,Indian/Chagos'),
+            ('now', 'Asia/Brunei', 13, 'Asia/Brunei,Asia/Hong_Kong,Asia/Irkutsk,Asia/Kuala_Lumpur,Asia/Kuching,Asia/Macau,Asia/Makassar,Asia/Manila,Asia/Shanghai,Asia/Singapore,Asia/Taipei,Asia/Ulaanbaatar,Australia/Perth'),
+            ('now', 'Asia/Chita', 9, 'Asia/Chita,Asia/Dili,Asia/Jayapura,Asia/Khandyga,Asia/Pyongyang,Asia/Seoul,Asia/Tokyo,Asia/Yakutsk,Pacific/Palau'),
+            ('now', 'Asia/Colombo', 2, 'Asia/Colombo,Asia/Kolkata'),
+            ('now', 'Asia/Famagusta', 11, 'Asia/Famagusta,Asia/Nicosia,Europe/Athens,Europe/Bucharest,Europe/Helsinki,Europe/Kyiv,Europe/Mariehamn,Europe/Riga,Europe/Sofia,Europe/Tallinn,Europe/Vilnius'),
+            ('now', 'Asia/Gaza', 2, 'Asia/Gaza,Asia/Hebron'),
+            ('now', 'Asia/Magadan', 9, 'Asia/Magadan,Asia/Sakhalin,Asia/Srednekolymsk,Pacific/Bougainville,Pacific/Efate,Pacific/Guadalcanal,Pacific/Kosrae,Pacific/Noumea,Pacific/Pohnpei'),
+            ('now', 'Asia/Yangon', 2, 'Asia/Yangon,Indian/Cocos'),
+            ('now', 'Atlantic/Canary', 9, 'Atlantic/Canary,Atlantic/Faroe,Atlantic/Madeira,Europe/Dublin,Europe/Guernsey,Europe/Isle_of_Man,Europe/Jersey,Europe/Lisbon,Europe/London'),
+            ('now', 'Australia/Adelaide', 2, 'Australia/Adelaide,Australia/Broken_Hill'),
+            ('now', 'Pacific/Fakaofo', 3, 'Pacific/Fakaofo,Pacific/Kanton,Pacific/Tongatapu'),
+            ('now', 'Pacific/Honolulu', 3, 'Pacific/Honolulu,Pacific/Rarotonga,Pacific/Tahiti'),
+            ('now', 'Pacific/Midway', 3, 'Pacific/Midway,Pacific/Niue,Pacific/Pago_Pago'),
+            ('now', '_singletons', 41, '')
+            ) AS t(strategy, rep_tzid, n_members, members_csv)""",
         # expected cache-hit/miss table for the four-run resume scenario
         # (cold, warm, fingerprint change, corrupted output) — the
         # FileLookupCache contract of util/cache.js:50-128
