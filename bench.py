@@ -159,6 +159,42 @@ def run_assignment(spark: SparkSession, n_points: int, cellmap=None) -> float:
     return dt
 
 
+def run_parta_real_config(spark: SparkSession) -> float:
+    """Wall seconds for the Part A core at the REAL reference shape: the
+    419-zone timezones.json op lists + 411 osmBoundarySources sources +
+    25 expectedZoneOverlaps pairs (deterministic synthetic geometries, see
+    sources/real_config.py) through lint -> build -> validate. Invariants
+    asserted so a silently-wrong fast run can't score."""
+    from timezone_boundary_builder_spark.operators.lint import lint_config
+    from timezone_boundary_builder_spark.operators.validate import (
+        validate_overlaps,
+    )
+    from timezone_boundary_builder_spark.operators.zone_build import build_zones
+    from timezone_boundary_builder_spark.sources.real_config import (
+        real_expected_overlaps_pdf,
+        real_sources_pdf,
+        real_zones_config_pdf,
+    )
+
+    zc_pdf = real_zones_config_pdf()
+    src_pdf = real_sources_pdf()
+    exp_pdf = real_expected_overlaps_pdf()
+    t0 = time.perf_counter()
+    zc = spark.createDataFrame(zc_pdf).drop("planted")
+    src = spark.createDataFrame(src_pdf)
+    exp = spark.createDataFrame(exp_pdf)
+    lint_errors = lint_config(zc, src, exp).count()
+    zones = build_zones(spark, zc, src).cache()
+    n_zones = zones.count()
+    v = validate_overlaps(spark, zones, exp)
+    pairs = v.collect()
+    dt = time.perf_counter() - t0
+    zones.unpersist()
+    assert lint_errors == 0 and n_zones == 419, (lint_errors, n_zones)
+    assert len(pairs) == 25 and all(r.allowed for r in pairs), pairs
+    return dt
+
+
 def timed_queries(spark: SparkSession) -> dict[str, float]:
     import __spark_entry__ as entry
 
@@ -230,6 +266,9 @@ def main() -> None:
         )
         thr_419 = pts_419 / dt419
         log(f"419-zone world: {dt419:.2f}s -> {thr_419:,.0f} pages/sec")
+        # Part A cost at the real config shape (best of 2, same rationale)
+        dt_parta = min(run_parta_real_config(spark) for _ in range(2))
+        log(f"Part A real-config build+validate: {dt_parta:.2f}s")
     finally:
         spark.stop()
     total = round(sum(queries.values()), 3)
@@ -246,6 +285,7 @@ def main() -> None:
                 "scaling_points": SCALE_POINTS,
                 f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}": round(eff, 3),
                 f"pages_per_sec_419zones_local{CPUS}": round(thr_419),
+                "parta_real_config_sec": round(dt_parta, 3),
             },
             separators=(",", ":"),
         )

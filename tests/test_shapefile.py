@@ -172,3 +172,14 @@ def test_write_product_shapefiles_maps_products(tmp_path):
     assert (out / "timezones.shapefile.zip").exists()
     assert (work / "combined-shapefile-1970.shp").exists()
     assert not (out / "timezones-now.shapefile.zip").exists()
+
+
+def test_shapefile_bytes_deterministic(tmp_path):
+    """Same features -> byte-identical sidecars (content-only outputs: no
+    wall-clock in the dBASE stamp, no float formatting drift)."""
+    b1 = str(tmp_path / "a")
+    b2 = str(tmp_path / "b")
+    write_shapefile([("A/Square", SQUARE), ("B/Multi", MULTI)], b1)
+    write_shapefile([("A/Square", SQUARE), ("B/Multi", MULTI)], b2)
+    for ext in SIDE_CARS:
+        assert open(b1 + ext, "rb").read() == open(b2 + ext, "rb").read(), ext
