@@ -30,3 +30,17 @@ def test_label_is_min_id_regardless_of_edge_order(spark):
     # the same component expressed with reversed/duplicate edges
     got = _cc(spark, [(7, 3), (3, 9), (9, 7), (9, 3)])
     assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """A 300-doc chain (diameter 299) must converge well inside
+    max_rounds=12: pointer jumping better-than-doubles propagation
+    distance per round, so rounds ~ log2(diameter), not diameter. Under
+    one-hop propagation this graph needs 299 rounds and would raise."""
+    edges = [(i, i + 1) for i in range(300)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]).astype("int64")
+    )
+    out = connected_components(pairs, max_rounds=12).toPandas()
+    assert len(out) == 301
+    assert set(out.cluster_id) == {0}

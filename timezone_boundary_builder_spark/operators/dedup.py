@@ -180,23 +180,26 @@ def connected_components(
     id_b: str = "id_b",
     max_rounds: int = 50,
 ) -> DataFrame:
-    """Near-dup clusters from candidate pairs: min-label propagation to a
-    fixpoint (iterative-join connected components; rounds = graph
-    diameter, which is 2-4 for dense near-dup clusters — the
-    large-star/small-star O(log n) variant only pays off on long chains).
-    Returns (doc_id, cluster_id) where cluster_id = min doc id reachable —
-    so the cluster label doubles as the deterministic keep_id.
+    """Near-dup clusters from candidate pairs: min-label propagation with
+    pointer jumping (iterative-join connected components). Returns
+    (doc_id, cluster_id) where cluster_id = min doc id reachable — so the
+    cluster label doubles as the deterministic keep_id.
 
     Scale shape: only docs that appear in >=1 pair enter the label table
     (singletons are trivially their own cluster and never shuffle), so
     the iteration state is proportional to the near-dup population, not
-    the corpus. Each round is one join + one min-aggregate on the edge
-    list; min-label propagation advances one hop per round, so rounds
-    needed = graph diameter (near-dup clusters are dense, so 2-4 rounds
-    in practice; a pathological chain of k docs needs ~k rounds). The
-    loop stops at the first round that changes no label and raises if
-    max_rounds is exhausted before convergence — a silent exit would
-    return inconsistent cluster ids."""
+    the corpus. Each round is a neighbor-min step (one join + one
+    min-aggregate on the edge list) followed by a pointer-jump step
+    (label := min(label, label(label)) — one self-join on the label
+    table). The jump is sound because a node's label is always a node
+    reachable from it, so the label's own label is reachable
+    transitively; composing the two steps better-than-doubles the
+    propagation distance per round, giving O(log diameter) rounds — a
+    pathological k-doc chain converges in ~log2(k) rounds instead of k
+    (dense near-dup clusters still finish in 2). The loop stops at the
+    first round that changes no label and raises if max_rounds is
+    exhausted before convergence — a silent exit would return
+    inconsistent cluster ids."""
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -215,16 +218,35 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
+        mid = labels.join(nbr, labels.node == nbr.s, "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("mid_label"),
+        )
+        # pointer jump: shortcut each label to its label's label
+        jump = mid.select(
+            F.col("node").alias("jnode"), F.col("mid_label").alias("jlabel")
+        )
+        # localCheckpoint (not persist): the jump step references `mid`
+        # twice, so the logical plan would DOUBLE per round — after ~10
+        # rounds analysis itself blows the driver stack. Checkpointing
+        # truncates lineage to the materialized blocks each round (the
+        # standard iterative-algorithm shape; a production run at cluster
+        # scale would use reliable checkpoint() every few rounds instead
+        # so executor loss cannot orphan the iteration state).
         stepped = (
-            labels.join(nbr, labels.node == nbr.s, "left")
+            mid.join(jump, mid.mid_label == jump.jnode, "left")
             .select(
                 "node",
-                F.col("label").alias("old_label"),
+                "old_label",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("mid_label"),
+                    F.coalesce(F.col("jlabel"), F.col("mid_label")),
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = stepped.where(F.col("label") != F.col("old_label")).count()
         cached_prev.unpersist()
