@@ -103,6 +103,14 @@ def main(argv=None) -> int:
 
     stages = {}
 
+    # progress/ETA tracker (reference util/progressStats.js) — stage-level
+    # on Spark: rows are executor business, tracked by lineage accumulators
+    from timezone_boundary_builder_spark.plans.progress import ProgressStats
+
+    n_strategies = 2 - int(args.skip_1970_zones) - int(args.skip_now_zones)
+    progress = ProgressStats("build-all", 7 + 2 * n_strategies)
+    progress.begin_task("lint config")
+
     # config lint gate — the reference's `npm test` (lint-json.js): abort
     # before any compute when the config tables are inconsistent
     from timezone_boundary_builder_spark.operators.lint import lint_config
@@ -130,6 +138,7 @@ def main(argv=None) -> int:
         source_relation_ways_pdf,
     )
 
+    progress.begin_task("assemble sources", log_time_left=True)
     ways_pdf = source_relation_ways_pdf()
     ways_fp = fingerprint("ways", ways_pdf.to_json(orient="records"))
     sources_assembled, cached = manifest.run_stage(
@@ -161,6 +170,7 @@ def main(argv=None) -> int:
         prune_sources,
     )
 
+    progress.begin_task("build zones", log_time_left=True)
     cfg_df = apply_zone_filters(spark.createDataFrame(cfg_pdf), included, excluded)
     src_df = prune_sources(
         sources_assembled.select("source_id", "geometry"), cfg_df
@@ -181,6 +191,7 @@ def main(argv=None) -> int:
 
     # validation gate (raises on disallowed overlaps, reference
     # index.js:1192-1199) — cheap enough to run every time
+    progress.begin_task("validate overlaps", log_time_left=True)
     if args.skip_validation:
         stages["validate"] = {"skipped": True}
     else:
@@ -192,6 +203,7 @@ def main(argv=None) -> int:
         )
         stages["validate"] = {"ok": True}
 
+    progress.begin_task("ocean zones", log_time_left=True)
     zones_fp = manifest._data["zones"]["output_hash"]
     oceans, cached = manifest.run_stage(
         spark,
@@ -212,6 +224,7 @@ def main(argv=None) -> int:
     groups_fp = fingerprint("groups", groups_pdf.to_json(orient="records"))
     products = {"comprehensive": zones}
     for strategy in strategies:
+        progress.begin_task(f"derived {strategy} zones", log_time_left=True)
         df, cached = manifest.run_stage(
             spark,
             f"derived_{strategy}",
@@ -231,6 +244,7 @@ def main(argv=None) -> int:
     with_oceans_products = {}
     ocean_skip = {}
     for strategy in strategies:
+        progress.begin_task(f"derived {strategy} with oceans", log_time_left=True)
         df, cached = manifest.run_stage(
             spark,
             f"derived_{strategy}_oceans",
@@ -243,6 +257,7 @@ def main(argv=None) -> int:
         ocean_skip[strategy] = ocean_member_tzids(groups_df, strategy)
         stages[f"derived_{strategy}_oceans"] = {"cached": cached, "rows": df.count()}
 
+    progress.begin_task("combined outputs", log_time_left=True)
     counts = combine_and_write(
         spark,
         products,
@@ -293,6 +308,7 @@ def main(argv=None) -> int:
             )
         stages["analyze_changes"] = {"rows": len(changes)}
 
+    progress.begin_task("zips + shapefiles + archives", log_time_left=True)
     # S9 zip sink (reference zipGeoJsonFiles, index.js:1459-1477: `zip -j`
     # per combined JSON) and S13 input-data archive (assembleAndZipInputData,
     # index.js:1659-1706: configs + cache manifests for reproducibility)
