@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--skip-validation", action="store_true")
     p.add_argument("--skip-zip", action="store_true")
     p.add_argument("--skip-shapefiles", action="store_true")
+    # run the DAG on the REAL reference configs (timezones.json /
+    # osmBoundarySources.json / expectedZoneOverlaps.json, deterministic
+    # synthetic geometries) with tzdb-computed 1970/now groupings
+    p.add_argument("--real-config", action="store_true")
     # analyzeChangesFromLastRelease (index.js:1541-1657): path to a prior
     # run's out-dir; additions/removals beyond the significance threshold
     # land in release-changes.json
@@ -94,8 +98,27 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     manifest = StageManifest(args.work_dir)
-    cfg_pdf = zones_config_pdf()
-    src_pdf = sources_pdf()
+    if args.real_config:
+        # run the whole DAG at the REAL reference shape: the actual
+        # timezones.json op lists (planted overlap patches included so all
+        # 25 expectedZoneOverlaps pairs are observed), 411 sources, real
+        # 25-band ocean table, and tzdb-computed zone groupings
+        from timezone_boundary_builder_spark.sources.real_config import (
+            real_expected_overlaps_pdf,
+            real_ocean_bands_pdf,
+            real_sources_pdf,
+            real_zones_config_pdf,
+        )
+
+        cfg_pdf = real_zones_config_pdf().drop(columns=["planted"])
+        src_pdf = real_sources_pdf()
+        exp_pdf = real_expected_overlaps_pdf()
+        ocean_bands = real_ocean_bands_pdf().to_dict("records")
+    else:
+        cfg_pdf = zones_config_pdf()
+        src_pdf = sources_pdf()
+        exp_pdf = expected_overlaps_pdf()
+        ocean_bands = OCEAN_BANDS
     # content fingerprints: config + source geometry hashes, no wall-clock
     # (reference keys zone builds the same way, index.js:806-826)
     cfg_fp = fingerprint("zones_config", cfg_pdf.to_json(orient="records"))
@@ -118,7 +141,7 @@ def main(argv=None) -> int:
     lint_errors = lint_config(
         spark.createDataFrame(cfg_pdf),
         spark.createDataFrame(src_pdf),
-        spark.createDataFrame(expected_overlaps_pdf()),
+        spark.createDataFrame(exp_pdf),
     ).collect()
     if lint_errors:
         for r in lint_errors:
@@ -139,31 +162,39 @@ def main(argv=None) -> int:
     )
 
     progress.begin_task("assemble sources", log_time_left=True)
-    ways_pdf = source_relation_ways_pdf()
-    ways_fp = fingerprint("ways", ways_pdf.to_json(orient="records"))
-    sources_assembled, cached = manifest.run_stage(
-        spark,
-        "assemble",
-        fingerprint("assemble", ways_fp),
-        lambda: assemble_relations(
-            spark.createDataFrame(
-                ways_pdf,
-                "relation_id string, way_id long, seq long, coords array<array<double>>",
-            )
-        ).select(F.col("relation_id").alias("source_id"), "geometry", "area_deg2"),
-    )
-    stages["assemble"] = {"cached": cached, "rows": sources_assembled.count()}
-    # ingest sanity: assembled areas must match the canonical source table
-    import numpy as np
+    if args.real_config:
+        # real sources are already assembled geometries (the reference
+        # would have downloaded them; the fixture decomposition into raw
+        # relation ways only exists for the synthetic world)
+        sources_assembled = spark.createDataFrame(src_pdf[["source_id", "geometry"]])
+        ways_fp = src_fp
+        stages["assemble"] = {"skipped": True, "rows": len(src_pdf)}
+    else:
+        ways_pdf = source_relation_ways_pdf()
+        ways_fp = fingerprint("ways", ways_pdf.to_json(orient="records"))
+        sources_assembled, cached = manifest.run_stage(
+            spark,
+            "assemble",
+            fingerprint("assemble", ways_fp),
+            lambda: assemble_relations(
+                spark.createDataFrame(
+                    ways_pdf,
+                    "relation_id string, way_id long, seq long, coords array<array<double>>",
+                )
+            ).select(F.col("relation_id").alias("source_id"), "geometry", "area_deg2"),
+        )
+        stages["assemble"] = {"cached": cached, "rows": sources_assembled.count()}
+        # ingest sanity: assembled areas must match the canonical source table
+        import numpy as np
 
-    from timezone_boundary_builder_spark.geom.codec import from_geojson as _fg
-    from timezone_boundary_builder_spark.geom.kernels import planar_area as _pa
+        from timezone_boundary_builder_spark.geom.codec import from_geojson as _fg
+        from timezone_boundary_builder_spark.geom.kernels import planar_area as _pa
 
-    want = {r.source_id: _pa(_fg(r.geometry)) for r in src_pdf.itertuples()}
-    got = {r["source_id"]: r["area_deg2"] for r in sources_assembled.collect()}
-    assert set(got) == set(want) and all(
-        np.isclose(got[s], want[s]) for s in want
-    ), "assembled sources diverge from canonical source table"
+        want = {r.source_id: _pa(_fg(r.geometry)) for r in src_pdf.itertuples()}
+        got = {r["source_id"]: r["area_deg2"] for r in sources_assembled.collect()}
+        assert set(got) == set(want) and all(
+            np.isclose(got[s], want[s]) for s in want
+        ), "assembled sources diverge from canonical source table"
 
     from timezone_boundary_builder_spark.operators.zone_build import (
         apply_zone_filters,
@@ -198,7 +229,7 @@ def main(argv=None) -> int:
         assert_valid(
             spark,
             zones,
-            spark.createDataFrame(expected_overlaps_pdf()),
+            spark.createDataFrame(exp_pdf),
             debug_dir=os.path.join(args.work_dir, "validation-debug"),
         )
         stages["validate"] = {"ok": True}
@@ -208,9 +239,9 @@ def main(argv=None) -> int:
     oceans, cached = manifest.run_stage(
         spark,
         "oceans",
-        fingerprint("oceans", zones_fp, json.dumps(OCEAN_BANDS)),
+        fingerprint("oceans", zones_fp, json.dumps(ocean_bands)),
         lambda: build_ocean_zones(
-            spark, spark.createDataFrame(pd.DataFrame(OCEAN_BANDS)), zones
+            spark, spark.createDataFrame(pd.DataFrame(ocean_bands)), zones
         ),
     )
     stages["oceans"] = {"cached": cached, "rows": oceans.count()}
@@ -220,7 +251,45 @@ def main(argv=None) -> int:
         for s, skip in (("1970", args.skip_1970_zones), ("now", args.skip_now_zones))
         if not skip
     ]
-    groups_pdf = zone_groups_pdf()
+    if args.real_config:
+        # tzdb-computed groupings over the 419 real zones + 25 ocean band
+        # tzids (the reference's getZoneCfgSinceTime, index.js:169-245).
+        # Land zones get population 1 vs bands' 0 so the representative is
+        # always land when a band merges into a land group (the reference
+        # picks by real population; with flat populations the tie-break is
+        # the lexicographic min, which Etc/* would win over Pacific/*).
+        # Cutoffs: epoch and 2020-01-01; horizon 2036-01-01 (inside every
+        # TZif file's explicit-transition range) — identical to the
+        # geo_tz_real_groups gate, whose TZif-parse oracle pins the result.
+        from timezone_boundary_builder_spark.operators.tz_fingerprint import (
+            derive_zone_groups,
+        )
+
+        def _real_groups():
+            zones_tz = sorted(cfg_pdf.tzid.unique())
+            band_tz = [b["tzid"] for b in ocean_bands]
+            ztab = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "tzid": zones_tz + band_tz,
+                        "population": [1] * len(zones_tz) + [0] * len(band_tz),
+                    }
+                )
+            )
+            g70 = derive_zone_groups(spark, ztab, "1970", 0, 2082758400)
+            gnow = derive_zone_groups(spark, ztab, "now", 1577836800, 2082758400)
+            return g70.unionByName(gnow)
+
+        groups_df_cached, cached = manifest.run_stage(
+            spark,
+            "real_groups",
+            fingerprint("real_groups", cfg_fp, "0:1577836800:2082758400"),
+            _real_groups,
+        )
+        groups_pdf = groups_df_cached.toPandas()
+        stages["real_groups"] = {"cached": cached, "rows": len(groups_pdf)}
+    else:
+        groups_pdf = zone_groups_pdf()
     groups_fp = fingerprint("groups", groups_pdf.to_json(orient="records"))
     products = {"comprehensive": zones}
     for strategy in strategies:
@@ -267,18 +336,22 @@ def main(argv=None) -> int:
         ocean_skip=ocean_skip,
     )
     # combined-osm-zones: raw per-tz OSM boundaries as one collection
-    # (combineAndWriteOSMZones, index.js:1391-1405)
-    from timezone_boundary_builder_spark.operators.outputs import (
-        write_feature_collection,
-    )
-    from timezone_boundary_builder_spark.sources.fixtures import (
-        osm_tz_boundaries_pdf,
-    )
+    # (combineAndWriteOSMZones, index.js:1391-1405). Fixture-world only:
+    # in --real-config mode there are no raw per-tz downloads (the
+    # network-free sandbox has no Overpass), so the artifact is skipped —
+    # the real per-zone INIT geometries already flow through the build.
+    if not args.real_config:
+        from timezone_boundary_builder_spark.operators.outputs import (
+            write_feature_collection,
+        )
+        from timezone_boundary_builder_spark.sources.fixtures import (
+            osm_tz_boundaries_pdf,
+        )
 
-    counts["combined-osm-zones.geojson"] = write_feature_collection(
-        spark.createDataFrame(osm_tz_boundaries_pdf()),
-        f"{args.out_dir}/combined-osm-zones.geojson",
-    )
+        counts["combined-osm-zones.geojson"] = write_feature_collection(
+            spark.createDataFrame(osm_tz_boundaries_pdf()),
+            f"{args.out_dir}/combined-osm-zones.geojson",
+        )
 
     # release-change analysis (analyzeChangesFromLastRelease,
     # index.js:1541-1657): buffered two-way diff vs a prior run's
@@ -337,8 +410,8 @@ def main(argv=None) -> int:
         zf.writestr("zones_config.json", cfg_pdf.to_json(orient="records"))
         zf.writestr("sources.json", src_pdf.to_json(orient="records"))
         zf.writestr("zone_groups.json", groups_pdf.to_json(orient="records"))
-        zf.writestr("ocean_bands.json", json.dumps(OCEAN_BANDS))
-        zf.writestr("expected_overlaps.json", expected_overlaps_pdf().to_json(orient="records"))
+        zf.writestr("ocean_bands.json", json.dumps(ocean_bands))
+        zf.writestr("expected_overlaps.json", exp_pdf.to_json(orient="records"))
         manifest_path = os.path.join(args.work_dir, "_manifest.json")
         if os.path.exists(manifest_path):
             zf.write(manifest_path, arcname="stage-manifest.json")
