@@ -136,3 +136,48 @@ def test_lsh_pairs_single_stacked_join(spark):
     # one logical self-join: hash-join count in the final plan is 1
     n_joins = plan.count("HashJoin") + plan.count("SortMergeJoin")
     assert n_joins == 1, plan
+
+
+def test_prune_sources_is_broadcast_left_semi(spark):
+    """R13 source pruning must broadcast the tiny used-source-id set —
+    at 10^12-scale source tables a shuffled semi-join would move the
+    whole source relation for a config-sized filter."""
+    import pandas as pd
+
+    from timezone_boundary_builder_spark.operators.zone_build import (
+        apply_zone_filters,
+        prune_sources,
+    )
+    from timezone_boundary_builder_spark.sources.fixtures import (
+        sources_pdf,
+        zones_config_pdf,
+    )
+
+    cfg = apply_zone_filters(
+        spark.createDataFrame(zones_config_pdf()), ["Test/Alpha"], None
+    )
+    plan = plan_of(prune_sources(spark.createDataFrame(sources_pdf()), cfg))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_distributed_sink_rows_stay_executor_side(spark):
+    """The scale-path FeatureCollection sink builds its feature lines
+    JVM-side (string concat inside whole-stage codegen, to_json only for
+    the tzid escape) — no Python UDF, no collect, in the row pipeline."""
+    from pyspark.sql import functions as F
+
+    zones = spark.range(100).select(
+        F.concat(F.lit("Z/"), F.col("id")).alias("tzid"),
+        F.lit('{"type":"Polygon"}').alias("geometry"),
+    )
+    line = F.concat(
+        F.lit('{"type":"Feature","properties":'),
+        F.to_json(F.struct(F.col("tzid").alias("tzid"))),
+        F.lit(',"geometry":'),
+        F.col("geometry"),
+        F.lit("}"),
+    ).alias("value")
+    plan = plan_of(zones.select(line))
+    # the '*(n)' operator prefix marks whole-stage-codegen participation
+    assert "*(1) Project" in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan
