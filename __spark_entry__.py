@@ -700,10 +700,17 @@ def _q_geo_manifest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((run_id, "src", src_cached, src.count()))
         rows.append((run_id, "agg", agg_cached, agg.count()))
 
-    _run(1, "v1")
-    _run(2, "v1")
-    _run(3, "v2")
-    _run(4, "v2", corrupt=True)
+    try:
+        _run(1, "v1")
+        _run(2, "v1")
+        _run(3, "v2")
+        _run(4, "v2", corrupt=True)
+    finally:
+        # the emitted rows are driver-side values — the scratch parquet
+        # root is not referenced by the returned DataFrame
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["run", "stage", "cached", "n_rows"])
     ).select(

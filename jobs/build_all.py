@@ -280,10 +280,30 @@ def main(argv=None) -> int:
             gnow = derive_zone_groups(spark, ztab, "now", 1577836800, 2082758400)
             return g70.unionByName(gnow)
 
+        # the stage's logical inputs are the zone list, the band table,
+        # the cutoffs, AND the tzdb itself — hash the TZif bytes of every
+        # involved tzid so a tzdata update invalidates cached groupings
+        # (a stale-resume here would silently mislabel derived products)
+        import hashlib as _hl
+        import zoneinfo as _zi
+
+        tz_h = _hl.md5()
+        zdir = _zi.TZPATH[0] if _zi.TZPATH else "/usr/share/zoneinfo"
+        for _tz in sorted(cfg_pdf.tzid.unique()) + [b["tzid"] for b in ocean_bands]:
+            _p = os.path.join(zdir, _tz)
+            if os.path.exists(_p):
+                with open(_p, "rb") as _f:
+                    tz_h.update(_f.read())
         groups_df_cached, cached = manifest.run_stage(
             spark,
             "real_groups",
-            fingerprint("real_groups", cfg_fp, "0:1577836800:2082758400"),
+            fingerprint(
+                "real_groups",
+                cfg_fp,
+                json.dumps(ocean_bands),
+                tz_h.hexdigest(),
+                "0:1577836800:2082758400",
+            ),
             _real_groups,
         )
         groups_pdf = groups_df_cached.toPandas()
@@ -403,7 +423,9 @@ def main(argv=None) -> int:
             write_product_shapefiles,
         )
 
-        stages["shapefiles"] = write_product_shapefiles(args.out_dir, args.work_dir)
+        stages["shapefiles"] = write_product_shapefiles(
+            args.out_dir, args.work_dir, include=set(counts)
+        )
     with zipfile.ZipFile(
         f"{args.out_dir}/input-data.zip", "w", compression=zipfile.ZIP_DEFLATED
     ) as zf:

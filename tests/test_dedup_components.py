@@ -44,3 +44,24 @@ def test_long_chain_converges_in_log_rounds(spark):
     out = connected_components(pairs, max_rounds=12).toPandas()
     assert len(out) == 301
     assert set(out.cluster_id) == {0}
+
+
+def test_round_checkpoints_released(spark):
+    """Per-round label checkpoints must not accumulate in block storage:
+    DataFrame.unpersist is a no-op for localCheckpointed frames, so the
+    loop frees the LogicalRDD's blocks explicitly."""
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = n_persisted()
+    edges = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]).astype("int64")
+    )
+    out = connected_components(pairs, max_rounds=12).toPandas()
+    assert set(out.cluster_id) == {0}
+    # only the FINAL round's checkpoint (consumed by the returned frame)
+    # may remain beyond the pre-call state
+    assert n_persisted() <= before + 1, (before, n_persisted())

@@ -43,3 +43,12 @@ def test_begin_task_prints_before_increment(capsys):
     ps.begin_task("second")
     assert capsys.readouterr().err == "second; dl progress: 25.0% done\n"
     assert ps.task_counter == 2
+
+
+def test_rounding_is_half_up_like_js():
+    # Math.round(62.5) = 63 in JS; Python's bankers round would give 62
+    ps = ProgressStats("x", 16)
+    ps.log_next()
+    assert ps.percentage() == 6.3
+    # toFixed(1) half-up at the unit boundary
+    assert format_duration(59.95) == "1.0 minutes"

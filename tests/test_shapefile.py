@@ -183,3 +183,25 @@ def test_shapefile_bytes_deterministic(tmp_path):
     write_shapefile([("A/Square", SQUARE), ("B/Multi", MULTI)], b2)
     for ext in SIDE_CARS:
         assert open(b1 + ext, "rb").read() == open(b2 + ext, "rb").read(), ext
+
+
+def test_include_filter_skips_stale_products(tmp_path):
+    """A stale product GeoJSON left by a previous run must not convert
+    when this run's active-product set excludes it."""
+    out = tmp_path / "dist"
+    work = tmp_path / "work"
+    out.mkdir()
+    work.mkdir()
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"tzid": "A/A"}, "geometry": SQUARE}
+        ],
+    }
+    (out / "comprehensive.geojson").write_text(json.dumps(fc))
+    (out / "now.geojson").write_text(json.dumps(fc))  # stale leftover
+    counts = write_product_shapefiles(
+        str(out), str(work), include={"comprehensive.geojson"}
+    )
+    assert counts == {"timezones.shapefile.zip": 1}
+    assert not (out / "timezones-now.shapefile.zip").exists()

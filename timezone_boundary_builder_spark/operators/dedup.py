@@ -200,6 +200,18 @@ def connected_components(
     first round that changes no label and raises if max_rounds is
     exhausted before convergence — a silent exit would return
     inconsistent cluster ids."""
+    def _release_checkpoint(df: DataFrame) -> None:
+        """Free a localCheckpoint's storage blocks. DataFrame.unpersist()
+        is a no-op for checkpointed frames (the blocks belong to the
+        LogicalRDD inside the plan, not the cache manager), so without
+        this every round's label table stays in block storage until GC —
+        verified empirically via getRDDStorageInfo. Best-effort: pokes
+        the plan internals, falls back to the context cleaner."""
+        try:
+            df._jdf.queryExecution().logical().rdd().unpersist(False)
+        except Exception:
+            pass
+
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -249,7 +261,8 @@ def connected_components(
             .localCheckpoint()
         )
         changed = stepped.where(F.col("label") != F.col("old_label")).count()
-        cached_prev.unpersist()
+        cached_prev.unpersist()  # frees the initial persisted label table
+        _release_checkpoint(cached_prev)  # frees prior rounds' checkpoints
         cached_prev = stepped
         labels = stepped.select("node", "label")
         if changed == 0:

@@ -62,6 +62,9 @@ def write_feature_collection_distributed(zones: DataFrame, dir_path: str) -> int
     # string concat (JVM-side, codegen) — re-parsing every ring array
     # through from_json/to_json would buy nothing; only the tzid needs
     # JSON escaping, delegated to to_json on a one-field struct
+    # size partitions from a tzid-only count (column-pruned scan) so the
+    # feature-line projection runs exactly once, inside the write
+    n = zones.select("tzid").count()
     rows = zones.select(
         F.concat(
             F.lit('{"type":"Feature","properties":'),
@@ -72,9 +75,8 @@ def write_feature_collection_distributed(zones: DataFrame, dir_path: str) -> int
         ).alias("value"),
         F.col("tzid"),
     )
-    n = rows.count()
     (
-        rows.repartitionByRange(max(1, n // 10000 + 1), "tzid")
+        rows.repartitionByRange(n // 10000 + 1, "tzid")
         .sortWithinPartitions("tzid")
         .select("value")
         .write.mode("overwrite")

@@ -201,13 +201,22 @@ SHAPEFILE_CONFIGS = [
 ]
 
 
-def write_product_shapefiles(out_dir: str, work_dir: str) -> dict[str, int]:
-    """Convert every present combined product GeoJSON to its shapefile zip
-    (missing products — e.g. under --skip-1970-zones — are skipped, like
-    the reference's conditional config list, index.js:1502-1528)."""
+def write_product_shapefiles(
+    out_dir: str, work_dir: str, include: set[str] | None = None
+) -> dict[str, int]:
+    """Convert combined product GeoJSONs to their shapefile zips.
+
+    `include` is the set of product file names THIS run actually wrote —
+    the conversion list is driven by the active products, mirroring the
+    reference's skip-flag-conditional config list (index.js:1502-1528),
+    NOT by directory contents: a stale now.geojson left in out_dir by an
+    earlier run without --skip-now-zones must not be re-reported as a
+    fresh output. With include=None every present product converts."""
     counts = {}
     for json_name, base_name, zip_name in SHAPEFILE_CONFIGS:
         src = os.path.join(out_dir, json_name)
+        if include is not None and json_name not in include:
+            continue
         if not os.path.exists(src):
             continue
         counts[zip_name] = geojson_to_shapefile(

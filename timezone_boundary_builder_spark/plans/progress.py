@@ -13,17 +13,26 @@ deterministic replay) off the wall clock."""
 
 from __future__ import annotations
 
+import math
 import sys
 import time
+
+
+def _round_half_up(value: float, ndigits: int = 0) -> float:
+    """JS rounding (Math.round / toFixed for positive values): half goes
+    UP. Python's built-in round is banker's (half-to-even), which would
+    print 62.5% as 62% where the reference prints 63%."""
+    scale = 10.0**ndigits
+    return math.floor(value * scale + 0.5) / scale
 
 
 def format_duration(seconds: float) -> str:
     """The reference's formatMilliseconds ladder (progressStats.js:63-81),
     including its one-decimal rounding at each unit."""
-    s = round(seconds, 1)
-    m = round(seconds / 60.0, 1)
-    h = round(seconds / 3600.0, 1)
-    d = round(seconds / 86400.0, 1)
+    s = _round_half_up(seconds, 1)
+    m = _round_half_up(seconds / 60.0, 1)
+    h = _round_half_up(seconds / 3600.0, 1)
+    d = _round_half_up(seconds / 86400.0, 1)
     if s < 60:
         return f"{s} seconds"
     if m < 60:
@@ -48,7 +57,7 @@ class ProgressStats:
 
     def percentage(self) -> float:
         """Percent done, one decimal (progressStats.js:42-45)."""
-        return round(self.task_counter / self.total_tasks * 1000.0) / 10.0
+        return _round_half_up(self.task_counter / self.total_tasks * 1000.0) / 10.0
 
     def time_left(self) -> str:
         """ETA from average time per completed task (progressStats.js:53-59)."""
