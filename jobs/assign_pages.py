@@ -53,6 +53,13 @@ def main(argv=None) -> int:
         "snapshot (Iceberg-style incremental append consumption: at crawl "
         "scale the corpus is never reprocessed)",
     )
+    # serve an arbitrary published zone artifact instead of the fixture
+    # world: e.g. --zones-parquet <build_all out-dir>/comprehensive.parquet
+    # --ocean-bands real wires a --real-config Part A build straight into
+    # the Part B hot path
+    p.add_argument("--zones-parquet", default=None)
+    p.add_argument("--ocean-bands", choices=["fixture", "real"], default="fixture")
+    p.add_argument("--cover-res", type=int, default=None)
     args = p.parse_args(argv)
 
     from pyspark import SparkConf
@@ -71,7 +78,6 @@ def main(argv=None) -> int:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    import __spark_entry__ as entry
     from timezone_boundary_builder_spark.operators.geocode import with_coordinates
     from timezone_boundary_builder_spark.operators.spatial_join import (
         assign_tzid_udf_packed,
@@ -83,7 +89,6 @@ def main(argv=None) -> int:
         fingerprint,
     )
     from timezone_boundary_builder_spark.sources import pages as pages_table
-    from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
 
     t0 = time.time()
     sid = args.snapshot or pages_table.current_snapshot_id(args.pages_root)
@@ -91,7 +96,7 @@ def main(argv=None) -> int:
     if args.incremental:
         return _run_incremental(spark, args, sid, t0)
 
-    cm = entry._local_cellmap()
+    cm = _load_cellmap(spark, args)
     zones_fp = fingerprint("zones", *cm.tzids, *[g for g in cm.geojson])
     stage_fp = fingerprint(
         "assign", str(sid), str(args.ts_day_min), str(args.ts_day_max), zones_fp
@@ -109,7 +114,7 @@ def main(argv=None) -> int:
             ts_day_max=args.ts_day_max,
         )
         pts = with_coordinates(scan).select("url", pack_coords_col())
-        return assign_tzid_udf_packed(pts, bc, OCEAN_BANDS)
+        return assign_tzid_udf_packed(pts, bc, _ocean_bands(args))
 
     assigned, cached = manifest.run_stage(spark, "assign", stage_fp, compute)
     methods = {
@@ -173,6 +178,34 @@ def main(argv=None) -> int:
     return 0
 
 
+def _ocean_bands(args) -> list[dict]:
+    if args.ocean_bands == "real":
+        from timezone_boundary_builder_spark.sources.real_config import (
+            real_ocean_bands_pdf,
+        )
+
+        return real_ocean_bands_pdf().to_dict("records")
+    from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
+
+    return OCEAN_BANDS
+
+
+def _load_cellmap(spark, args):
+    """Fixture world by default; with --zones-parquet, any published zone
+    artifact (tzid, geometry) — bboxes re-derived, cover built driver-side
+    (zones are config-sized; the pages side is where scale lives)."""
+    import __spark_entry__ as entry
+    from timezone_boundary_builder_spark.operators.cover import (
+        DEFAULT_COVER_RES,
+        cellmap_from_zones_pdf,
+    )
+
+    if not args.zones_parquet:
+        return entry._local_cellmap()
+    zp = spark.read.parquet(args.zones_parquet).select("tzid", "geometry").toPandas()
+    return cellmap_from_zones_pdf(zp, max_res=args.cover_res or DEFAULT_COVER_RES)
+
+
 def _run_incremental(spark, args, sid, t0) -> int:
     """Process only manifest entries added since the last processed
     snapshot. The Iceberg-lite manifest is append-only (commit_append
@@ -184,14 +217,12 @@ def _run_incremental(spark, args, sid, t0) -> int:
 
     from pyspark.sql import functions as F
 
-    import __spark_entry__ as entry
     from timezone_boundary_builder_spark.operators.geocode import with_coordinates
     from timezone_boundary_builder_spark.operators.spatial_join import (
         assign_tzid_udf_packed,
         pack_coords_col,
     )
     from timezone_boundary_builder_spark.sources import pages as pages_table
-    from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
     from timezone_boundary_builder_spark.sources.pages import PAGES_SCHEMA
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -211,11 +242,11 @@ def _run_incremental(spark, args, sid, t0) -> int:
     rows = 0
     methods: dict[str, int] = {}
     if delta:
-        cm = entry._local_cellmap()
+        cm = _load_cellmap(spark, args)
         bc = spark.sparkContext.broadcast(cm)
         scan = spark.read.schema(PAGES_SCHEMA).parquet(*[e["path"] for e in delta])
         pts = with_coordinates(scan).select("url", pack_coords_col())
-        assigned = assign_tzid_udf_packed(pts, bc, OCEAN_BANDS)
+        assigned = assign_tzid_udf_packed(pts, bc, _ocean_bands(args))
         inc_path = os.path.join(args.out_dir, "increments", f"snap-{sid}")
         assigned.write.mode("overwrite").parquet(inc_path)
         got = spark.read.parquet(inc_path)

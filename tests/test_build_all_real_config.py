@@ -102,6 +102,58 @@ def test_real_config_full_dag(tmp_path):
         dbf = zf.read("combined-shapefile.dbf")
     assert b"America/New_York" in dbf
 
+    # Part B serving leg: the published comprehensive.parquet artifact
+    # feeds assign_pages directly (--zones-parquet + real ocean bands) —
+    # the full reference workflow wired into the 10^12-row hot path
+    import duckdb
+
+    from timezone_boundary_builder_spark.sources import pages as pt
+    from timezone_boundary_builder_spark.sources.fixtures import synthetic_pages
+    from timezone_boundary_builder_spark.sources.real_config import (
+        real_ocean_bands_pdf,
+        real_zones_config_pdf,
+    )
+    from timezone_boundary_builder_spark.session import get_spark
+
+    spark = get_spark(app_name="tzbb-realcfg-pages", cores=8, shuffle_partitions=8)
+    pages_root = str(tmp_path / "pages_tbl")
+    pdf = synthetic_pages(n=400, seed=11).drop(columns=["kind"])
+    pt.commit_append(pages_root, spark.createDataFrame(pdf))
+
+    ar = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "assign_pages.py"),
+            "--pages-root", pages_root,
+            "--work-dir", str(tmp_path / "aw"),
+            "--out-dir", str(tmp_path / "ao"),
+            "--cores", "8",
+            "--zones-parquet", os.path.join(out, "comprehensive.parquet"),
+            "--ocean-bands", "real",
+            "--cover-res", "8",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=560,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert ar.returncode == 0, ar.stderr[-3000:]
+    res = json.loads(ar.stdout.strip().splitlines()[-1])
+    assert res["rows"] == 400 and res["text_invariant_ok"] is True
+    # every assignment is a real tzid or a real ocean band
+    valid = set(real_zones_config_pdf().tzid.unique()) | set(
+        real_ocean_bands_pdf().tzid
+    )
+    got = duckdb.sql(
+        f"SELECT DISTINCT tzid FROM '{tmp_path}/ao/assigned_pages/*.parquet' "
+        "WHERE tzid IS NOT NULL"
+    ).df()["tzid"]
+    assert set(got) <= valid and len(got) > 5, sorted(got)[:10]
+    assert "ocean" in res["methods"] and (
+        "cell" in res["methods"] or "pip" in res["methods"]
+    )
+
     # resume: a second run must hit every checkpointed stage
     r2 = _run(work, out, "--skip-zip")
     for stage in (

@@ -60,6 +60,37 @@ def build_cell_covers(zones: DataFrame, max_res: int = DEFAULT_COVER_RES) -> Dat
     )
 
 
+def cellmap_from_zones_pdf(
+    zones_pdf: pd.DataFrame, max_res: int = DEFAULT_COVER_RES
+) -> "CellMap":
+    """(tzid, geometry[, bbox...]) pandas table -> broadcastable CellMap.
+    Bboxes are derived from the geometry when absent, so any published
+    zone artifact (a build_all product parquet, a prior release) can feed
+    the serving layer directly."""
+    zp = zones_pdf.sort_values("tzid").reset_index(drop=True)
+    if "min_x" not in zp.columns:
+        boxes = []
+        for gj in zp["geometry"]:
+            g = from_geojson(gj)
+            xs, ys = g.coords[:, 0], g.coords[:, 1]
+            boxes.append((xs.min(), ys.min(), xs.max(), ys.max()))
+        zp = zp.assign(
+            min_x=[b[0] for b in boxes],
+            min_y=[b[1] for b in boxes],
+            max_x=[b[2] for b in boxes],
+            max_y=[b[3] for b in boxes],
+        )
+    covers = []
+    for r in zp.itertuples():
+        cells, full = cover_polygon(from_geojson(r.geometry), max_res=max_res)
+        covers.append(
+            pd.DataFrame(
+                {"tzid": r.tzid, "cell_id": cells.astype(np.int64), "full": full}
+            )
+        )
+    return CellMap(pd.concat(covers, ignore_index=True), zp)
+
+
 class CellMap:
     """Broadcastable compact cover: sorted arrays per kind.
 
