@@ -836,6 +836,49 @@ def _q_geo_zone_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_pages_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 table maintenance (Iceberg rewrite_data_files +
+    expire_snapshots semantics on the pages table contract): three append
+    snapshots -> compaction must collapse the manifest to one entry per
+    ts_day while conserving rows per partition, and expiry must drop
+    exactly the pre-compaction snapshots. Emits per-partition row counts
+    before/after plus chain metrics; oracle = the same partition counts
+    straight off the fixture page set, computed by DuckDB."""
+    import shutil
+    import tempfile
+
+    from timezone_boundary_builder_spark.sources import pages as pg
+    from timezone_boundary_builder_spark.sources.fixtures import synthetic_pages
+
+    root = tempfile.mkdtemp(prefix="pages_maint_")
+    try:
+        pdf = synthetic_pages(n=300, seed=11).drop(columns=["kind"])
+        # chunk pandas-side: Spark limit/offset order depends on the
+        # session's parallelism, iloc does not
+        sids = [
+            pg.commit_append(root, spark.createDataFrame(pdf.iloc[lo:hi]))
+            for lo, hi in ((0, 100), (100, 200), (200, 300))
+        ]
+        pre_entries = len(pg.read_snapshot(root)["manifest"])
+        pg.compact_data_files(spark, root)
+        post = pg.read_snapshot(root)
+        res = pg.expire_snapshots(root, keep_last=1)
+        rows = [
+            ("chain", "pre_manifest_entries", pre_entries),
+            ("chain", "post_manifest_entries", len(post["manifest"])),
+            ("chain", "expired", len(res["expired"])),
+            ("chain", "expired_were_appends", int(set(res["expired"]) == set(sids))),
+            ("chain", "rows_total", pg.snapshot_row_count(root)),
+        ]
+        for e in sorted(post["manifest"], key=lambda e: e["ts_day"]):
+            rows.append(("partition_rows", e["ts_day"], e["rows"]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["metric", "item", "value"])
+    ).select("metric", "item", F.col("value").cast("long"))
+
+
 def _q_geo_osm_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8b: the combined-osm-zones relation (combineAndWriteOSMZones,
     index.js:1391-1405) — one feature per tzid from the raw per-tz OSM
@@ -1349,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_lint_config": _q_geo_lint_config,
         "geo_real_config_build": _q_geo_real_config_build,
         "geo_manifest_resume": _q_geo_manifest_resume,
+        "pages_maintenance": _q_pages_maintenance,
         "geo_lineage_conservation": _q_geo_lineage_conservation,
         "geo_zone_filter_prune": _q_geo_zone_filter_prune,
         "geo_osm_zones": _q_geo_osm_zones,
@@ -1817,6 +1861,124 @@ def oracle_sql() -> dict[str, str]:
             ('now', 'Pacific/Midway', 3, 'Pacific/Midway,Pacific/Niue,Pacific/Pago_Pago'),
             ('now', '_singletons', 41, '')
             ) AS t(strategy, rep_tzid, n_members, members_csv)""",
+        # frozen fixture-derived goldens: per-day page counts of
+        # synthetic_pages(n=300, seed=11) plus the snapshot-chain
+        # arithmetic (3 appends spanning 198 day-entries collapse to
+        # 106 partitions; expiry drops exactly the 3 appends)
+        "pages_maintenance": """
+            SELECT metric, item, CAST(value AS BIGINT) AS value FROM (VALUES
+            ('chain', 'pre_manifest_entries', 198),
+            ('chain', 'post_manifest_entries', 106),
+            ('chain', 'expired', 3),
+            ('chain', 'expired_were_appends', 1),
+            ('chain', 'rows_total', 300),
+            ('partition_rows', '2026-01-01', 3),
+            ('partition_rows', '2026-01-02', 4),
+            ('partition_rows', '2026-01-03', 6),
+            ('partition_rows', '2026-01-04', 4),
+            ('partition_rows', '2026-01-05', 3),
+            ('partition_rows', '2026-01-06', 1),
+            ('partition_rows', '2026-01-07', 3),
+            ('partition_rows', '2026-01-08', 4),
+            ('partition_rows', '2026-01-09', 1),
+            ('partition_rows', '2026-01-10', 2),
+            ('partition_rows', '2026-01-11', 2),
+            ('partition_rows', '2026-01-12', 3),
+            ('partition_rows', '2026-01-15', 2),
+            ('partition_rows', '2026-01-16', 2),
+            ('partition_rows', '2026-01-17', 6),
+            ('partition_rows', '2026-01-18', 2),
+            ('partition_rows', '2026-01-19', 3),
+            ('partition_rows', '2026-01-20', 3),
+            ('partition_rows', '2026-01-21', 5),
+            ('partition_rows', '2026-01-22', 1),
+            ('partition_rows', '2026-01-24', 2),
+            ('partition_rows', '2026-01-25', 2),
+            ('partition_rows', '2026-01-26', 3),
+            ('partition_rows', '2026-01-27', 2),
+            ('partition_rows', '2026-01-29', 1),
+            ('partition_rows', '2026-01-30', 3),
+            ('partition_rows', '2026-01-31', 3),
+            ('partition_rows', '2026-02-01', 3),
+            ('partition_rows', '2026-02-02', 3),
+            ('partition_rows', '2026-02-03', 2),
+            ('partition_rows', '2026-02-05', 2),
+            ('partition_rows', '2026-02-06', 4),
+            ('partition_rows', '2026-02-07', 4),
+            ('partition_rows', '2026-02-08', 1),
+            ('partition_rows', '2026-02-09', 3),
+            ('partition_rows', '2026-02-10', 3),
+            ('partition_rows', '2026-02-11', 2),
+            ('partition_rows', '2026-02-12', 4),
+            ('partition_rows', '2026-02-14', 5),
+            ('partition_rows', '2026-02-15', 5),
+            ('partition_rows', '2026-02-16', 2),
+            ('partition_rows', '2026-02-18', 4),
+            ('partition_rows', '2026-02-19', 3),
+            ('partition_rows', '2026-02-20', 2),
+            ('partition_rows', '2026-02-21', 5),
+            ('partition_rows', '2026-02-22', 1),
+            ('partition_rows', '2026-02-23', 2),
+            ('partition_rows', '2026-02-24', 5),
+            ('partition_rows', '2026-02-25', 3),
+            ('partition_rows', '2026-02-26', 1),
+            ('partition_rows', '2026-02-27', 2),
+            ('partition_rows', '2026-02-28', 2),
+            ('partition_rows', '2026-03-01', 1),
+            ('partition_rows', '2026-03-02', 4),
+            ('partition_rows', '2026-03-03', 2),
+            ('partition_rows', '2026-03-04', 1),
+            ('partition_rows', '2026-03-05', 2),
+            ('partition_rows', '2026-03-06', 4),
+            ('partition_rows', '2026-03-07', 6),
+            ('partition_rows', '2026-03-08', 1),
+            ('partition_rows', '2026-03-09', 4),
+            ('partition_rows', '2026-03-11', 5),
+            ('partition_rows', '2026-03-12', 2),
+            ('partition_rows', '2026-03-13', 5),
+            ('partition_rows', '2026-03-14', 3),
+            ('partition_rows', '2026-03-15', 2),
+            ('partition_rows', '2026-03-16', 3),
+            ('partition_rows', '2026-03-17', 1),
+            ('partition_rows', '2026-03-18', 4),
+            ('partition_rows', '2026-03-19', 4),
+            ('partition_rows', '2026-03-20', 4),
+            ('partition_rows', '2026-03-21', 3),
+            ('partition_rows', '2026-03-23', 2),
+            ('partition_rows', '2026-03-24', 1),
+            ('partition_rows', '2026-03-25', 3),
+            ('partition_rows', '2026-03-27', 3),
+            ('partition_rows', '2026-03-28', 5),
+            ('partition_rows', '2026-03-29', 4),
+            ('partition_rows', '2026-03-30', 1),
+            ('partition_rows', '2026-03-31', 2),
+            ('partition_rows', '2026-04-01', 1),
+            ('partition_rows', '2026-04-02', 5),
+            ('partition_rows', '2026-04-03', 3),
+            ('partition_rows', '2026-04-04', 1),
+            ('partition_rows', '2026-04-05', 4),
+            ('partition_rows', '2026-04-06', 3),
+            ('partition_rows', '2026-04-07', 3),
+            ('partition_rows', '2026-04-08', 2),
+            ('partition_rows', '2026-04-09', 3),
+            ('partition_rows', '2026-04-10', 2),
+            ('partition_rows', '2026-04-11', 6),
+            ('partition_rows', '2026-04-12', 1),
+            ('partition_rows', '2026-04-13', 2),
+            ('partition_rows', '2026-04-14', 2),
+            ('partition_rows', '2026-04-15', 2),
+            ('partition_rows', '2026-04-16', 1),
+            ('partition_rows', '2026-04-17', 2),
+            ('partition_rows', '2026-04-18', 4),
+            ('partition_rows', '2026-04-19', 2),
+            ('partition_rows', '2026-04-20', 2),
+            ('partition_rows', '2026-04-21', 2),
+            ('partition_rows', '2026-04-22', 5),
+            ('partition_rows', '2026-04-23', 3),
+            ('partition_rows', '2026-04-24', 2),
+            ('partition_rows', '2026-04-25', 3),
+            ('partition_rows', '2026-04-26', 3)
+            ) AS t(metric, item, value)""",
         # expected cache-hit/miss table for the four-run resume scenario
         # (cold, warm, fingerprint change, corrupted output) — the
         # FileLookupCache contract of util/cache.js:50-128

@@ -99,3 +99,58 @@ def test_lineage_and_metrics(spark, pages_pdf):
     assert out.count() == 300
     snap = met.snapshot()
     assert snap["rows_in"] == 300 and snap["rows_out"] == 300 and snap["batches"] >= 1
+
+
+def test_compaction_rewrites_without_changing_content(spark, tmp_path, pages_pdf):
+    """Iceberg-style rewrite_data_files: three append batches collapse to
+    one manifest entry per ts_day, the (url, text) content hash and row
+    count are unchanged, and the pre-compaction snapshot still time-travels
+    against its original files."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pages_pdf)
+    for chunk in (df.limit(100), df.offset(100).limit(100), df.offset(200)):
+        pg.commit_append(root, chunk)
+    pre = pg.read_snapshot(root)
+    n_entries_pre = len(pre["manifest"])
+    days = {e["ts_day"] for e in pre["manifest"]}
+    assert n_entries_pre > len(days)  # multiple batches per day
+
+    def content(sid=None):
+        s = pg.scan(spark, root, snapshot_id=sid)
+        row = s.agg(
+            F.bit_xor(F.xxhash64("url", "text")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return row["h"], row["n"]
+
+    h_pre = content()
+    sid_c = pg.compact_data_files(spark, root)
+    post = pg.read_snapshot(root)
+    assert post["id"] == sid_c and post["operation"] == "rewrite"
+    assert len(post["manifest"]) == len(days)  # one entry per partition
+    assert content() == h_pre
+    # time travel: the pre-compaction snapshot still reads its own files
+    assert content(pre["id"]) == h_pre
+
+
+def test_expire_snapshots_drops_orphans_only(spark, tmp_path, pages_pdf):
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pages_pdf)
+    sids = [pg.commit_append(root, df.limit(150)), pg.commit_append(root, df.offset(150))]
+    n_total = pg.snapshot_row_count(root)
+    pg.compact_data_files(spark, root)
+    res = pg.expire_snapshots(root, keep_last=1)
+    assert set(res["expired"]) == set(sids)
+    # current snapshot unaffected; its files intact
+    assert pg.scan(spark, root).count() == n_total
+    # expired snapshots are gone, and so are their now-orphaned batches
+    with pytest.raises(FileNotFoundError):
+        pg.read_snapshot(root, sids[0])
+    data_dirs = os.listdir(os.path.join(root, "data"))
+    assert all(d.startswith("compact-") for d in data_dirs), data_dirs

@@ -104,18 +104,7 @@ def commit_append(root: str, df: DataFrame) -> str:
     parent = current_snapshot_id(root)
     if parent is not None:
         manifest = read_snapshot(root, parent)["manifest"] + manifest
-    sid = f"{int(time.time() * 1000)}-{batch_id}"
-    snap = {"id": sid, "parent": parent, "manifest": manifest, "schema": "pages_v1"}
-    snap_path = os.path.join(_meta_dir(root), f"snap-{sid}.json")
-    tmp = snap_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(snap, f)
-    os.rename(tmp, snap_path)  # atomic publish
-    cur_tmp = os.path.join(_meta_dir(root), "current.tmp")
-    with open(cur_tmp, "w") as f:
-        f.write(sid)
-    os.rename(cur_tmp, os.path.join(_meta_dir(root), "current"))
-    return sid
+    return _publish_snapshot(root, manifest, parent, op="append")
 
 
 def scan(
@@ -144,3 +133,122 @@ def scan(
 
 def snapshot_row_count(root: str, snapshot_id: str | None = None) -> int:
     return sum(e["rows"] for e in read_snapshot(root, snapshot_id)["manifest"])
+
+
+# ------------------------------------------------- table maintenance
+# The two jobs every append-heavy crawl table needs at scale, with the
+# Iceberg semantics: compaction rewrites small files into a new REWRITE
+# snapshot (logical content unchanged, old snapshots still readable —
+# time travel keeps working), and snapshot expiry drops old metadata plus
+# any data files no retained snapshot references.
+
+
+def _publish_snapshot(root: str, manifest: list[dict], parent: str | None, op: str) -> str:
+    """Atomic snapshot publish (shared by append and rewrite commits)."""
+    batch_id = uuid.uuid4().hex[:12]
+    sid = f"{int(time.time() * 1000)}-{batch_id}"
+    snap = {
+        "id": sid,
+        "parent": parent,
+        "operation": op,
+        "manifest": manifest,
+        "schema": "pages_v1",
+    }
+    snap_path = os.path.join(_meta_dir(root), f"snap-{sid}.json")
+    tmp = snap_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.rename(tmp, snap_path)
+    cur_tmp = os.path.join(_meta_dir(root), "current.tmp")
+    with open(cur_tmp, "w") as f:
+        f.write(sid)
+    os.rename(cur_tmp, os.path.join(_meta_dir(root), "current"))
+    return sid
+
+
+def compact_data_files(spark: SparkSession, root: str) -> str:
+    """Rewrite the current snapshot's data into one file set per ts_day
+    (Iceberg's rewrite_data_files): many small append batches -> one
+    batch directory, manifest entries collapse to one per partition.
+    Logical content is untouched — the new snapshot's rows hash-match the
+    old (tested), and prior snapshots keep reading their original files
+    until expire_snapshots drops them."""
+    parent = current_snapshot_id(root)
+    df = scan(spark, root, snapshot_id=parent)
+    staged = (
+        df.withColumn("ts_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+        .repartition(F.col("ts_day"))
+    )
+    batch_id = uuid.uuid4().hex[:12]
+    data_path = os.path.join(root, "data", f"compact-{batch_id}")
+    staged.write.mode("error").partitionBy("ts_day").parquet(data_path)
+    written = spark.read.parquet(data_path)
+    stats = (
+        written.withColumn("ts_day", F.col("ts_day").cast("string"))
+        .groupBy("ts_day")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("warc_ts").alias("min_ts"),
+            F.max("warc_ts").alias("max_ts"),
+        )
+        .collect()
+    )
+    manifest = [
+        {
+            "path": os.path.join(data_path, f"ts_day={r.ts_day}"),
+            "ts_day": r.ts_day,
+            "rows": r.rows,
+            "min_ts": str(r.min_ts),
+            "max_ts": str(r.max_ts),
+        }
+        for r in stats
+    ]
+    return _publish_snapshot(root, manifest, parent, op="rewrite")
+
+
+def expire_snapshots(root: str, keep_last: int = 2) -> dict:
+    """Drop all but the newest `keep_last` snapshots on the current
+    lineage, then delete any data directory no retained snapshot
+    references (Iceberg's expire_snapshots + orphan cleanup). Returns
+    {kept, expired, deleted_paths}; expired snapshot ids are no longer
+    readable, the retained ones are untouched."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    chain = []
+    sid = current_snapshot_id(root)
+    while sid is not None:
+        snap = read_snapshot(root, sid)
+        chain.append(snap)
+        sid = snap.get("parent")
+    kept, expired = chain[:keep_last], chain[keep_last:]
+    live_paths = {e["path"] for s in kept for e in s["manifest"]}
+    deleted = []
+    for s in expired:
+        for e in s["manifest"]:
+            if e["path"] not in live_paths and os.path.exists(e["path"]):
+                shutil.rmtree(e["path"], ignore_errors=True)
+                deleted.append(e["path"])
+        os.remove(os.path.join(_meta_dir(root), f"snap-{s['id']}.json"))
+    # the oldest kept snapshot's parent no longer exists
+    if expired and kept:
+        oldest = kept[-1]
+        oldest["parent"] = None
+        with open(
+            os.path.join(_meta_dir(root), f"snap-{oldest['id']}.json"), "w"
+        ) as f:
+            json.dump(oldest, f)
+    # empty batch dirs whose partitions were all deleted
+    data_root = os.path.join(root, "data")
+    for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
+        full = os.path.join(data_root, d)
+        if os.path.isdir(full) and not any(
+            p == full or p.startswith(full + os.sep) for p in live_paths
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+    return {
+        "kept": [s["id"] for s in kept],
+        "expired": [s["id"] for s in expired],
+        "deleted_paths": sorted(deleted),
+    }
