@@ -91,14 +91,11 @@ def _local_zones() -> pd.DataFrame:
 
 @lru_cache(maxsize=1)
 def _local_cellmap() -> CellMap:
-    zp = _local_zones()
-    covers = []
-    for r in zp.itertuples():
-        cells, full = cover_polygon(from_geojson(r.geometry), max_res=7)
-        covers.append(
-            pd.DataFrame({"tzid": r.tzid, "cell_id": cells.astype(np.int64), "full": full})
-        )
-    return CellMap(pd.concat(covers, ignore_index=True), zp)
+    from timezone_boundary_builder_spark.operators.cover import (
+        cellmap_from_zones_pdf,
+    )
+
+    return cellmap_from_zones_pdf(_local_zones(), max_res=7)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:

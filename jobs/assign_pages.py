@@ -98,8 +98,18 @@ def main(argv=None) -> int:
 
     cm = _load_cellmap(spark, args)
     zones_fp = fingerprint("zones", *cm.tzids, *[g for g in cm.geojson])
+    # every input that changes the OUTPUT is in the key: the band table
+    # decides ocean tzids and the cover resolution decides the
+    # cell-vs-pip method mix — omitting either would replay a stale
+    # cached stage after a flag change
     stage_fp = fingerprint(
-        "assign", str(sid), str(args.ts_day_min), str(args.ts_day_max), zones_fp
+        "assign",
+        str(sid),
+        str(args.ts_day_min),
+        str(args.ts_day_max),
+        zones_fp,
+        json.dumps(_ocean_bands(args)),
+        str(args.cover_res),
     )
 
     manifest = StageManifest(args.work_dir)
@@ -202,7 +212,9 @@ def _load_cellmap(spark, args):
 
     if not args.zones_parquet:
         return entry._local_cellmap()
-    zp = spark.read.parquet(args.zones_parquet).select("tzid", "geometry").toPandas()
+    zdf = spark.read.parquet(args.zones_parquet)
+    bbox_cols = [c for c in ("min_x", "min_y", "max_x", "max_y") if c in zdf.columns]
+    zp = zdf.select("tzid", "geometry", *bbox_cols).toPandas()
     return cellmap_from_zones_pdf(zp, max_res=args.cover_res or DEFAULT_COVER_RES)
 
 
@@ -232,12 +244,19 @@ def _run_incremental(spark, args, sid, t0) -> int:
         with open(cursor_path) as f:
             state = _json.load(f)
 
-    cur = pages_table.read_snapshot(args.pages_root, sid)
-    seen_paths: set[str] = set()
-    if state["last_snapshot"]:
-        prev = pages_table.read_snapshot(args.pages_root, state["last_snapshot"])
-        seen_paths = {e["path"] for e in prev["manifest"]}
-    delta = [e for e in cur["manifest"] if e["path"] not in seen_paths]
+    # chain-walked append delta (NOT a raw path diff): rewrite snapshots
+    # from compact_data_files carry no new logical rows and are skipped;
+    # an expired cursor fails loudly instead of reprocessing the world
+    try:
+        delta = pages_table.added_paths_since(
+            args.pages_root, sid, state["last_snapshot"]
+        )
+    except (ValueError, FileNotFoundError) as e:
+        raise SystemExit(
+            f"incremental cursor {state['last_snapshot']} is no longer on "
+            f"the snapshot chain (expired by expire_snapshots?). Delete "
+            f"{cursor_path} to re-baseline. ({e})"
+        )
 
     rows = 0
     methods: dict[str, int] = {}

@@ -145,8 +145,15 @@ def test_expire_snapshots_drops_orphans_only(spark, tmp_path, pages_pdf):
     sids = [pg.commit_append(root, df.limit(150)), pg.commit_append(root, df.offset(150))]
     n_total = pg.snapshot_row_count(root)
     pg.compact_data_files(spark, root)
+    # default TTL protects a fresh unreferenced dir (in-flight append
+    # guard): batch shells survive the first expiry...
     res = pg.expire_snapshots(root, keep_last=1)
     assert set(res["expired"]) == set(sids)
+    assert any(
+        d.startswith("batch-") for d in os.listdir(os.path.join(root, "data"))
+    )
+    # ...and a zero-TTL pass (operator says nothing is in flight) reaps them
+    pg.expire_snapshots(root, keep_last=1, orphan_ttl_sec=0.0)
     # current snapshot unaffected; its files intact
     assert pg.scan(spark, root).count() == n_total
     # expired snapshots are gone, and so are their now-orphaned batches
@@ -154,3 +161,68 @@ def test_expire_snapshots_drops_orphans_only(spark, tmp_path, pages_pdf):
         pg.read_snapshot(root, sids[0])
     data_dirs = os.listdir(os.path.join(root, "data"))
     assert all(d.startswith("compact-") for d in data_dirs), data_dirs
+
+
+def test_added_paths_since_skips_rewrites(spark, tmp_path, pages_pdf):
+    """Chain-walked incremental delta: a compaction rewrite contributes
+    ZERO added paths (its rows are not new), later appends contribute
+    exactly their own batches, and an expired cursor raises instead of
+    silently re-emitting the whole table."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pages_pdf)
+    s1 = pg.commit_append(root, df.limit(100))
+    s2 = pg.commit_append(root, df.offset(100).limit(100))
+    # cursor at s2; compaction must yield no delta
+    sc_ = pg.compact_data_files(spark, root)
+    assert pg.added_paths_since(root, sc_, s2) == []
+    # an append after the rewrite yields exactly its own entries
+    s3 = pg.commit_append(root, df.offset(200))
+    delta = pg.added_paths_since(root, s3, s2)
+    assert delta and all("/batch-" in e["path"] for e in delta)
+    assert sum(e["rows"] for e in delta) == 100
+    # full-history walk from None = every append's rows once
+    assert sum(e["rows"] for e in pg.added_paths_since(root, s3, None)) == 300
+    # expiry invalidates the old cursor loudly
+    pg.expire_snapshots(root, keep_last=1)
+    with pytest.raises((ValueError, FileNotFoundError)):
+        pg.added_paths_since(root, pg.current_snapshot_id(root), s1)
+
+
+def test_null_warc_ts_lands_in_sentinel_partition(spark, tmp_path):
+    import datetime
+
+    import pandas as pd
+
+    root = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {
+            "url": ["a", "b", "c"],
+            "warc_ts": [
+                datetime.datetime(2026, 1, 5, 12, 0, 0),
+                None,
+                datetime.datetime(2026, 1, 6, 1, 0, 0),
+            ],
+            "html": [b"", b"", b""],
+            "text": ["x", "y", "z"],
+            "lang": ["en", "en", "en"],
+        }
+    )
+    pg.commit_append(root, spark.createDataFrame(pdf, pg.PAGES_SCHEMA))
+    snap = pg.read_snapshot(root)
+    days = {e["ts_day"] for e in snap["manifest"]}
+    assert days == {"2026-01-05", "2026-01-06", pg.NULL_TS_DAY}
+    # every manifest path actually exists (no 'ts_day=None' phantom)
+    import os
+
+    assert all(os.path.exists(e["path"]) for e in snap["manifest"])
+    # unfiltered scan sees all rows; a dated range excludes the null row
+    assert pg.scan(spark, root).count() == 3
+    assert (
+        pg.scan(spark, root, ts_day_min="2026-01-01", ts_day_max="2026-12-31").count()
+        == 2
+    )
+    # compaction round-trips the sentinel partition too
+    pg.compact_data_files(spark, root)
+    assert pg.scan(spark, root).count() == 3

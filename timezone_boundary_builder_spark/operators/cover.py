@@ -72,6 +72,11 @@ def cellmap_from_zones_pdf(
         boxes = []
         for gj in zp["geometry"]:
             g = from_geojson(gj)
+            if len(g.coords) == 0:
+                # empty op-fold results are writable artifacts (zone_row
+                # stores NaN bounds for them) — mirror that, don't crash
+                boxes.append((np.nan, np.nan, np.nan, np.nan))
+                continue
             xs, ys = g.coords[:, 0], g.coords[:, 1]
             boxes.append((xs.min(), ys.min(), xs.max(), ys.max()))
         zp = zp.assign(

@@ -70,16 +70,30 @@ def commit_append(root: str, df: DataFrame) -> str:
     pointer (writers never mutate published files — the Iceberg property
     resume depends on)."""
     os.makedirs(_meta_dir(root), exist_ok=True)
-    staged = (
-        df.withColumn("ts_day", F.date_format("warc_ts", "yyyy-MM-dd"))
-        .repartition(F.col("ts_day"))
-    )
-    batch_id = uuid.uuid4().hex[:12]
-    data_path = os.path.join(root, "data", f"batch-{batch_id}")
-    staged.write.mode("error").partitionBy("ts_day").parquet(data_path)
+    manifest = _write_batch(df.sparkSession, root, df, "batch")
+    parent = current_snapshot_id(root)
+    if parent is not None:
+        manifest = read_snapshot(root, parent)["manifest"] + manifest
+    return _publish_snapshot(root, manifest, parent, op="append")
 
-    # build the manifest from what was written
-    spark = df.sparkSession
+
+# null-warc_ts rows get a sentinel partition: it sorts above every real
+# date, so ts_day_max pruning excludes it and only unfiltered scans (or
+# an explicit ts_day_min beyond dates) read it — never a bogus
+# 'ts_day=None' manifest path pointing at nothing
+NULL_TS_DAY = "~null"
+
+
+def _write_batch(spark: SparkSession, root: str, df: DataFrame, prefix: str) -> list[dict]:
+    """Stage a partitioned data batch and return its manifest entries —
+    the one write path shared by the append and rewrite commits."""
+    staged = df.withColumn(
+        "ts_day",
+        F.coalesce(F.date_format("warc_ts", "yyyy-MM-dd"), F.lit(NULL_TS_DAY)),
+    ).repartition(F.col("ts_day"))
+    batch_id = uuid.uuid4().hex[:12]
+    data_path = os.path.join(root, "data", f"{prefix}-{batch_id}")
+    staged.write.mode("error").partitionBy("ts_day").parquet(data_path)
     written = spark.read.parquet(data_path)
     stats = (
         written.withColumn("ts_day", F.col("ts_day").cast("string"))
@@ -91,7 +105,7 @@ def commit_append(root: str, df: DataFrame) -> str:
         )
         .collect()
     )
-    manifest = [
+    return [
         {
             "path": os.path.join(data_path, f"ts_day={r.ts_day}"),
             "ts_day": r.ts_day,
@@ -101,10 +115,6 @@ def commit_append(root: str, df: DataFrame) -> str:
         }
         for r in stats
     ]
-    parent = current_snapshot_id(root)
-    if parent is not None:
-        manifest = read_snapshot(root, parent)["manifest"] + manifest
-    return _publish_snapshot(root, manifest, parent, op="append")
 
 
 def scan(
@@ -133,6 +143,41 @@ def scan(
 
 def snapshot_row_count(root: str, snapshot_id: str | None = None) -> int:
     return sum(e["rows"] for e in read_snapshot(root, snapshot_id)["manifest"])
+
+
+def added_paths_since(
+    root: str, current_sid: str, cursor_sid: str | None
+) -> list[dict]:
+    """Manifest entries APPENDED between `cursor_sid` (exclusive) and
+    `current_sid` (inclusive): walks the snapshot chain collecting each
+    append snapshot's delta against its parent and skipping `rewrite`
+    snapshots entirely — a compaction rewrites every path but adds no
+    logical rows, so a raw path-set diff would re-emit the whole table.
+    Raises ValueError when the cursor is not on the chain (e.g. expired
+    by expire_snapshots): the consumer must re-baseline explicitly rather
+    than silently reprocess everything."""
+    chain = []
+    sid = current_sid
+    while sid is not None and sid != cursor_sid:
+        snap = read_snapshot(root, sid)
+        chain.append(snap)
+        sid = snap.get("parent")
+    if cursor_sid is not None and sid != cursor_sid:
+        raise ValueError(
+            f"cursor snapshot {cursor_sid} is not an ancestor of "
+            f"{current_sid} (expired or foreign lineage)"
+        )
+    added = []
+    for snap in reversed(chain):
+        if snap.get("operation", "append") != "append":
+            continue
+        parent_paths: set[str] = set()
+        if snap.get("parent") is not None:
+            parent_paths = {
+                e["path"] for e in read_snapshot(root, snap["parent"])["manifest"]
+            }
+        added.extend(e for e in snap["manifest"] if e["path"] not in parent_paths)
+    return added
 
 
 # ------------------------------------------------- table maintenance
@@ -175,43 +220,21 @@ def compact_data_files(spark: SparkSession, root: str) -> str:
     until expire_snapshots drops them."""
     parent = current_snapshot_id(root)
     df = scan(spark, root, snapshot_id=parent)
-    staged = (
-        df.withColumn("ts_day", F.date_format("warc_ts", "yyyy-MM-dd"))
-        .repartition(F.col("ts_day"))
-    )
-    batch_id = uuid.uuid4().hex[:12]
-    data_path = os.path.join(root, "data", f"compact-{batch_id}")
-    staged.write.mode("error").partitionBy("ts_day").parquet(data_path)
-    written = spark.read.parquet(data_path)
-    stats = (
-        written.withColumn("ts_day", F.col("ts_day").cast("string"))
-        .groupBy("ts_day")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min("warc_ts").alias("min_ts"),
-            F.max("warc_ts").alias("max_ts"),
-        )
-        .collect()
-    )
-    manifest = [
-        {
-            "path": os.path.join(data_path, f"ts_day={r.ts_day}"),
-            "ts_day": r.ts_day,
-            "rows": r.rows,
-            "min_ts": str(r.min_ts),
-            "max_ts": str(r.max_ts),
-        }
-        for r in stats
-    ]
+    manifest = _write_batch(spark, root, df, "compact")
     return _publish_snapshot(root, manifest, parent, op="rewrite")
 
 
-def expire_snapshots(root: str, keep_last: int = 2) -> dict:
+def expire_snapshots(
+    root: str, keep_last: int = 2, orphan_ttl_sec: float = 86400.0
+) -> dict:
     """Drop all but the newest `keep_last` snapshots on the current
-    lineage, then delete any data directory no retained snapshot
-    references (Iceberg's expire_snapshots + orphan cleanup). Returns
-    {kept, expired, deleted_paths}; expired snapshot ids are no longer
-    readable, the retained ones are untouched."""
+    lineage, then delete the data partitions they referenced (when no
+    retained snapshot shares them) plus any unreferenced batch directory
+    older than `orphan_ttl_sec` (Iceberg's expire_snapshots + orphan
+    cleanup; the TTL keeps an in-flight append's staged-but-unpublished
+    batch safe). Returns {kept, expired, deleted_paths}; expired snapshot
+    ids are no longer readable — incremental consumers whose cursor
+    points at an expired snapshot must re-baseline."""
     import shutil
 
     if keep_last < 1:
@@ -231,20 +254,29 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
                 shutil.rmtree(e["path"], ignore_errors=True)
                 deleted.append(e["path"])
         os.remove(os.path.join(_meta_dir(root), f"snap-{s['id']}.json"))
-    # the oldest kept snapshot's parent no longer exists
+    # the oldest kept snapshot's parent no longer exists — rewrite its
+    # JSON via tmp+rename like every other metadata write (a torn
+    # in-place write could brick the current snapshot)
     if expired and kept:
         oldest = kept[-1]
         oldest["parent"] = None
-        with open(
-            os.path.join(_meta_dir(root), f"snap-{oldest['id']}.json"), "w"
-        ) as f:
+        snap_path = os.path.join(_meta_dir(root), f"snap-{oldest['id']}.json")
+        tmp = snap_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(oldest, f)
-    # empty batch dirs whose partitions were all deleted
+        os.rename(tmp, snap_path)
+    # unreferenced batch dirs: only reap those older than the TTL — a
+    # fresh unreferenced dir may be an IN-FLIGHT commit_append that has
+    # staged data but not yet published its snapshot (Iceberg's orphan
+    # cleanup uses an older-than cutoff for the same race)
     data_root = os.path.join(root, "data")
+    now = time.time()
     for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
         full = os.path.join(data_root, d)
-        if os.path.isdir(full) and not any(
-            p == full or p.startswith(full + os.sep) for p in live_paths
+        if (
+            os.path.isdir(full)
+            and not any(p == full or p.startswith(full + os.sep) for p in live_paths)
+            and now - os.path.getmtime(full) > orphan_ttl_sec
         ):
             shutil.rmtree(full, ignore_errors=True)
     return {
