@@ -995,6 +995,36 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _q_tiles_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 page-density rollup: the assigned point set aggregated to
+    (cell_id, res, tzid, n_pages) at res 5 — map-side partial counts, one
+    shuffled row per live (cell, tzid). The oracle recomputes the Morton
+    cell id in pure SQL (bit interleave over the 5-bit x/y) on top of the
+    same assignment CTE, so encoder and rollup are both checked by an
+    implementation-independent path."""
+    from timezone_boundary_builder_spark.operators.tiles import page_tile_counts
+
+    return page_tile_counts(_q_geo_pip_assign(spark, sf_dir), res=5)
+
+
+def _page_counts_sql() -> str:
+    bits = " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(5)
+    )
+    return _pip_assign_sql(
+        f"""
+  SELECT (CAST(5 AS BIGINT) << 58) + {bits} AS cell_id,
+         CAST(5 AS INT) AS res, tzid, CAST(count(*) AS BIGINT) AS n_pages
+  FROM (
+    SELECT LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT), 0), 31) AS x,
+           LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 32.0) AS BIGINT), 0), 31) AS y,
+           tzid
+    FROM assigned)
+  GROUP BY 1, 2, 3"""
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -1399,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tiles_serve": _q_geo_tiles_serve,
         "geo_tiles_vector_area": _q_geo_tiles_vector_area,
         "geo_tiles_pyramid": _q_geo_tiles_pyramid,
+        "tiles_page_counts": _q_tiles_page_counts,
         # webtext pipeline ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -2008,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
             ('include_shanghai', 1, 2, 2),
             ('exclude_shanghai', 418, 439, 410)
             ) AS t(filter_case, zones, ops, sources)""",
+        "tiles_page_counts": _page_counts_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_ivf": _ivf_sql(),

@@ -305,3 +305,51 @@ def write_tiles_partitioned(tiles: DataFrame, path: str, prefix_res: int = 3) ->
         .partitionBy("cell_prefix")
         .parquet(path)
     )
+
+
+PAGE_COUNT_SCHEMA = "cell_id long, res int, tzid string, n_pages long"
+
+
+def page_tile_counts(points: DataFrame, res: int) -> DataFrame:
+    """Page-density rollup: assigned points (lon, lat, tzid) ->
+    (cell_id, res, tzid, n_pages) at a fixed cell resolution. The cell
+    encode is one scalar pandas UDF over the numpy Morton interleave;
+    the count aggregates map-side first, so the shuffle carries one row
+    per live (cell, tzid), never per page — the 10^12-row-safe shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..geom.cellindex import encode_points
+
+    @pandas_udf("long")
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        codes = encode_points(
+            lon.to_numpy(dtype=np.float64, na_value=np.nan),
+            lat.to_numpy(dtype=np.float64, na_value=np.nan),
+            res,
+        )
+        return pd.Series(codes.astype(np.int64))
+
+    return (
+        points.where(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .withColumn("cell_id", _cell(F.col("lon"), F.col("lat")))
+        .groupBy("cell_id", "tzid")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select("cell_id", F.lit(res).cast("int").alias("res"), "tzid", "n_pages")
+    )
+
+
+def merge_tile_counts(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Incremental rollup maintenance: fold a new increment's counts into
+    the maintained table. Union + re-aggregate on the grouping keys —
+    additive counts make the merge exact, so incrementally-maintained
+    tiles equal a from-scratch recompute over the full corpus (tested).
+    At scale both sides are cell-prefix-partitioned parquet and the
+    shuffle is proportional to LIVE cells, not corpus rows; this is the
+    maintenance loop assign_pages --incremental increments feed."""
+    if existing is None:
+        return delta
+    return (
+        existing.unionByName(delta)
+        .groupBy("cell_id", "res", "tzid")
+        .agg(F.sum("n_pages").alias("n_pages"))
+    )
