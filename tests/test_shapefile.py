@@ -205,3 +205,49 @@ def test_include_filter_skips_stale_products(tmp_path):
     )
     assert counts == {"timezones.shapefile.zip": 1}
     assert not (out / "timezones-now.shapefile.zip").exists()
+
+
+def test_random_polygons_roundtrip_property():
+    """Property test: random axis-aligned multipolygon worlds round-trip
+    through the writer — vertex sets preserved per ring, winding per
+    spec, record framing self-consistent, total area conserved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    boxes = st.lists(
+        st.tuples(
+            st.floats(-179, 178, allow_nan=False),
+            st.floats(-89, 88, allow_nan=False),
+            st.floats(0.125, 1.5, allow_nan=False),
+            st.floats(0.125, 1.5, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(boxes=boxes)
+    def run(boxes):
+        import tempfile
+
+        polys = []
+        for x, y, w, h in boxes:
+            ring = [[x, y], [x + w, y], [x + w, y + h], [x, y + h], [x, y]]
+            polys.append([ring])
+        geom = {"type": "MultiPolygon", "coordinates": polys}
+        with tempfile.TemporaryDirectory() as d:
+            base = os.path.join(d, "t")
+            assert write_shapefile([("Z/Test", geom)], base) == 1
+            shp_type, bbox, recs = _parse_shp(base + ".shp")
+        assert shp_type == 5
+        rings = recs[0]["rings"]
+        assert len(rings) == len(boxes)
+        for got, src in zip(rings, polys):
+            assert got[0] == got[-1]
+            assert {tuple(p) for p in got} == {tuple(map(float, p)) for p in src[0]}
+            assert _shoelace2(got) < 0  # outer rings clockwise
+        want_area = sum(w * h for _, _, w, h in boxes)
+        got_area = sum(-_shoelace2(r) / 2.0 for r in rings)
+        assert abs(got_area - want_area) < 1e-6 * max(1.0, want_area)
+
+    run()
