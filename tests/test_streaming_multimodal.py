@@ -303,3 +303,54 @@ def test_stream_sessions_matches_batch(spark, tmp_path):
     exp = exp.sort_values(key).reset_index(drop=True)
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_stream_tile_counts_equals_batch(spark, tmp_path):
+    """The streaming tile rollup over two parquet increments equals the
+    batch page_tile_counts of their union (availableNow + complete
+    memory sink)."""
+    import numpy as np
+    import pandas as pd
+
+    from timezone_boundary_builder_spark.operators.tiles import page_tile_counts
+    from timezone_boundary_builder_spark.streaming.assign_stream import (
+        stream_tile_counts,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "lon": rng.uniform(-180, 180, n),
+            "lat": rng.uniform(-85, 85, n),
+            "tzid": rng.choice(["A/A", "B/B", "C/C"], n),
+        }
+    )
+    src = str(tmp_path / "pts")
+    for lo, hi in ((0, 2500), (2500, n)):
+        spark.createDataFrame(pdf.iloc[lo:hi]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = (
+        stream_tile_counts(spark, src, res=5)
+        .writeStream.format("memory")
+        .queryName("tile_counts_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("tile_counts_stream")
+        .orderBy("cell_id", "tzid")
+        .toPandas()
+    )
+    want = (
+        page_tile_counts(spark.createDataFrame(pdf), res=5)
+        .orderBy("cell_id", "tzid")
+        .toPandas()
+    )
+    assert got.equals(want)
+    assert got.n_pages.sum() == n
