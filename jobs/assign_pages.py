@@ -211,7 +211,12 @@ def _load_cellmap(spark, args):
     )
 
     if not args.zones_parquet:
-        return entry._local_cellmap()
+        if args.cover_res is None:
+            return entry._local_cellmap()
+        # honor --cover-res on the fixture world too: the flag is in the
+        # stage fingerprint, so it must also change the artifact (the
+        # cell-vs-pip method mix), not just bust the cache
+        return cellmap_from_zones_pdf(entry._local_zones(), max_res=args.cover_res)
     zdf = spark.read.parquet(args.zones_parquet)
     bbox_cols = [c for c in ("min_x", "min_y", "max_x", "max_y") if c in zdf.columns]
     zp = zdf.select("tzid", "geometry", *bbox_cols).toPandas()

@@ -163,6 +163,57 @@ def test_expire_snapshots_drops_orphans_only(spark, tmp_path, pages_pdf):
     assert all(d.startswith("compact-") for d in data_dirs), data_dirs
 
 
+def test_expire_respells_root_without_data_loss(spark, tmp_path, pages_pdf):
+    """Regression (ADVICE r2, medium): orphan reaping must compare REAL
+    paths — a maintenance run invoked with an equivalent but differently
+    spelled root (relative path, trailing slash, symlink) must never
+    reap a LIVE batch dir the current snapshot references."""
+    import os
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pages_pdf)
+    pg.commit_append(root, df)
+    n_total = pg.snapshot_row_count(root)
+
+    # a symlinked spelling of the same table root
+    alias = str(tmp_path / "tbl_alias")
+    os.symlink(root, alias)
+    # a relative spelling via cwd
+    cwd = os.getcwd()
+    try:
+        os.chdir(str(tmp_path))
+        for respelled in (alias, os.path.join("tbl", ""), "./tbl"):
+            pg.expire_snapshots(respelled, keep_last=1, orphan_ttl_sec=0.0)
+            assert pg.scan(spark, root).count() == n_total, respelled
+    finally:
+        os.chdir(cwd)
+
+
+def test_dated_scan_excludes_null_ts(spark, tmp_path):
+    """Regression (ADVICE r2, low): any ts_day bound — min alone
+    included — excludes the NULL-warc_ts sentinel partition, matching
+    SQL/Iceberg semantics where NULL fails every range predicate."""
+    import datetime
+
+    import pandas as pd
+
+    root = str(tmp_path / "tbl")
+    pdf = pd.DataFrame(
+        {
+            "url": ["a", "b"],
+            "warc_ts": [datetime.datetime(2026, 1, 5, 12, 0, 0), None],
+            "html": [b"", b""],
+            "text": ["x", "y"],
+            "lang": ["en", "en"],
+        }
+    )
+    pg.commit_append(root, spark.createDataFrame(pdf, pg.PAGES_SCHEMA))
+    assert pg.scan(spark, root).count() == 2  # unfiltered still reads it
+    assert pg.scan(spark, root, ts_day_min="2026-01-01").count() == 1
+    assert pg.scan(spark, root, ts_day_max="2026-12-31").count() == 1
+    assert pg.scan(spark, root, ts_day_min="2026-01-01", ts_day_max="2026-12-31").count() == 1
+
+
 def test_added_paths_since_skips_rewrites(spark, tmp_path, pages_pdf):
     """Chain-walked incremental delta: a compaction rewrite contributes
     ZERO added paths (its rows are not new), later appends contribute

@@ -128,6 +128,38 @@ def test_shp_structure_and_winding(tmp_path):
     assert open(base + ".cpg").read() == "UTF-8"
 
 
+def test_empty_geometry_writes_null_shape(tmp_path):
+    """Regression (ADVICE r2): an empty zone geometry
+    ({"type":"MultiPolygon","coordinates":[]} — a legitimate codec
+    output) must write a Null Shape (type 0) record, like ogr2ogr,
+    instead of aborting the whole product's shapefile stage."""
+    base = str(tmp_path / "tz")
+    empty = {"type": "MultiPolygon", "coordinates": []}
+    n = write_shapefile([("A/Square", SQUARE), ("B/Empty", empty)], base)
+    assert n == 2
+    raw = open(base + ".shp", "rb").read()
+    # file length word count must account for the 4-byte null content
+    assert struct.unpack_from(">i", raw, 24)[0] * 2 == len(raw)
+    # walk to record 2 and check it is a Null Shape
+    off = 100
+    recno, words = struct.unpack_from(">2i", raw, off)
+    off += 8 + words * 2
+    recno2, words2 = struct.unpack_from(">2i", raw, off)
+    assert (recno2, words2) == (2, 2)  # 4 bytes of content = 2 words
+    assert struct.unpack_from("<i", raw, off + 8)[0] == 0  # type 0
+    # attribute table still carries both tzids, aligned by record order
+    _, _, _, _, vals = _parse_dbf(base + ".dbf")
+    assert vals == ["A/Square", "B/Empty"]
+    # global bbox comes from the non-empty records only
+    shp_bbox = struct.unpack_from("<4d", raw, 36)
+    assert shp_bbox == (0.0, 0.0, 2.0, 2.0)
+    # an all-empty product degrades to the zero bbox, not a crash
+    base2 = str(tmp_path / "tz_empty")
+    assert write_shapefile([("B/Empty", empty)], base2) == 1
+    raw2 = open(base2 + ".shp", "rb").read()
+    assert struct.unpack_from("<4d", raw2, 36) == (0.0, 0.0, 0.0, 0.0)
+
+
 def test_geojson_roundtrip_and_zip(tmp_path):
     src = tmp_path / "combined.json"
     src.write_text(

@@ -16,6 +16,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's storage blocks. DataFrame.unpersist() is
+    a no-op for checkpointed frames (the blocks belong to the LogicalRDD
+    inside the plan, not the cache manager), so without this a
+    checkpointed frame stays in block storage until GC — verified
+    empirically via getRDDStorageInfo. Best-effort: pokes the plan
+    internals, falls back to the context cleaner."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _materialize_then_unpersist(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Eagerly materialize `result` (localCheckpoint) so the persisted
+    intermediates it reads more than once can be unpersisted NOW instead
+    of leaking in the block manager for the session's lifetime. The
+    result is small by construction at the call sites (LSH candidate
+    pairs, verified near-dup pairs — never corpus-sized); at cluster
+    scale the same boundary is where a staged pipeline would write the
+    candidate table to storage. Callers that fully consume the result
+    can free its blocks too via `_release_checkpoint`."""
+    out = result.localCheckpoint(eager=True)
+    for df in intermediates:
+        df.unpersist()
+    return out
+
+
 def neardup_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     """Deterministic random hyperplanes shared by the Spark operator and
     the SQL oracle (both render the same float64 literals)."""
@@ -60,6 +88,8 @@ def embed_neardup_pairs(
                 _dot(F.col("vec"), lit_plane) > 0, F.lit(1 << r)
             ).otherwise(0)
         band_cols.append(sig.alias(f"band_{b}"))
+    # persist: read 2x per band for candidates plus twice in the verify
+    # join; unpersisted below once the eager materialization consumes it
     banded = v.select(F.col(id_col), "vec", *band_cols).persist()
     pairs = None
     for b in range(bands):
@@ -74,10 +104,11 @@ def embed_neardup_pairs(
     cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
         _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
     )
-    return (
+    out = (
         joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    return _materialize_then_unpersist(out, banded)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -159,19 +190,23 @@ def minhash_lsh_pairs(
     banded = sigs.select(F.col(id_col), *band_cols)
     stack_args = ", ".join(f"{b}, band_{b}" for b in range(bands))
     # persist: the self-join references `stacked` twice; without this the
-    # whole upstream minhash would recompute both times
+    # whole upstream minhash would recompute both times (exchange reuse
+    # does NOT fire here — the two shuffle sides canonicalize differently
+    # and AQE broadcasts one side anyway). Unpersisted below once the
+    # eager candidate materialization consumes it.
     stacked = banded.select(
         F.col(id_col),
         F.expr(f"stack({bands}, {stack_args}) AS (band_idx, bucket)"),
     ).persist()
     l = stacked.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
     r = stacked.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
-    return (
+    cand = (
         l.join(r, ["band_idx", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    return _materialize_then_unpersist(cand, stacked)
 
 
 def connected_components(
@@ -200,18 +235,10 @@ def connected_components(
     first round that changes no label and raises if max_rounds is
     exhausted before convergence — a silent exit would return
     inconsistent cluster ids."""
-    def _release_checkpoint(df: DataFrame) -> None:
-        """Free a localCheckpoint's storage blocks. DataFrame.unpersist()
-        is a no-op for checkpointed frames (the blocks belong to the
-        LogicalRDD inside the plan, not the cache manager), so without
-        this every round's label table stays in block storage until GC —
-        verified empirically via getRDDStorageInfo. Best-effort: pokes
-        the plan internals, falls back to the context cleaner."""
-        try:
-            df._jdf.queryExecution().logical().rdd().unpersist(False)
-        except Exception:
-            pass
-
+    if max_rounds < 1:
+        # with zero rounds the convergence state is undefined — fail the
+        # contract loudly instead of NameError-ing in the raise path
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
@@ -268,7 +295,11 @@ def connected_components(
         if changed == 0:
             break
     else:
+        # release the final round's state too — the raise path must not
+        # leak the last checkpoint's blocks or the persisted label table
         edges.unpersist()
+        cached_prev.unpersist()
+        _release_checkpoint(cached_prev)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
             f"({changed} labels still changing); the near-dup graph has a "

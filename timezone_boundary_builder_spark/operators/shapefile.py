@@ -29,6 +29,7 @@ import os
 import struct
 import zipfile
 
+_SHAPE_NULL = 0
 _SHAPE_POLYGON = 5
 
 # The ESRI WKT ogr2ogr writes for EPSG:4326 GeoJSON input.
@@ -69,8 +70,15 @@ def _geojson_rings(geom: dict) -> list[tuple[list[list[float]], bool]]:
 
 
 def _record_content(geom: dict) -> bytes:
-    """One Polygon record's content: type, bbox, parts, points."""
+    """One Polygon record's content: type, bbox, parts, points.
+
+    An empty geometry ({"type":"MultiPolygon","coordinates":[]} — a
+    legitimate codec output for empty zones) becomes a Null Shape
+    (type 0) record, which is what ogr2ogr writes for empty features;
+    it must not abort the whole product's shapefile stage."""
     rings = _geojson_rings(geom)
+    if not rings:
+        return struct.pack("<i", _SHAPE_NULL)
     parts: list[int] = []
     pts: list[tuple[float, float]] = []
     for ring, is_outer in rings:
@@ -127,9 +135,12 @@ def write_shapefile(features: list[tuple[str, dict]], shp_base: str) -> int:
     """features: ordered (tzid, geojson geometry dict) pairs ->
     `{shp_base}.{shp,shx,dbf,prj,cpg}`. Returns the record count."""
     records = [(tzid, _record_content(geom)) for tzid, geom in features]
-    # global bbox from record bboxes (bytes 4..36 of each content block)
-    if records:
-        boxes = [struct.unpack_from("<4d", c, 4) for _, c in records]
+    # global bbox from record bboxes (bytes 4..36 of each content block);
+    # Null Shape records (4 bytes, empty geometries) carry no bbox
+    boxes = [
+        struct.unpack_from("<4d", c, 4) for _, c in records if len(c) >= 36
+    ]
+    if boxes:
         bbox = (
             min(b[0] for b in boxes),
             min(b[1] for b in boxes),

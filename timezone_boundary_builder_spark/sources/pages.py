@@ -77,10 +77,10 @@ def commit_append(root: str, df: DataFrame) -> str:
     return _publish_snapshot(root, manifest, parent, op="append")
 
 
-# null-warc_ts rows get a sentinel partition: it sorts above every real
-# date, so ts_day_max pruning excludes it and only unfiltered scans (or
-# an explicit ts_day_min beyond dates) read it — never a bogus
-# 'ts_day=None' manifest path pointing at nothing
+# null-warc_ts rows get a sentinel partition so the manifest never holds
+# a bogus 'ts_day=None' path pointing at nothing; ANY dated scan bound
+# (min or max) excludes it, matching SQL/Iceberg semantics where NULL
+# fails every range predicate — only unfiltered scans read it
 NULL_TS_DAY = "~null"
 
 
@@ -131,6 +131,11 @@ def scan(
     still applies on top for pushed filters."""
     snap = read_snapshot(root, snapshot_id)
     entries = snap["manifest"]
+    if ts_day_min is not None or ts_day_max is not None:
+        # NULL warc_ts fails every range predicate (SQL/Iceberg filter
+        # semantics) — the sentinel sorts above real dates, so without
+        # this a lower-bounded scan would return null-ts rows
+        entries = [e for e in entries if e["ts_day"] != NULL_TS_DAY]
     if ts_day_min is not None:
         entries = [e for e in entries if e["ts_day"] >= ts_day_min]
     if ts_day_max is not None:
@@ -247,10 +252,15 @@ def expire_snapshots(
         sid = snap.get("parent")
     kept, expired = chain[:keep_last], chain[keep_last:]
     live_paths = {e["path"] for s in kept for e in s["manifest"]}
+    # resolve to real paths before any existence/prefix comparison: the
+    # invocation may spell `root` differently from the manifests
+    # (relative vs absolute, symlinked) and a spelling mismatch must
+    # never make a LIVE batch dir look unreferenced (silent data loss)
+    live_real = {os.path.realpath(p) for p in live_paths}
     deleted = []
     for s in expired:
         for e in s["manifest"]:
-            if e["path"] not in live_paths and os.path.exists(e["path"]):
+            if os.path.realpath(e["path"]) not in live_real and os.path.exists(e["path"]):
                 shutil.rmtree(e["path"], ignore_errors=True)
                 deleted.append(e["path"])
         os.remove(os.path.join(_meta_dir(root), f"snap-{s['id']}.json"))
@@ -272,10 +282,10 @@ def expire_snapshots(
     data_root = os.path.join(root, "data")
     now = time.time()
     for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
-        full = os.path.join(data_root, d)
+        full = os.path.realpath(os.path.join(data_root, d))
         if (
             os.path.isdir(full)
-            and not any(p == full or p.startswith(full + os.sep) for p in live_paths)
+            and not any(p == full or p.startswith(full + os.sep) for p in live_real)
             and now - os.path.getmtime(full) > orphan_ttl_sec
         ):
             shutil.rmtree(full, ignore_errors=True)
