@@ -60,6 +60,22 @@ def test_minhash_single_cheap_exchange(spark):
     assert "REPARTITION_BY_NUM" in exchanges[0]
 
 
+def test_ivf_build_assigns_centroids_map_side(spark):
+    """VERDICT r2 #2: the IVF inverted-file build must not shuffle a
+    centroid-amplified relation. The nearest-centroid assignment happens
+    map-side (literal centroid structs + array_sort), so the plan has
+    exactly one Window — the final per-query top-k — and NO exchange
+    partitioned by the per-vector id."""
+    q = entry.queries()["ann_ivf"](spark, SF)
+    plan = plan_of(q)
+    assert plan.count("Window [") == 1, plan  # WindowGroupLimit lines excluded
+    assert "WindowGroupLimit" in plan  # top-k pushed below the shuffle
+    assert "hashpartitioning(vec_id" not in plan, plan
+    # map-side argmax: no join at all on the corpus side before the
+    # candidate equi-join (which broadcasts the tiny probe set)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_assignment_plan_has_zero_exchanges(spark):
     bc = spark.sparkContext.broadcast(entry._local_cellmap())
     pts = entry._points(spark, SF)
@@ -129,8 +145,14 @@ def test_hash_fraction_sampling_is_map_only(spark):
 
 def test_lsh_pairs_single_stacked_join(spark):
     """LSH banding must unpivot to one self-join (Generate stack) rather
-    than one join per band."""
-    q = entry.queries()["dedup_lsh_pairs"](spark, SF)
+    than one join per band. Inspected via materialize=False — the query
+    surface eagerly checkpoints (so its persisted intermediate can be
+    released), which hides the construction plan."""
+    from timezone_boundary_builder_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, num_hashes=4)
+    q = minhash_lsh_pairs(sigs, num_hashes=4, bands=2, materialize=False)
     plan = plan_of(q)
     assert "stack(" in plan
     # one logical self-join: hash-join count in the final plan is 1

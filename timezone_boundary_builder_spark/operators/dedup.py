@@ -170,6 +170,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
     band hash = md5(concat of the band's rows).
@@ -197,7 +198,9 @@ def minhash_lsh_pairs(
     stacked = banded.select(
         F.col(id_col),
         F.expr(f"stack({bands}, {stack_args}) AS (band_idx, bucket)"),
-    ).persist()
+    )
+    if materialize:
+        stacked = stacked.persist()
     l = stacked.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
     r = stacked.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
     cand = (
@@ -206,6 +209,10 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    if not materialize:
+        # lazy variant for plan inspection — no persist (it could not be
+        # released) and no checkpoint (it would hide the plan)
+        return cand
     return _materialize_then_unpersist(cand, stacked)
 
 

@@ -73,10 +73,20 @@ def ivf_ann(
 
     Build: centroids are a deterministic stratified sample of the table
     (``vec_id % centroid_stride == 0`` — no RNG, so Spark and the SQL
-    oracle agree bit-for-bit); every vector is assigned to its
-    nearest-by-cosine centroid (ties -> smallest centroid id). That
-    assignment is the inverted file: a broadcast join + windowed argmax,
-    one pass over the table.
+    oracle agree bit-for-bit). The coarse quantizer is DRIVER-KNOWN by
+    construction (a real IVF trains its centroids on a sample and pins
+    them), so nearest-centroid assignment is computed MAP-SIDE: the
+    centroid vectors are baked into the plan as literal arrays and each
+    row sorts its per-centroid cosines with ``array_sort`` over
+    (-cos, centroid_id) structs — identical arithmetic and tie-break to
+    a windowed argmax, but the shuffle carries nothing: the old
+    crossJoin + Window.partitionBy(vec_id) shape moved rows x
+    n_centroids through a full exchange just to pick each vector's
+    nearest centroid, which at 10^12 vectors is n_centroids x the corpus
+    over the wire. (Beyond O(10^3) centroids the same map-side argmax
+    moves into the existing vectorized pandas-UDF surface as one numpy
+    matmul per Arrow batch — plan literals are the right shape for a
+    coarse quantizer's typical list count, not for a fine codebook.)
 
     Query: each query probes its ``nprobe`` nearest centroids and exact
     cosine re-ranks only the vectors in those lists. At 10^12 rows the
@@ -90,27 +100,48 @@ def ivf_ann(
     cents = v.where(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("centroid_id"), F.col("vec").alias("cvec")
     )
-    sim_c = _dot(F.col("vec"), F.col("cvec")) / (
-        _norm(F.col("vec")) * _norm(F.col("cvec"))
+    cent_rows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
+    if not cent_rows:
+        return vectors.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+
+    def _cent_struct(row):
+        cvec = [float(x) for x in row["cvec"]]
+        lit = F.array(*[F.lit(x) for x in cvec])
+        # the norm is a left-fold sum of squares, computed here in Python
+        # with the same fold order as F.aggregate -> bit-identical to the
+        # old Spark-side _norm(cvec)
+        acc = 0.0
+        for x in cvec:
+            acc += x * x
+        c_cos = F.round(
+            _dot(F.col("vec"), lit) / (_norm(F.col("vec")) * F.lit(acc**0.5)), 9
+        )
+        return F.struct(
+            (-c_cos).alias("neg_cos"),
+            F.lit(int(row["centroid_id"])).cast("long").alias("centroid_id"),
+        )
+
+    # ascending struct sort == (cosine DESC, centroid_id ASC): exactly
+    # the old window's ordering, ties included
+    top_cents = F.slice(
+        F.array_sort(F.array(*[_cent_struct(r) for r in cent_rows])), 1, nprobe
     )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.desc("c_cos"), F.asc("centroid_id")
-    )
-    inverted = (
-        v.crossJoin(F.broadcast(cents))
-        .select(id_col, "vec", "centroid_id", F.round(sim_c, 9).alias("c_cos"))
-        .withColumn("crank", F.row_number().over(w_assign))
-        .where(F.col("crank") <= nprobe)
-    )
+    assigned = v.withColumn("top_cents", top_cents)
     # rows: each vector listed under its own top-1 centroid (the file);
     # queries keep top-nprobe centroids (the probe set)
-    file_side = inverted.where(F.col("crank") == 1).select(
-        F.col(id_col), F.col("vec"), F.col("centroid_id")
+    file_side = assigned.select(
+        F.col(id_col),
+        F.col("vec"),
+        F.col("top_cents")[0]["centroid_id"].alias("centroid_id"),
     )
-    probe_side = inverted.where(F.col(id_col).isin(query_ids)).select(
+    probe_side = assigned.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
-        F.col("centroid_id"),
+        F.explode(
+            F.transform("top_cents", lambda s: s["centroid_id"])
+        ).alias("centroid_id"),
     )
     cand = file_side.join(F.broadcast(probe_side), "centroid_id").where(
         F.col(id_col) != F.col("query_id")
