@@ -200,7 +200,11 @@ def serve_points_from_tiles(
     pts = points.select("url", "lon", "lat").mapInPandas(
         _encode, "url string, lon double, lat double, cell_id long"
     )
-    joined = pts.join(F.broadcast(cands_by_cell), "cell_id", "left")
+    # candidate-list length computed JVM-side so the resolver's pair
+    # expansion is pure numpy (no per-row len() walk in Python)
+    joined = pts.join(F.broadcast(cands_by_cell), "cell_id", "left").withColumn(
+        "n_cands", F.coalesce(F.size("cand_tzids"), F.lit(0))
+    )
 
     bc_zones = spark.sparkContext.broadcast(
         dict(zip(zones_pdf["tzid"], zones_pdf["geometry"]))
@@ -222,37 +226,49 @@ def serve_points_from_tiles(
         for pdf in batches:
             n = len(pdf)
             out = np.empty(n, dtype=object)
+            unassigned = np.ones(n, dtype=bool)
             pts_xy = np.column_stack(
                 [pdf["lon"].to_numpy(), pdf["lat"].to_numpy()]
             )
-            # group rows by candidate tzid so each PIP call is one batch
-            rows_by_tzid: dict = {}
-            cands_col = pdf["cand_tzids"]
-            for i in range(n):
-                cands = cands_col.iat[i]
-                if cands is None or len(cands) == 0:
-                    continue
-                for t in cands:
-                    rows_by_tzid.setdefault(t, []).append(i)
-            # smallest passing tzid wins: visit tzids ascending, fill once
-            for t in sorted(rows_by_tzid):
-                idx = np.array(
-                    [i for i in rows_by_tzid[t] if out[i] is None], dtype=np.int64
+            # vectorized pair expansion (the repeat/cumsum shape
+            # spatial_join uses): flatten the ragged candidate lists into
+            # one (row, tzid) pair array, then group per tzid with a
+            # stable argsort — no per-row Python loop, each PIP call is
+            # still one batch per zone
+            lens = np.maximum(pdf["n_cands"].to_numpy().astype(np.int64), 0)
+            if lens.sum() > 0:
+                row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+                flat = np.concatenate(
+                    pdf["cand_tzids"].to_numpy()[lens > 0].tolist()
+                ).astype(object)
+                order = np.argsort(flat, kind="stable")
+                sorted_t = flat[order]
+                sorted_rows = row_idx[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, sorted_t[1:] != sorted_t[:-1], True]
                 )
-                if len(idx) == 0:
-                    continue
-                inside = points_in_packed(pts_xy[idx], _geom(t))
-                out[idx[inside]] = t
+                # visit tzids in ascending order, fill each row at most
+                # once -> smallest passing tzid wins (same semantics as
+                # the old sorted-dict walk)
+                for k in range(len(bounds) - 1):
+                    seg = sorted_rows[bounds[k] : bounds[k + 1]]
+                    idx = seg[unassigned[seg]]
+                    if len(idx) == 0:
+                        continue
+                    t = sorted_t[bounds[k]]
+                    inside = points_in_packed(pts_xy[idx], _geom(t))
+                    hit = idx[inside]
+                    out[hit] = t
+                    unassigned[hit] = False
             # residue -> ocean band by longitude
-            missing = np.array([o is None for o in out])
-            if missing.any():
-                lons = pts_xy[missing, 0]
+            if unassigned.any():
+                lons = pts_xy[unassigned, 0]
                 bi = np.clip(
                     np.searchsorted(band_lefts, lons, side="right") - 1,
                     0,
                     len(band_lefts) - 1,
                 )
-                out[np.flatnonzero(missing)] = band_tzids[bi]
+                out[unassigned] = band_tzids[bi]
             yield pd.DataFrame({"url": pdf["url"], "tzid": out})
 
     return joined.mapInPandas(_resolve, SERVE_SCHEMA)
