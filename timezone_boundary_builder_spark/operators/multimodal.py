@@ -1,8 +1,10 @@
 """Multimodal column operators (driver spec: image/audio/video as opaque
-binary columns with typed metadata; decode/feature-extract behind
-clearly-marked stubs — the sandbox ships no image/audio libs, so the
-Spark-side plumbing (schema, batching, UDF signatures) is real and tested
-while the codec call sites raise or produce a deterministic fake).
+binary columns with typed metadata; decode / feature-extract / resize /
+frame-sample as Arrow-batched kernels). The image decode is REAL for
+PNG via the pure-Python codec in operators/png.py (stdlib zlib + numpy;
+PIL is used instead when installed, covering JPEG/GIF too); non-image
+bytes run through a deterministic fake path so the distributed plumbing
+stays exercised on any payload.
 
 All operators are mapInPandas over Arrow batches: binary columns travel
 as pyarrow binary arrays; nothing is ever collected to the driver.
@@ -133,29 +135,33 @@ def resize_images(
     use_real_codec: bool = False,
 ) -> DataFrame:
     """Binary -> aspect-preserving resize to fit (target_w, target_h).
-    The Spark plumbing (mapInPandas, Arrow binary round-trip, batch
-    shapes) is real; the pixel work is the clearly-marked stub pattern:
-    with use_real_codec the PIL path raises NotImplementedError in this
-    container, otherwise dimensions come from the deterministic fake
-    decode and the 'resized' payload is a content-addressed placeholder
-    of the computed output size (so downstream schema/size logic is
-    testable without a codec)."""
+    With use_real_codec the pixels are REALLY decoded (PIL if present,
+    else the pure-Python PNG codec), nearest-neighbor resized in numpy,
+    and re-encoded as a deterministic PNG payload. The default fake path
+    keeps dimensions content-derived and the payload content-addressed,
+    so downstream schema/size logic stays testable on non-image bytes."""
 
     def _resize(batches):
+        from .png import encode_png, resize_nearest
+
         for pdf in batches:
             rows = []
             for url, b in zip(pdf["url"], pdf["html"]):
                 b = bytes(b) if b is not None else b""
                 if use_real_codec:
                     (w, h), arr = _decode_image_real(b)
+                    scale = min(target_w / w, target_h / h)
+                    out_w = max(1, int(w * scale))
+                    out_h = max(1, int(h * scale))
+                    payload = encode_png(resize_nearest(arr, out_w, out_h))
                 else:
                     w, h, _ = _fake_image_features(b)
-                scale = min(target_w / w, target_h / h)
-                out_w = max(1, int(w * scale))
-                out_h = max(1, int(h * scale))
-                payload = hashlib.sha256(
-                    b + f"|{out_w}x{out_h}".encode()
-                ).digest()
+                    scale = min(target_w / w, target_h / h)
+                    out_w = max(1, int(w * scale))
+                    out_h = max(1, int(h * scale))
+                    payload = hashlib.sha256(
+                        b + f"|{out_w}x{out_h}".encode()
+                    ).digest()
                 rows.append((url, out_w, out_h, float(scale), payload))
             yield pd.DataFrame(
                 rows, columns=["url", "out_w", "out_h", "scale", "resized"]
@@ -165,20 +171,30 @@ def resize_images(
 
 
 def _decode_image_real(data: bytes):
-    """STUB: real decode requires PIL/libvips, not present in this
-    container. The function gate is real; the decode is not."""
+    """Real pixel decode. PIL when installed (covers JPEG/GIF/...);
+    otherwise the pure-Python PNG codec (operators/png.py, stdlib
+    zlib + numpy — the shapefile-writer pattern for missing native
+    libs). Non-PNG payloads without PIL raise ValueError: a genuine
+    unsupported-format error, not a stub."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - sandbox has no PIL
-        raise NotImplementedError(
-            "image decode requires PIL; install pillow on the cluster image"
-        ) from exc
-    import io
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    img = Image.open(io.BytesIO(data))
-    return img.size, np.asarray(img)
+        img = Image.open(io.BytesIO(data))
+        return img.size, np.asarray(img)
+    except ImportError:
+        pass
+    from .png import PNG_SIG, decode_png
+
+    if data.startswith(PNG_SIG):
+        arr = decode_png(data)
+        h, w = arr.shape[:2]
+        return (w, h), arr
+    raise ValueError(
+        f"no codec for {_sniff_kind(data)!r} payload: pure-Python decoder "
+        "covers PNG; install pillow on the cluster image for other formats"
+    )
 
 
 def _fake_image_features(data: bytes, dim: int = 8) -> tuple[int, int, np.ndarray]:
@@ -198,9 +214,10 @@ def image_features(
     pages: DataFrame, use_real_codec: bool = False, dim: int = 8
 ) -> DataFrame:
     """Binary -> (width, height, feature vector). With use_real_codec the
-    PIL path raises NotImplementedError in this sandbox (clearly-marked
-    stub); the default deterministic-fake path keeps the distributed
-    plumbing fully exercised."""
+    pixels are really decoded (PIL if present, else the pure-Python PNG
+    codec) and the features are per-channel means; the default
+    deterministic-fake path keeps the distributed plumbing exercised on
+    non-image bytes."""
 
     def _feat(batches):
         for pdf in batches:
@@ -209,7 +226,7 @@ def image_features(
                 b = bytes(b) if b is not None else b""
                 if use_real_codec:
                     (w, h), arr = _decode_image_real(b)
-                    feat = arr.astype(np.float32).mean(axis=(0, 1))[:dim]
+                    feat = np.atleast_3d(arr).astype(np.float32).mean(axis=(0, 1))[:dim]
                 else:
                     w, h, feat = _fake_image_features(b, dim)
                 rows.append((url, int(w), int(h), [float(x) for x in feat]))
