@@ -21,10 +21,24 @@ from pyspark.sql import functions as F
 PRODUCTS = ("comprehensive", "1970", "now")
 
 
+def _js_number(tok: str):
+    """JSON.stringify number parity: JS has one number type, so integral
+    doubles render without the '.0' Python floats carry (10 vs 10.0).
+    Re-parsing float tokens to int when integral makes json.dumps emit
+    the reference writer's exact bytes. Non-integral doubles already
+    agree — both sides print the shortest round-trip decimal. (Known
+    residual: |v| in [1e-6, 1e-4) non-integral renders 1e-05-style in
+    Python vs 0.00001 in JS — unreachable for 1e-6-snapped coordinates
+    in practice, and the byte-parity golden would catch it.)"""
+    f = float(tok)
+    return int(f) if f.is_integer() and abs(f) < 2**53 else f
+
+
 def write_feature_collection(zones: DataFrame, path: str) -> int:
     """Streamed-array protocol like util/featureWriterStream.js:3-25 —
     header / comma-separated features / footer — collect->write since the
-    zone table is small by construction."""
+    zone table is small by construction. Byte parity with the reference
+    writer is pinned by tests/goldens (node-generated)."""
     rows = zones.select("tzid", "geometry").orderBy("tzid").collect()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
@@ -37,7 +51,7 @@ def write_feature_collection(zones: DataFrame, path: str) -> int:
                     {
                         "type": "Feature",
                         "properties": {"tzid": r.tzid},
-                        "geometry": json.loads(r.geometry),
+                        "geometry": json.loads(r.geometry, parse_float=_js_number),
                     },
                     separators=(",", ":"),
                 )
@@ -70,7 +84,11 @@ def write_feature_collection_distributed(zones: DataFrame, dir_path: str) -> int
             F.lit('{"type":"Feature","properties":'),
             F.to_json(F.struct(F.col("tzid").alias("tzid"))),
             F.lit(',"geometry":'),
-            F.col("geometry"),
+            # JS-number parity (see _js_number), JVM-side: strip the
+            # '.0' integral-float marker before , or ] — Python's
+            # shortest-repr never emits other trailing zeros, so the
+            # rewrite touches exactly the integral coordinates
+            F.regexp_replace(F.col("geometry"), r"\.0(?=[,\]])", ""),
             F.lit("}"),
         ).alias("value"),
         F.col("tzid"),
@@ -172,10 +190,15 @@ def combine_and_write(
         for r in products["comprehensive"].select("tzid").distinct().collect()
     )
     ocean_names = sorted(r.tzid for r in ocean_sel.select("tzid").distinct().collect())
+    # compact separators = JSON.stringify's exact byte layout
     with open(os.path.join(out_dir, "timezone-names.json"), "w") as f:
-        json.dump(sorted(set(all_names + ocean_names)), f)
+        json.dump(sorted(set(all_names + ocean_names)), f, separators=(",", ":"))
     with open(os.path.join(out_dir, "timezone-names-no-oceans.json"), "w") as f:
-        json.dump([n for n in all_names if not n.startswith("Etc/GMT")], f)
+        json.dump(
+            [n for n in all_names if not n.startswith("Etc/GMT")],
+            f,
+            separators=(",", ":"),
+        )
     return counts
 
 
@@ -232,7 +255,7 @@ def write_zone_lookup(
     lookup = {r.member_tzid: r.rep_tzid for r in rows}
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
-        json.dump(lookup, f, sort_keys=True)
+        json.dump(lookup, f, sort_keys=True, separators=(",", ":"))
 
 
 def write_combined_zone_lookup(
@@ -257,6 +280,6 @@ def write_combined_zone_lookup(
     with open(
         os.path.join(out_dir, f"timezone-names-with-oceans-{strategy}.json"), "w"
     ) as f:
-        json.dump(full, f, sort_keys=True)
+        json.dump(full, f, sort_keys=True, separators=(",", ":"))
     with open(os.path.join(out_dir, f"timezone-names-{strategy}.json"), "w") as f:
-        json.dump(no_oceans, f, sort_keys=True)
+        json.dump(no_oceans, f, sort_keys=True, separators=(",", ":"))
