@@ -114,11 +114,17 @@ def main(argv=None) -> int:
         src_pdf = real_sources_pdf()
         exp_pdf = real_expected_overlaps_pdf()
         ocean_bands = real_ocean_bands_pdf().to_dict("records")
+        from timezone_boundary_builder_spark.sources.real_config import (
+            real_ocean_declared_tzids,
+        )
+
+        ocean_name_order = real_ocean_declared_tzids()
     else:
         cfg_pdf = zones_config_pdf()
         src_pdf = sources_pdf()
         exp_pdf = expected_overlaps_pdf()
         ocean_bands = OCEAN_BANDS
+        ocean_name_order = [b["tzid"] for b in ocean_bands]
     # content fingerprints: config + source geometry hashes, no wall-clock
     # (reference keys zone builds the same way, index.js:806-826)
     cfg_fp = fingerprint("zones_config", cfg_pdf.to_json(orient="records"))
@@ -354,6 +360,10 @@ def main(argv=None) -> int:
         args.out_dir,
         with_oceans_products=with_oceans_products,
         ocean_skip=ocean_skip,
+        # reference name-list order: Object.keys(zoneCfg) + the ocean
+        # declaration order (writeBaseNames, index.js:1708-1724)
+        base_name_order=list(dict.fromkeys(cfg_pdf["tzid"])),
+        ocean_name_order=ocean_name_order,
     )
     # combined-osm-zones: raw per-tz OSM boundaries as one collection
     # (combineAndWriteOSMZones, index.js:1391-1405). Fixture-world only:

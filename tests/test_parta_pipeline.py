@@ -175,10 +175,13 @@ def test_combined_outputs(spark, zones_df, tmp_path):
     f0 = fc["features"][0]
     assert set(f0.keys()) == {"type", "properties", "geometry"}
     assert set(f0["properties"].keys()) == {"tzid"}
+    # reference name-list semantics (writeBaseNames, index.js:1708-1724):
+    # the base file has NO oceans; the with-oceans file appends them
     names = json.load(open(os.path.join(out, "timezone-names.json")))
-    assert "Test/Alpha" in names and "Etc/GMT+9" in names
-    no_oc = json.load(open(os.path.join(out, "timezone-names-no-oceans.json")))
-    assert not any(n.startswith("Etc/GMT") for n in no_oc)
+    assert "Test/Alpha" in names
+    assert not any(n.startswith("Etc/GMT") for n in names)
+    with_oc = json.load(open(os.path.join(out, "timezone-names-with-oceans.json")))
+    assert with_oc[: len(names)] == names and "Etc/GMT+9" in with_oc
     write_zone_lookup(spark, groups, "1970", os.path.join(out, "lookup-1970.json"))
     lookup = json.load(open(os.path.join(out, "lookup-1970.json")))
     assert lookup["Test/Hotel"] == "Test/Alpha"

@@ -151,6 +151,21 @@ def _with_oceans_relation(
     return base.unionByName(appended)
 
 
+def write_name_lists(
+    out_dir: str, base_names: list[str], ocean_names: list[str]
+) -> None:
+    """The reference's name-list products (writeBaseNames,
+    index.js:1708-1724), byte-compatible with its JSON.stringify output:
+    `timezone-names.json` holds the base zone names in CONFIG order
+    (Object.keys(zoneCfg)), `timezone-names-with-oceans.json` appends
+    the ocean tzids in band-table order."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "timezone-names.json"), "w") as f:
+        json.dump(list(base_names), f, separators=(",", ":"))
+    with open(os.path.join(out_dir, "timezone-names-with-oceans.json"), "w") as f:
+        json.dump(list(base_names) + list(ocean_names), f, separators=(",", ":"))
+
+
 def combine_and_write(
     spark: SparkSession,
     products: dict[str, DataFrame],
@@ -158,6 +173,8 @@ def combine_and_write(
     out_dir: str,
     with_oceans_products: dict[str, DataFrame] | None = None,
     ocean_skip: dict[str, DataFrame] | None = None,
+    base_name_order: list[str] | None = None,
+    ocean_name_order: list[str] | None = None,
 ) -> dict[str, int]:
     """products: {'comprehensive': zones, '1970': ..., 'now': ...} ->
     writes <product>.geojson and <product>-with-oceans.geojson plus
@@ -167,7 +184,10 @@ def combine_and_write(
     (derived reps with member oceans unioned in, index.js:941-1009);
     defaults to the product's own zones. ocean_skip: per-product tzid
     DataFrame of oceans merged into a group — skipped as standalone
-    features (hasAlikeIn1970/Now, index.js:1367-1374)."""
+    features (hasAlikeIn1970/Now, index.js:1367-1374).
+    base_name_order / ocean_name_order: config/band order for the name
+    lists (the reference writes Object.keys(zoneCfg) order); names not
+    present in the built products are dropped, extras fall back sorted."""
     counts = {}
     ocean_sel = oceans.select("tzid", "geometry")
     for name, zones in products.items():
@@ -183,22 +203,23 @@ def combine_and_write(
         )
         # parquet twin for downstream stages
         land.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
-    # name lists (reference writeBaseNames, index.js:1708-1724): the
-    # no-oceans variants exclude Etc/GMT zones
-    all_names = sorted(
-        r.tzid
-        for r in products["comprehensive"].select("tzid").distinct().collect()
+    # name lists (reference writeBaseNames, index.js:1708-1724):
+    # timezone-names.json = base zone names, with-oceans appends bands
+    all_names = {
+        r.tzid for r in products["comprehensive"].select("tzid").distinct().collect()
+    }
+    ocean_names = {r.tzid for r in ocean_sel.select("tzid").distinct().collect()}
+
+    def _ordered(names: set, order: list[str] | None) -> list[str]:
+        if order is None:
+            return sorted(names)
+        return [n for n in order if n in names]
+
+    write_name_lists(
+        out_dir,
+        _ordered(all_names, base_name_order),
+        _ordered(ocean_names, ocean_name_order),
     )
-    ocean_names = sorted(r.tzid for r in ocean_sel.select("tzid").distinct().collect())
-    # compact separators = JSON.stringify's exact byte layout
-    with open(os.path.join(out_dir, "timezone-names.json"), "w") as f:
-        json.dump(sorted(set(all_names + ocean_names)), f, separators=(",", ":"))
-    with open(os.path.join(out_dir, "timezone-names-no-oceans.json"), "w") as f:
-        json.dump(
-            [n for n in all_names if not n.startswith("Etc/GMT")],
-            f,
-            separators=(",", ":"),
-        )
     return counts
 
 

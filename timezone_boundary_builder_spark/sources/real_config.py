@@ -375,3 +375,13 @@ def real_ocean_bands_pdf() -> pd.DataFrame:
         )
     rows.append({"tzid": "Etc/GMT-12", "left": 172.5, "right": 180.0})
     return pd.DataFrame(rows)
+
+
+def real_ocean_declared_tzids() -> list[str]:
+    """Ocean tzids in the reference's DECLARED order (index.js:107-133:
+    Etc/GMT-12 east first, down to Etc/GMT+12) — exactly reversed from
+    the ascending-longitude band table above, which assignment needs for
+    searchsorted. The declared order is what writeBaseNames appends to
+    timezone-names-with-oceans.json (index.js:1708-1724), so name-list
+    byte parity depends on it."""
+    return list(real_ocean_bands_pdf()["tzid"])[::-1]
