@@ -45,6 +45,26 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def host_probe() -> float:
+    """Fixed-work single-process host-speed probe: numpy sqrt over a 2M
+    array x30 — the fixed-work kernel BENCH.md's round-2 windows report
+    (0.29 s quiet / 0.84 s throttled, measured there through a
+    multiprocessing harness whose spawn overhead this in-process variant
+    skips, so quiet-window samples here read ~0.07-0.19 s). Sampled before
+    every scaling pair and around the single-session legs, and recorded
+    in the output JSON so engine deltas can be separated from host-quota
+    windows arithmetically: if the probe is slow, the window is slow."""
+    import numpy as np
+
+    a = np.arange(2_000_000, dtype=np.float64)
+    t0 = time.perf_counter()
+    for _ in range(30):
+        b = np.sqrt(a)
+    dt = time.perf_counter() - t0
+    assert b.shape == a.shape
+    return round(dt, 3)
+
+
 def make_spark(cores: int) -> SparkSession:
     from timezone_boundary_builder_spark.session import get_spark
 
@@ -240,8 +260,11 @@ def main() -> None:
     # persistently throttled host keeps its honest ratio.
     extra = int(os.environ.get("BENCH_EXTRA_TRIALS", "4"))
     best = {SCALE_N: float("inf"), SCALE_4N: float("inf")}
+    probes: list[float] = []
 
     def _run_pair(t: int) -> None:
+        probes.append(host_probe())
+        log(f"  host probe before pair {t}: {probes[-1]}s")
         for cores in (SCALE_N, SCALE_4N):
             spark = make_spark(cores)
             try:
@@ -267,6 +290,8 @@ def main() -> None:
     thr_4n = results[SCALE_4N]
     eff = (thr_4n / thr_n) / 4.0
     # --- query suite at the driver-standard parallelism -----------------
+    probes.append(host_probe())
+    log(f"  host probe before query suite: {probes[-1]}s")
     spark = make_spark(CPUS)
     try:
         queries = timed_queries(spark)
@@ -287,6 +312,8 @@ def main() -> None:
         log(f"Part A real-config build+validate: {dt_parta:.2f}s")
     finally:
         spark.stop()
+    probes.append(host_probe())
+    log(f"  host probe at end: {probes[-1]}s")
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -302,6 +329,12 @@ def main() -> None:
                 f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}": round(eff, 3),
                 f"pages_per_sec_419zones_local{CPUS}": round(thr_419),
                 "parta_real_config_sec": round(dt_parta, 3),
+                # fixed-work single-process numpy probe (quiet host
+                # ~0.29s, throttled ~0.84s; see BENCH.md): one sample
+                # before each scaling pair, one before the query suite,
+                # one at the end
+                "host_probe_sec": probes,
+                "host_probe_min": min(probes),
             },
             separators=(",", ":"),
         )
