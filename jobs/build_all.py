@@ -419,11 +419,23 @@ def main(argv=None) -> int:
     import zipfile
 
     if not args.skip_zip:
-        for gj in sorted(glob.glob(f"{args.out_dir}/*.geojson")):
+        # reference dist zip names + inner arcnames (zipGeoJsonFiles,
+        # index.js:1459-1477: `zip -j <dist>/timezones*.geojson.zip
+        # <working>/combined*.json`), driven by THIS run's products
+        from timezone_boundary_builder_spark.operators.outputs import GEOJSON_ZIPS
+
+        for json_name, zip_name, arcname in GEOJSON_ZIPS:
+            src = os.path.join(args.out_dir, json_name)
+            if json_name not in counts or not os.path.exists(src):
+                continue
             with zipfile.ZipFile(
-                f"{gj}.zip", "w", compression=zipfile.ZIP_DEFLATED
+                os.path.join(args.out_dir, zip_name),
+                "w",
+                compression=zipfile.ZIP_DEFLATED,
             ) as zf:
-                zf.write(gj, arcname=os.path.basename(gj))
+                zf.write(src, arcname=arcname)
+        # combined-osm-zones stays unzipped, as in the reference (it is
+        # written to the working dir there and never shipped as a zip)
 
     # S10 shapefile sink (makeShapefiles, index.js:1479-1539): every
     # combined product GeoJSON -> .shp/.shx/.dbf/.prj/.cpg + flat zip,

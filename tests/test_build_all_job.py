@@ -49,9 +49,11 @@ def test_build_all_runs_and_resumes(tmp_path):
     # S9 zip sink + S13 input archive (index.js:1459-1477, 1659-1706)
     import zipfile
 
-    assert zipfile.ZipFile(
-        os.path.join(out, "comprehensive-with-oceans.geojson.zip")
-    ).testzip() is None
+    # reference dist zip names with the `zip -j` working-file arcnames
+    zf = zipfile.ZipFile(os.path.join(out, "timezones-with-oceans.geojson.zip"))
+    assert zf.testzip() is None
+    assert zf.namelist() == ["combined-with-oceans.json"]
+    assert os.path.exists(os.path.join(out, "timezones.geojson.zip"))
     names = zipfile.ZipFile(os.path.join(out, "input-data.zip")).namelist()
     assert "zones_config.json" in names and "stage-manifest.json" in names
 
@@ -80,7 +82,7 @@ def test_build_all_flags_and_release_analysis(tmp_path):
     assert changes[0]["change"] == "removal"
     assert abs(changes[0]["area_deg2"] - 375.0) < 1e-6
     assert not os.path.exists(
-        os.path.join(str(tmp_path / "d3"), "comprehensive.geojson.zip")
+        os.path.join(str(tmp_path / "d3"), "timezones.geojson.zip")
     )
     assert not os.path.exists(
         os.path.join(str(tmp_path / "d3"), "1970.geojson")

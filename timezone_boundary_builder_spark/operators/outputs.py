@@ -20,6 +20,30 @@ from pyspark.sql import functions as F
 
 PRODUCTS = ("comprehensive", "1970", "now")
 
+# (product geojson, reference dist zip name, arcname inside) — the
+# reference's zipGeoJsonFiles list (index.js:1459-1477); `zip -j` keeps
+# the working file's basename, so the member is combined*.json
+GEOJSON_ZIPS = [
+    ("comprehensive.geojson", "timezones.geojson.zip", "combined.json"),
+    (
+        "comprehensive-with-oceans.geojson",
+        "timezones-with-oceans.geojson.zip",
+        "combined-with-oceans.json",
+    ),
+    ("1970.geojson", "timezones-1970.geojson.zip", "combined-1970.json"),
+    (
+        "1970-with-oceans.geojson",
+        "timezones-with-oceans-1970.geojson.zip",
+        "combined-with-oceans-1970.json",
+    ),
+    ("now.geojson", "timezones-now.geojson.zip", "combined-now.json"),
+    (
+        "now-with-oceans.geojson",
+        "timezones-with-oceans-now.geojson.zip",
+        "combined-with-oceans-now.json",
+    ),
+]
+
 
 def _js_number(tok: str):
     """JSON.stringify number parity: JS has one number type, so integral
