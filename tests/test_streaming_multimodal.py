@@ -276,6 +276,45 @@ def test_resize_real_codec_roundtrip(spark):
         assert (got == resize_nearest(arr, r.out_w, r.out_h)).all()
 
 
+def test_png_decoder_rejects_garbage_cleanly():
+    """Malformed payloads must fail with ValueError/zlib.error (caught
+    and surfaced per-row at scale), never an unhandled index/struct
+    crash inside an executor."""
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from timezone_boundary_builder_spark.operators.png import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(8)
+    base = encode_png(rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def run(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:  # random bytes with the magic prepended
+            blob = PNG_SIG + data.draw(st.binary(min_size=0, max_size=64))
+        elif mode == 1:  # random bytes, no magic
+            blob = data.draw(st.binary(min_size=0, max_size=64))
+        else:  # corrupt a real PNG at a random offset
+            pos = data.draw(st.integers(8, len(base) - 1))
+            b = data.draw(st.integers(0, 255))
+            blob = base[:pos] + bytes([b]) + base[pos + 1 :]
+        try:
+            arr = decode_png(blob)
+            assert arr.dtype == np.uint8  # corruption may still decode
+        except (ValueError, zlib.error):
+            pass  # the sanctioned failure modes
+
+    run()
+
+
 def test_image_real_codec_rejects_non_image(spark):
     """Non-image bytes under use_real_codec fail loudly (unsupported
     format), never silently fake."""

@@ -105,11 +105,17 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError("PNG: truncated chunk")
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + body + CRC
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("PNG: bad IHDR length")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
+            if length == 0 or length % 3:
+                raise ValueError("PNG: bad PLTE length")
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(body)
@@ -138,7 +144,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if color == 3:
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")
-        return palette[samples[..., 0]]
+        idx = samples[..., 0]
+        if idx.size and int(idx.max()) >= len(palette):
+            raise ValueError("PNG: palette index out of range")
+        return palette[idx]
     if color == 0:
         gray = samples[..., 0]
         if bit_depth < 8:  # scale 1/2/4-bit gray to full 0..255 range
