@@ -1049,6 +1049,16 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-word / duplicate-word
+    / top-bigram fractions) — the repetition filters large training-data
+    pipelines layer on top of basic quality scores. One shuffle
+    (pre-explode repartition by doc id), everything else co-partitioned."""
+    from timezone_boundary_builder_spark.operators.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_docs(spark, sf_dir), num_hashes=4, shingle_size=3)
 
@@ -1417,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "multimodal_frames": _q_multimodal_frames,
+        "text_repetition": _q_text_repetition,  # new in round 3
         # Part A (boundary build) + Part B (serving) — SURVEY.md §2
         "geo_zone_build": _q_geo_zone_build,
         "geo_validate_overlaps": _q_geo_validate_overlaps,
@@ -1460,15 +1471,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "geocode_extract": _q_geocode_extract,
         "multimodal_meta": _q_multimodal_meta,
-        "multimodal_resize": _q_multimodal_resize,
-        # trailing 8: double-green (r01+r02), operator gated by a checked
+        # trailing 9: double-green (r01+r02), operator gated by a checked
         # sibling — geo_tz_groups by geo_tz_real_groups, geo_derived_1970
         # by geo_derived_now_oceans, geo_osm_zones by
         # geo_combined_outputs, geo_tiles_raster by the 5 other tile
         # gates, geo_tzid_counts by geo_pip_assign, dedup_minhash by
         # dedup_lsh_pairs (recomputes the signature chain),
         # sample_hash_fraction by sample_stratified, text_fingerprint by
-        # the 3 other text gates
+        # the 3 other text gates, multimodal_resize by multimodal_meta/
+        # frames plus the real-codec pytest round-trips
+        "multimodal_resize": _q_multimodal_resize,
         "geo_tz_groups": _q_geo_tz_groups,
         "geo_derived_1970": _q_geo_derived_1970,
         "geo_osm_zones": _q_geo_osm_zones,
@@ -1757,7 +1769,28 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
         ) GROUP BY doc_id"""
     )
+    repetition = """
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+wx AS (SELECT doc_id, unnest(w) AS word FROM ws),
+wc AS (SELECT doc_id, word, count(*) AS c FROM wx GROUP BY doc_id, word),
+pw AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+              max(c) AS top_word
+       FROM wc GROUP BY doc_id),
+gx AS (SELECT doc_id,
+              unnest(list_transform(
+                generate_series(1, greatest(len(w) - 1, 1)),
+                i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS gram
+       FROM ws),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM gx GROUP BY doc_id, gram),
+pg AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram
+       FROM gc GROUP BY doc_id)
+SELECT pw.doc_id,
+       round(top_word / n_words, 6) AS top_word_frac,
+       round((n_words - n_distinct) / n_words, 6) AS dup_word_frac,
+       round(top_gram / n_grams, 6) AS top_bigram_frac
+FROM pw JOIN pg ON pw.doc_id = pg.doc_id"""
     return {
+        "text_repetition": repetition,
         "geo_pip_assign": _pip_assign_sql("SELECT url, lon, lat, tzid FROM assigned"),
         "geo_knn_assign": _knn_assign_sql(),
         "geo_tiles_serve": _pip_assign_sql("SELECT url, tzid FROM assigned"),

@@ -160,6 +160,19 @@ def test_lsh_pairs_single_stacked_join(spark):
     assert n_joins == 1, plan
 
 
+def test_repetition_signals_single_exchange_no_join(spark):
+    """Gopher-style repetition signals: words + 2-grams tagged and
+    exploded in ONE pass — the only exchange is the doc-sized
+    pre-explode repartition; no join, and the exploded token relation
+    never shuffles."""
+    q = entry.queries()["text_repetition"](spark, SF)
+    plan = plan_of(q)
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l]
+    assert len(exchanges) == 1, exchanges
+    assert "REPARTITION_BY_NUM" in exchanges[0]
+    assert "Join" not in plan, plan
+
+
 def test_prune_sources_is_broadcast_left_semi(spark):
     """R13 source pruning must broadcast the tiny used-source-id set —
     at 10^12-scale source tables a shuffled semi-join would move the

@@ -96,3 +96,60 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm)).withColumn(
         "fp_prefix", F.substring(F.md5(norm), 1, 8)
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (the filters
+    large-scale training-data pipelines apply on top of basic quality
+    scores): top_word_frac (most frequent word's share of all word
+    occurrences), dup_word_frac (share of occurrences beyond each word's
+    first), and top_bigram_frac (most frequent word-2-gram's share of
+    all 2-grams; single-word docs contribute the word itself, the same
+    clamp the MinHash shingler uses).
+
+    Scale shape mirrors minhash_signatures, tightened to ONE shuffle and
+    NO join: words and 2-grams are tagged and exploded in a single pass,
+    and because hash-partitioning by id satisfies the clustered
+    distribution of the downstream groupBy(id, kind, token) / groupBy(id)
+    chain, the exploded relation never crosses the wire — the only
+    exchange is the doc-sized pre-explode repartition. All JVM-side,
+    codegen'd."""
+    spark_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.repartition(spark_parallelism, id_col).select(
+        F.col(id_col), words.alias("__w")
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size("__w") - 2, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__w", i + 1, 2)))
+    tagged = F.concat(
+        F.transform(
+            F.col("__w"),
+            lambda x: F.struct(F.lit("w").alias("kind"), x.alias("tok")),
+        ),
+        F.transform(
+            grams, lambda x: F.struct(F.lit("g").alias("kind"), x.alias("tok"))
+        ),
+    )
+    t = base.select(F.col(id_col), F.explode(tagged).alias("t")).select(
+        F.col(id_col), F.col("t.kind").alias("kind"), F.col("t.tok").alias("tok")
+    )
+    tc = t.groupBy(id_col, "kind", "tok").agg(F.count(F.lit(1)).alias("c"))
+    is_w = F.col("kind") == "w"
+    is_g = F.col("kind") == "g"
+    per = tc.groupBy(id_col).agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+        F.count(F.when(is_w, 1)).alias("n_distinct"),
+        F.max(F.when(is_w, F.col("c"))).alias("top_word"),
+        F.sum(F.when(is_g, F.col("c"))).alias("n_grams"),
+        F.max(F.when(is_g, F.col("c"))).alias("top_gram"),
+    )
+    return per.select(
+        F.col(id_col),
+        F.round(F.col("top_word") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(
+            (F.col("n_words") - F.col("n_distinct")) / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.round(F.col("top_gram") / F.col("n_grams"), 6).alias("top_bigram_frac"),
+    )
