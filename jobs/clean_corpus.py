@@ -1,0 +1,191 @@
+"""Webtext corpus-cleaning production job — the LLM-data counterpart of
+build_all (Part A) and assign_pages (Part B): the full training-data
+pipeline as one resumable spark-submit surface.
+
+    cd /root/repo && zip -qr /tmp/engine.zip timezone_boundary_builder_spark
+    spark-submit --master local[8] --py-files /tmp/engine.zip \
+        jobs/clean_corpus.py --docs-parquet /root/testdata/sf0.01/documents.parquet \
+        --work-dir /tmp/cw --out-dir /tmp/clean
+
+Stages (each checkpoint-resumed via the stage manifest, keyed by input +
+thresholds — rerunning with nothing changed is all manifest hits):
+
+    quality    codegen'd quality + language-ID + Gopher repetition gates
+    exact      exact dedup (normalized-md5 window, keep min doc_id)
+    neardup    MinHash -> LSH bands -> exact n-gram-Jaccard verify ->
+               connected components; keep each cluster's representative
+    pack       deterministic shard + token-budget batch assignment
+
+Output: cleaned corpus parquet (doc_id, lang, ws_tokens, shard,
+batch_id), a per-partition lineage table, and ONE JSON line of per-stage
+row counts on stdout. Every gate is an explicit counter — rows dropped
+by each stage are reported, never silently vanished.
+
+Scale shape: quality/exact are scan -> codegen filters -> one window;
+neardup shuffles are doc-sized or candidate-sized (the LSH design from
+operators/dedup.py); packing is one hash-shard shuffle + per-shard
+window. Nothing corpus-sized is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs-parquet", required=True)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--cores", type=int, default=8)
+    p.add_argument("--min-words", type=int, default=20)
+    p.add_argument("--min-stopword-ratio", type=float, default=0.05)
+    p.add_argument("--max-top-bigram-frac", type=float, default=0.5)
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--token-budget", type=float, default=2048.0)
+    p.add_argument("--n-shards", type=int, default=16)
+    args = p.parse_args(argv)
+
+    from pyspark import SparkConf
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    builder = (
+        SparkSession.builder.appName("tzbb-clean-corpus")
+        .config("spark.sql.shuffle.partitions", str(args.cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkConf(loadDefaults=True).contains("spark.master"):
+        builder = builder.master(f"local[{args.cores}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from timezone_boundary_builder_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from timezone_boundary_builder_spark.operators.sampling import pack_token_batches
+    from timezone_boundary_builder_spark.operators.text import (
+        repetition_signals,
+        with_langid,
+        with_quality,
+        with_token_counts,
+    )
+    from timezone_boundary_builder_spark.plans.lineage import lineage_table
+    from timezone_boundary_builder_spark.plans.manifests import (
+        StageManifest,
+        fingerprint,
+    )
+
+    t0 = time.time()
+    manifest = StageManifest(args.work_dir)
+    docs = spark.read.parquet(args.docs_parquet).select("doc_id", "text", "lang")
+    n_in = docs.count()
+    gate_fp = fingerprint(
+        "clean",
+        args.docs_parquet,
+        str(n_in),
+        str(args.min_words),
+        str(args.min_stopword_ratio),
+        str(args.max_top_bigram_frac),
+        str(args.jaccard),
+    )
+    stages = {"input": {"rows": n_in}}
+
+    # --- quality gates: codegen'd features + repetition signals --------
+    def compute_quality():
+        q = with_token_counts(with_langid(with_quality(docs)))
+        rep = repetition_signals(docs)
+        return (
+            q.join(rep, "doc_id")
+            .where(
+                (F.col("n_words_q") >= args.min_words)
+                & (F.col("stopword_ratio") >= args.min_stopword_ratio)
+                & (F.col("top_bigram_frac") <= args.max_top_bigram_frac)
+            )
+            .select("doc_id", "text", "lang", "lang_pred", "ws_tokens")
+        )
+
+    quality, cached_q = manifest.run_stage(
+        spark, "quality", fingerprint("quality", gate_fp), compute_quality
+    )
+    stages["quality"] = {"cached": cached_q, "rows": quality.count()}
+
+    # --- exact dedup: normalized-md5 window, keep min doc_id ------------
+    def compute_exact():
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        w = Window.partitionBy(F.md5(norm)).orderBy("doc_id")
+        return (
+            quality.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    exact, cached_e = manifest.run_stage(
+        spark, "exact", fingerprint("exact", gate_fp), compute_exact
+    )
+    stages["exact"] = {"cached": cached_e, "rows": exact.count()}
+
+    # --- near-dup: LSH candidates -> exact verify -> CC keep-reps -------
+    def compute_neardup():
+        sigs = minhash_signatures(exact, num_hashes=4, shingle_size=3)
+        cand = minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
+        verified = ngram_jaccard_pairs(
+            exact, cand, n=3, threshold=args.jaccard
+        ).select("id_a", "id_b")
+        clusters = connected_components(verified)
+        # drop non-representative members; docs in no cluster keep
+        drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+        return exact.join(drop, "doc_id", "left_anti")
+
+    neardup, cached_n = manifest.run_stage(
+        spark, "neardup", fingerprint("neardup", gate_fp), compute_neardup
+    )
+    stages["neardup"] = {"cached": cached_n, "rows": neardup.count()}
+
+    # --- token-budget packing -------------------------------------------
+    def compute_pack():
+        return pack_token_batches(
+            neardup.select("doc_id", "lang", "lang_pred", "ws_tokens"),
+            "doc_id",
+            "ws_tokens",
+            budget=args.token_budget,
+            n_shards=args.n_shards,
+        )
+
+    packed, cached_p = manifest.run_stage(
+        spark, "pack", fingerprint("pack", gate_fp, str(args.token_budget), str(args.n_shards)), compute_pack
+    )
+    n_out = packed.count()
+    stages["pack"] = {
+        "cached": cached_p,
+        "rows": n_out,
+        "batches": packed.select("shard", "batch_id").distinct().count(),
+    }
+
+    packed.write.mode("overwrite").parquet(f"{args.out_dir}/cleaned")
+    lineage = lineage_table(packed, "doc_id")
+    lineage.write.mode("overwrite").parquet(f"{args.out_dir}/lineage")
+
+    print(
+        json.dumps(
+            {
+                "stages": stages,
+                "kept_frac": round(n_out / max(n_in, 1), 4),
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

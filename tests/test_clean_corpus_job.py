@@ -1,0 +1,68 @@
+"""Webtext cleaning production job surface: jobs/clean_corpus.py —
+quality + repetition gates, exact + near-dup dedup, token packing, with
+stage-manifest resume and per-stage row accounting."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _run(work, out, extra=()):
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "clean_corpus.py"),
+            "--docs-parquet", DOCS,
+            "--work-dir", work,
+            "--out-dir", out,
+            "--cores", "8",
+            *extra,
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_clean_corpus_runs_resumes_and_accounts(spark, tmp_path):
+    work, out = str(tmp_path / "w"), str(tmp_path / "o")
+    r1 = _run(work, out)
+    s = r1["stages"]
+    assert s["input"]["rows"] == 500
+    # monotone row accounting: every stage only drops
+    assert (
+        s["input"]["rows"]
+        >= s["quality"]["rows"]
+        >= s["exact"]["rows"]
+        >= s["neardup"]["rows"]
+        == s["pack"]["rows"]
+    )
+    assert s["quality"]["rows"] == 290  # matches the pipeline_clean oracle
+    assert 0 < r1["kept_frac"] <= 1 and s["pack"]["batches"] >= 1
+
+    # cleaned corpus: unique doc ids, packing columns present
+    cleaned = spark.read.parquet(f"{out}/cleaned")
+    assert cleaned.count() == s["pack"]["rows"]
+    assert cleaned.select("doc_id").distinct().count() == s["pack"]["rows"]
+    assert {"shard", "batch_id", "ws_tokens"} <= set(cleaned.columns)
+    assert os.path.exists(f"{out}/lineage")
+
+    # second run: all manifest hits
+    r2 = _run(work, out)
+    assert all(
+        r2["stages"][st]["cached"] is True
+        for st in ("quality", "exact", "neardup", "pack")
+    ), r2
+
+    # a threshold change invalidates the affected stages and recomputes
+    r3 = _run(work, out, extra=("--min-words", "25"))
+    assert r3["stages"]["quality"]["cached"] is False
+    assert r3["stages"]["quality"]["rows"] < s["quality"]["rows"]
