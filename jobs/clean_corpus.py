@@ -6,6 +6,8 @@ pipeline as one resumable spark-submit surface.
     spark-submit --master local[8] --py-files /tmp/engine.zip \
         jobs/clean_corpus.py --docs-parquet /root/testdata/sf0.01/documents.parquet \
         --work-dir /tmp/cw --out-dir /tmp/clean
+    # or straight from a crawl table (snapshot-pinned, url as doc id):
+    ... jobs/clean_corpus.py --pages-root /data/pages --work-dir ... --out-dir ...
 
 Stages (each checkpoint-resumed via the stage manifest, keyed by input +
 thresholds — rerunning with nothing changed is all manifest hits):
@@ -37,7 +39,13 @@ import time
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--docs-parquet", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--docs-parquet")
+    # crawl-table mode: read (url -> doc_id, text, lang) straight from
+    # the Iceberg-lite pages table — snapshot-pinned, so the cleaning
+    # run is reproducible against a moving table
+    src.add_argument("--pages-root")
+    p.add_argument("--snapshot", default=None)
     p.add_argument("--work-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--cores", type=int, default=8)
@@ -86,11 +94,21 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     manifest = StageManifest(args.work_dir)
-    docs = spark.read.parquet(args.docs_parquet).select("doc_id", "text", "lang")
+    if args.pages_root:
+        from timezone_boundary_builder_spark.sources import pages as pages_table
+
+        sid = args.snapshot or pages_table.current_snapshot_id(args.pages_root)
+        docs = pages_table.scan(spark, args.pages_root, snapshot_id=sid).select(
+            F.col("url").alias("doc_id"), "text", "lang"
+        )
+        source_key = f"{args.pages_root}@{sid}"
+    else:
+        docs = spark.read.parquet(args.docs_parquet).select("doc_id", "text", "lang")
+        source_key = args.docs_parquet
     n_in = docs.count()
     gate_fp = fingerprint(
         "clean",
-        args.docs_parquet,
+        source_key,
         str(n_in),
         str(args.min_words),
         str(args.min_stopword_ratio),

@@ -66,3 +66,55 @@ def test_clean_corpus_runs_resumes_and_accounts(spark, tmp_path):
     r3 = _run(work, out, extra=("--min-words", "25"))
     assert r3["stages"]["quality"]["cached"] is False
     assert r3["stages"]["quality"]["rows"] < s["quality"]["rows"]
+
+
+def test_clean_corpus_from_pages_table(spark, tmp_path):
+    """Crawl-table mode: the cleaning pipeline reads a snapshot-pinned
+    Iceberg-lite pages scan (url as doc id); an append invalidates the
+    stage fingerprints (new snapshot), an unchanged table resumes."""
+    import subprocess
+    import sys
+
+    from timezone_boundary_builder_spark.sources import pages as pt
+    from timezone_boundary_builder_spark.sources.fixtures import synthetic_pages
+
+    root = str(tmp_path / "tbl")
+    pdf = synthetic_pages(n=200, seed=31).drop(columns=["kind"])
+    pt.commit_append(root, spark.createDataFrame(pdf))
+    work, out = str(tmp_path / "w"), str(tmp_path / "o")
+
+    def run():
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "jobs", "clean_corpus.py"),
+                "--pages-root", root,
+                "--work-dir", work,
+                "--out-dir", out,
+                "--cores", "8",
+                "--min-words", "5",
+                "--min-stopword-ratio", "0.0",
+            ],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=420,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    r1 = run()
+    assert r1["stages"]["input"]["rows"] == 200
+    cleaned = spark.read.parquet(f"{out}/cleaned")
+    ids = [r.doc_id for r in cleaned.select("doc_id").collect()]
+    assert ids and all(isinstance(i, str) and "://" in i for i in ids)
+    # unchanged table -> resume; append -> new snapshot -> recompute
+    r2 = run()
+    assert r2["stages"]["quality"]["cached"] is True
+    more = synthetic_pages(n=50, seed=32).drop(columns=["kind"])
+    more["url"] = more["url"].str.replace("example.org", "more.net")
+    pt.commit_append(root, spark.createDataFrame(more))
+    r3 = run()
+    assert r3["stages"]["input"]["rows"] == 250
+    assert r3["stages"]["quality"]["cached"] is False
