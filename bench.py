@@ -232,6 +232,7 @@ def timed_queries(spark: SparkSession) -> dict[str, float]:
         "events_sessions",
         "text_quality",
         "text_langid",
+        "text_repetition",
         "ann_cosine_topk",
         "rel_pricing_summary",
         "rel_top_customer_per_nation",

@@ -415,7 +415,6 @@ def main(argv=None) -> int:
     # S9 zip sink (reference zipGeoJsonFiles, index.js:1459-1477: `zip -j`
     # per combined JSON) and S13 input-data archive (assembleAndZipInputData,
     # index.js:1659-1706: configs + cache manifests for reproducibility)
-    import glob
     import zipfile
 
     if not args.skip_zip:
