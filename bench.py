@@ -65,6 +65,25 @@ def host_probe() -> float:
     return round(dt, 3)
 
 
+def _probe_worker(_):
+    return host_probe()
+
+
+def host_probe_mp(n_procs: int = 4) -> float:
+    """Contended variant: the same fixed work in n_procs concurrent
+    processes (spawn — no JVM fd inheritance). Wall time for ALL to
+    finish; rises when the host's aggregate CPU/DRAM quota is squeezed
+    even while the 1-process probe stays quiet — exactly the window
+    class that caps the multi-worker assignment legs."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    t0 = time.perf_counter()
+    with ctx.Pool(n_procs) as pool:
+        pool.map(_probe_worker, range(n_procs))
+    return round(time.perf_counter() - t0, 3)
+
+
 def make_spark(cores: int) -> SparkSession:
     from timezone_boundary_builder_spark.session import get_spark
 
@@ -308,7 +327,11 @@ def main() -> None:
         pts_419 = int(os.environ.get("BENCH_419_POINTS", "16000000"))
         cm419 = reference_world_cellmap()
         probes.append(host_probe())
-        log(f"  host probe before 419-zone leg: {probes[-1]}s")
+        mp_probe = host_probe_mp()
+        log(
+            f"  host probe before 419-zone leg: {probes[-1]}s "
+            f"(4-proc contended: {mp_probe}s)"
+        )
         run_assignment(spark, 2_000_000, cellmap=cm419)  # warmup
         # best of 3: measured on this VM, the first timed run after the
         # broadcast/JIT warmup still reads ~20-30% low (10.99 -> 13.26 ->
@@ -346,6 +369,10 @@ def main() -> None:
                 # one at the end
                 "host_probe_sec": probes,
                 "host_probe_min": min(probes),
+                # 4-process contended probe sampled right before the
+                # 419-zone leg: captures aggregate CPU/DRAM squeeze the
+                # 1-process samples miss (quiet host ~0.9s incl. spawn)
+                "host_probe_mp4_sec": mp_probe,
             },
             separators=(",", ":"),
         )
