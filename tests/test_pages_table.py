@@ -189,6 +189,28 @@ def test_expire_respells_root_without_data_loss(spark, tmp_path, pages_pdf):
         os.chdir(cwd)
 
 
+def test_orphan_sweep_never_follows_symlinks(spark, tmp_path, pages_pdf):
+    """A symlinked, unreferenced batch dir must lose only the LINK —
+    rmtree through the symlink would delete storage outside the table
+    root (a pattern versioned-artifact layouts legitimately use)."""
+    import os
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pages_pdf)
+    pg.commit_append(root, df)
+    n_total = pg.snapshot_row_count(root)
+    # external storage a stray symlink points at
+    external = tmp_path / "external_store"
+    external.mkdir()
+    (external / "keep.txt").write_text("precious")
+    link = os.path.join(root, "data", "batch-deadbeef0000")
+    os.symlink(str(external), link)
+    pg.expire_snapshots(root, keep_last=1, orphan_ttl_sec=0.0)
+    assert (external / "keep.txt").exists()  # target untouched
+    assert not os.path.lexists(link)  # dangling link reaped
+    assert pg.scan(spark, root).count() == n_total
+
+
 def test_dated_scan_excludes_null_ts(spark, tmp_path):
     """Regression (ADVICE r2, low): any ts_day bound — min alone
     included — excludes the NULL-warc_ts sentinel partition, matching

@@ -315,6 +315,44 @@ def test_png_decoder_rejects_garbage_cleanly():
     run()
 
 
+def test_png_decompression_bomb_bounded():
+    """A crafted PNG whose IDAT inflates far past the header-implied
+    size (or whose header declares a giant image) must raise ValueError
+    without materializing the expansion — untrusted crawl bytes run
+    through this codec."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from timezone_boundary_builder_spark.operators.png import (
+        PNG_SIG,
+        _chunk,
+        decode_png,
+    )
+
+    # 2x2 gray header, but 10 MB of zeros in the stream (tiny compressed)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_png(bomb)
+    # absurd declared dimensions refused before any allocation
+    ihdr_big = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0)
+    big = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr_big)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="too large"):
+        decode_png(big)
+
+
 def test_image_real_codec_rejects_non_image(spark):
     """Non-image bytes under use_real_codec fail loudly (unsupported
     format), never silently fake."""

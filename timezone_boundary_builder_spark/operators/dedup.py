@@ -114,7 +114,9 @@ def embed_neardup_pairs(
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct normalized text,
     keeping the smallest id (deterministic winner)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    from .text import norm_text_col
+
+    norm = norm_text_col(text_col)
     return (
         df.withColumn("fingerprint", F.md5(norm))
         .groupBy("fingerprint")

@@ -111,8 +111,14 @@ def write_feature_collection_distributed(zones: DataFrame, dir_path: str) -> int
             # JS-number parity (see _js_number), JVM-side: strip the
             # '.0' integral-float marker before , or ] — Python's
             # shortest-repr never emits other trailing zeros, so the
-            # rewrite touches exactly the integral coordinates
-            F.regexp_replace(F.col("geometry"), r"\.0(?=[,\]])", ""),
+            # rewrite touches exactly the integral coordinates; the
+            # second pass folds the resulting '-0' to '0', matching
+            # JSON.stringify(-0) and the collected sink's int(-0.0)
+            F.regexp_replace(
+                F.regexp_replace(F.col("geometry"), r"\.0(?=[,\]])", ""),
+                r"(?<=[\[,])-0(?=[,\]])",
+                "0",
+            ),
             F.lit("}"),
         ).alias("value"),
         F.col("tzid"),
@@ -237,7 +243,10 @@ def combine_and_write(
     def _ordered(names: set, order: list[str] | None) -> list[str]:
         if order is None:
             return sorted(names)
-        return [n for n in order if n in names]
+        # built names missing from the order list must not vanish from
+        # the product: append them sorted after the ordered prefix
+        ordered = [n for n in order if n in names]
+        return ordered + sorted(names - set(order))
 
     write_name_lists(
         out_dir,

@@ -134,8 +134,17 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"PNG: bit depth {bit_depth} unsupported for color type {color}")
     if width == 0 or height == 0:
         raise ValueError("PNG: zero-dimension image")
+    if width * height > 64_000_000:  # crawl payloads are untrusted
+        raise ValueError("PNG: image too large")
     channels = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    # bounded decompression: a crafted IDAT must not expand past the
+    # size the header implies (decompression-bomb guard — PIL's
+    # MAX_IMAGE_PIXELS analog for this codec)
+    bits_per_px = bit_depth * channels
+    expected = ((width * bits_per_px + 7) // 8 + 1) * height
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError("PNG: image data exceeds header-implied size")
     rows = _defilter(raw, width, height, channels, bit_depth)
     if bit_depth == 8:
         samples = rows[:, : width * channels].reshape(height, width, channels)

@@ -118,8 +118,13 @@ def ivf_ann(
         c_cos = F.round(
             _dot(F.col("vec"), lit) / (_norm(F.col("vec")) * F.lit(acc**0.5)), 9
         )
+        # NaN cosine (zero-norm vector/centroid) must sort FIRST like the
+        # old Window.orderBy(desc) did (NaN > everything in Spark/DuckDB
+        # ordering): map it to -inf in the negated sort key — plain
+        # negation would leave NaN, which array_sort puts LAST
+        neg = F.when(F.isnan(c_cos), F.lit(float("-inf"))).otherwise(-c_cos)
         return F.struct(
-            (-c_cos).alias("neg_cos"),
+            neg.alias("neg_cos"),
             F.lit(int(row["centroid_id"])).cast("long").alias("centroid_id"),
         )
 

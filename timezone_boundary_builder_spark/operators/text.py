@@ -87,12 +87,18 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", best)
 
 
+def norm_text_col(text_col: str = "text") -> Column:
+    """Canonical dedup normalization (lowercase, whitespace-collapse) —
+    the ONE definition shared by with_fingerprint, exact_dedup, and the
+    clean_corpus job, so their keys can never silently drift apart."""
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized text (lowercased,
     whitespace-collapsed) — the exact-dedup key; plus a 16-hex-char
     rolling prefix fingerprint for locality."""
-    t = F.col(text_col)
-    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    norm = norm_text_col(text_col)
     return df.withColumn("fingerprint", F.md5(norm)).withColumn(
         "fp_prefix", F.substring(F.md5(norm), 1, 8)
     )

@@ -282,13 +282,21 @@ def expire_snapshots(
     data_root = os.path.join(root, "data")
     now = time.time()
     for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
-        full = os.path.realpath(os.path.join(data_root, d))
+        full = os.path.join(data_root, d)
+        full_real = os.path.realpath(full)
         if (
             os.path.isdir(full)
-            and not any(p == full or p.startswith(full + os.sep) for p in live_real)
+            and not any(
+                p == full_real or p.startswith(full_real + os.sep) for p in live_real
+            )
             and now - os.path.getmtime(full) > orphan_ttl_sec
         ):
-            shutil.rmtree(full, ignore_errors=True)
+            if os.path.islink(full):
+                # drop the dangling LINK only — never rmtree through a
+                # symlink into storage outside the table root
+                os.remove(full)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
     return {
         "kept": [s["id"] for s in kept],
         "expired": [s["id"] for s in expired],
