@@ -313,17 +313,13 @@ def main() -> None:
     thr_n = results[SCALE_N]
     thr_4n = results[SCALE_4N]
     eff = (thr_4n / thr_n) / 4.0
-    # --- query suite at the driver-standard parallelism -----------------
-    probes.append(host_probe())
-    log(f"  host probe before query suite: {probes[-1]}s")
-    spark = make_spark(CPUS)
-    try:
-        queries = timed_queries(spark)
-    finally:
-        spark.stop()
-    # fresh session for the assignment legs: the suite leaves block-manager
-    # residue (iterative-query checkpoints, broadcasts) that measured ~2x
-    # low on the 419-zone leg in a shared session
+    # --- assignment legs BEFORE the query suite -------------------------
+    # pyspark reuses ONE JVM for every session in a process: running the
+    # leg after the suite inherits the suite's heap history (checkpoint
+    # blocks, dozens of broadcasts, fragmentation) and measured 2-2.5x
+    # low (6.3-7.1M) even with quiet host probes, while a fresh process
+    # measured 15M+ minutes later. Order, not session boundaries, is the
+    # effective isolation here.
     spark = make_spark(CPUS)
     try:
         # reference-scale secondary metric: the same assignment over the
@@ -348,6 +344,14 @@ def main() -> None:
         # Part A cost at the real config shape (best of 2, same rationale)
         dt_parta = min(run_parta_real_config(spark) for _ in range(2))
         log(f"Part A real-config build+validate: {dt_parta:.2f}s")
+    finally:
+        spark.stop()
+    # --- query suite at the driver-standard parallelism -----------------
+    probes.append(host_probe())
+    log(f"  host probe before query suite: {probes[-1]}s")
+    spark = make_spark(CPUS)
+    try:
+        queries = timed_queries(spark)
     finally:
         spark.stop()
     probes.append(host_probe())
