@@ -1065,7 +1065,7 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=4, shingle_size=3)
-    return minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
+    return minhash_lsh_pairs(sigs, num_hashes=4, bands=2, materialize=True)
 
 
 def _q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,7 +1165,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=4, shingle_size=3)
-    pairs = minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
+    pairs = minhash_lsh_pairs(sigs, num_hashes=4, bands=2, materialize=True)
     comp = connected_components(pairs)
     return comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -1207,6 +1207,7 @@ def _q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=NEARDUP_PLANES,
         bands=NEARDUP_BANDS,
         seed=NEARDUP_SEED,
+        materialize=True,
     )
 
 
@@ -1284,7 +1285,7 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(docs, num_hashes=4, shingle_size=3)
-    pairs = minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
+    pairs = minhash_lsh_pairs(sigs, num_hashes=4, bands=2, materialize=True)
     return ngram_jaccard_pairs(docs, pairs, n=3, threshold=0.5)
 
 

@@ -340,13 +340,18 @@ def main() -> None:
             run_assignment(spark, pts_419, cellmap=cm419) for _ in range(3)
         )
         # same noise-guard protocol as the scaling pairs: when the leg
-        # reads below the quiet-window floor (~13M on this VM), sample
-        # extra trials — a brief steal burst caps individual runs
+        # reads below the quiet-window floor (~13M on this VM — override
+        # via BENCH_419_QUIET_FLOOR on other hosts), sample extra trials —
+        # a brief steal burst caps individual runs. Trials taken are
+        # recorded in the output JSON so the selection is visible.
+        quiet_floor = float(os.environ.get("BENCH_419_QUIET_FLOOR", "13000000"))
+        trials_419 = 3
         for _ in range(int(os.environ.get("BENCH_419_EXTRA_TRIALS", "4"))):
-            if pts_419 / dt419 >= 13_000_000:
+            if pts_419 / dt419 >= quiet_floor:
                 break
             log("  419-zone leg below quiet floor — extra trial")
             dt419 = min(dt419, run_assignment(spark, pts_419, cellmap=cm419))
+            trials_419 += 1
         thr_419 = pts_419 / dt419
         log(f"419-zone world: {dt419:.2f}s -> {thr_419:,.0f} pages/sec")
         # Part A cost at the real config shape (best of 2, same rationale)
@@ -378,6 +383,7 @@ def main() -> None:
                 "scaling_points": SCALE_POINTS,
                 f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}": round(eff, 3),
                 f"pages_per_sec_419zones_local{CPUS}": round(thr_419),
+                "trials_419": trials_419,
                 "parta_real_config_sec": round(dt_parta, 3),
                 # fixed-work single-process numpy probe (quiet host
                 # ~0.29s, throttled ~0.84s; see BENCH.md): one sample

@@ -44,15 +44,23 @@ def _input_fingerprint(path: str) -> str:
     mtime_ns) — rewriting the same path with different bytes changes the
     key, so stage resume can never serve stale outputs (build_all
     fingerprints its config content the same way)."""
-    files = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    if os.path.isdir(path):
+        # recursive: partitioned/nested parquet directories (dt=.../part-*.
+        # parquet) must contribute to the key, or resume would serve stale
+        # outputs after the nested data changes
+        files = []
+        for root, _dirs, names in os.walk(path):
+            for name in names:
+                if name.endswith(".parquet"):
+                    files.append(os.path.join(root, name))
+        files.sort()
+        base = path
+    else:
+        files, base = [path], os.path.dirname(path)
     parts = []
     for f in files:
         st = os.stat(f)
-        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+        parts.append(f"{os.path.relpath(f, base)}:{st.st_size}:{st.st_mtime_ns}")
     return "|".join(parts)
 
 
@@ -175,7 +183,7 @@ def main(argv=None) -> int:
     # --- near-dup: LSH candidates -> exact verify -> CC keep-reps -------
     def compute_neardup():
         sigs = minhash_signatures(exact, num_hashes=4, shingle_size=3)
-        cand = minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
+        cand = minhash_lsh_pairs(sigs, num_hashes=4, bands=2, materialize=True)
         verified = ngram_jaccard_pairs(
             exact, cand, n=3, threshold=args.jaccard
         ).select("id_a", "id_b")

@@ -120,9 +120,9 @@ def test_lsh_and_embed_frames_unpersisted(spark):
     )
 
     before_blocks = n_blocks()
-    lsh = minhash_lsh_pairs(minhash_signatures(docs))
+    lsh = minhash_lsh_pairs(minhash_signatures(docs), materialize=True)
     lsh.collect()
-    emb = embed_neardup_pairs(vecs, threshold=-1.0)
+    emb = embed_neardup_pairs(vecs, threshold=-1.0, materialize=True)
     emb.collect()
     # no persisted intermediate survives the calls (the leak the verdict
     # flagged): at most the two small result checkpoints remain

@@ -37,8 +37,18 @@ def _materialize_then_unpersist(result: DataFrame, *intermediates: DataFrame) ->
     pairs, verified near-dup pairs — never corpus-sized); at cluster
     scale the same boundary is where a staged pipeline would write the
     candidate table to storage. Callers that fully consume the result
-    can free its blocks too via `_release_checkpoint`."""
-    out = result.localCheckpoint(eager=True)
+    can free its blocks too via `_release_checkpoint`.
+
+    When the context has a reliable checkpoint dir configured
+    (`sc.setCheckpointDir`), uses `checkpoint()` instead of
+    `localCheckpoint()`: local checkpoints truncate lineage to
+    executor-resident blocks, which a lost executor on a real cluster
+    cannot recompute — reliable checkpoints survive executor loss."""
+    sc = result.sparkSession.sparkContext
+    if sc._jsc.sc().checkpointDir().isDefined():
+        out = result.checkpoint(eager=True)
+    else:
+        out = result.localCheckpoint(eager=True)
     for df in intermediates:
         df.unpersist()
     return out
@@ -59,6 +69,7 @@ def embed_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    materialize: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed scale path:
     random-hyperplane sign bits -> banded bucket keys -> per-band self
@@ -69,6 +80,12 @@ def embed_neardup_pairs(
     integer bucket keys; at 10^12 rows recall is tuned via bands /
     bits-per-band and multi-probe, and the verify join moves only
     candidate pairs — never the all-pairs cross product.
+
+    materialize=False (default) returns a lazy plan with no persist —
+    building the DataFrame has no job side effect, at the cost of the
+    banded relation recomputing per reference. Job surfaces that consume
+    the pairs repeatedly (clean_corpus, the driver queries) opt in with
+    materialize=True: persist -> eager checkpoint -> unpersist.
     """
     from .similarity import _dot, _norm
 
@@ -88,9 +105,12 @@ def embed_neardup_pairs(
                 _dot(F.col("vec"), lit_plane) > 0, F.lit(1 << r)
             ).otherwise(0)
         band_cols.append(sig.alias(f"band_{b}"))
-    # persist: read 2x per band for candidates plus twice in the verify
-    # join; unpersisted below once the eager materialization consumes it
-    banded = v.select(F.col(id_col), "vec", *band_cols).persist()
+    # persist (opt-in): read 2x per band for candidates plus twice in the
+    # verify join; unpersisted below once the eager materialization
+    # consumes it
+    banded = v.select(F.col(id_col), "vec", *band_cols)
+    if materialize:
+        banded = banded.persist()
     pairs = None
     for b in range(bands):
         l = banded.select(F.col(id_col).alias("id_a"), F.col(f"band_{b}").alias("bk"))
@@ -108,6 +128,8 @@ def embed_neardup_pairs(
         joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    if not materialize:
+        return out
     return _materialize_then_unpersist(out, banded)
 
 
@@ -172,7 +194,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
     band hash = md5(concat of the band's rows).
@@ -212,8 +234,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if not materialize:
-        # lazy variant for plan inspection — no persist (it could not be
-        # released) and no checkpoint (it would hide the plan)
+        # default: lazy, no persist (it could not be released) and no
+        # checkpoint (it would hide the plan / run a job at construction
+        # time) — job surfaces that reuse the candidates opt in
         return cand
     return _materialize_then_unpersist(cand, stacked)
 

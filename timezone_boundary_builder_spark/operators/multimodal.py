@@ -182,6 +182,14 @@ def _decode_image_real(data: bytes):
         from PIL import Image
 
         img = Image.open(io.BytesIO(data))
+        # normalize palette/other indexed modes: np.asarray on a P-mode
+        # PNG yields raw palette indices (h, w), while the pure-Python
+        # codec expands the palette to RGB — convert so both paths
+        # produce the same pixels for the same payload (deterministic
+        # outputs must not depend on whether pillow is installed; the
+        # pure codec ignores palette tRNS, so RGB, not RGBA)
+        if img.mode not in ("L", "LA", "RGB", "RGBA"):
+            img = img.convert("RGB")
         return img.size, np.asarray(img)
     except ImportError:
         pass
