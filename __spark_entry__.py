@@ -1025,6 +1025,58 @@ def _page_counts_sql() -> str:
     )
 
 
+def _q_geo_tiles_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 skew gate on a zipf-hot workload: ~30% of all pages land in ONE
+    dense-urban cell (the north_rule's dense-urban-polygon case), the
+    rest spread world-wide; the salted two-phase top-k-per-cell operator
+    must return exactly what a single-window plan (the SQL oracle)
+    computes. Coordinates are integer-derived doubles so Spark and DuckDB
+    run the identical IEEE arithmetic into the Morton encode."""
+    from timezone_boundary_builder_spark.operators.tiles import page_topk_per_cell
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hot = F.col("event_id") % 10 < 3
+    lon = F.when(hot, F.lit(2.35)).otherwise(
+        (F.col("event_id") % 3600) / F.lit(10.0) - F.lit(180.0)
+    )
+    lat = F.when(hot, F.lit(48.85)).otherwise(
+        (F.expr("event_id div 7") % 1700) / F.lit(10.0) - F.lit(85.0)
+    )
+    pts = ev.select(
+        F.col("event_id").cast("string").alias("url"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )
+    return page_topk_per_cell(pts, res=5, k=3, salt_buckets=8)
+
+
+def _tiles_skew_sql() -> str:
+    bits = " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(5)
+    )
+    return f"""
+            WITH pts AS (
+              SELECT CAST(event_id AS VARCHAR) AS url,
+                     CASE WHEN event_id % 10 < 3 THEN 2.35
+                          ELSE (event_id % 3600) / 10.0 - 180.0 END AS lon,
+                     CASE WHEN event_id % 10 < 3 THEN 48.85
+                          ELSE ((event_id // 7) % 1700) / 10.0 - 85.0 END AS lat
+              FROM events),
+            cells AS (
+              SELECT url, (CAST(5 AS BIGINT) << 58) + {bits} AS cell_id
+              FROM (
+                SELECT url,
+                       LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT), 0), 31) AS x,
+                       LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 32.0) AS BIGINT), 0), 31) AS y
+                FROM pts)),
+            r AS (SELECT cell_id, url,
+                         row_number() OVER (PARTITION BY cell_id
+                                            ORDER BY md5(url), url) AS rank
+                  FROM cells)
+            SELECT cell_id, CAST(rank AS INT) AS rank, url FROM r WHERE rank <= 3"""
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -1107,6 +1159,39 @@ def _q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy(F.md5(norm)).orderBy("doc_id")
     return (
         kept.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+
+def _q_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_clean with the Gopher repetition gate active: quality
+    filters (word count, stopword ratio) -> repetition-signal filter
+    (top-word / dup-word / top-bigram fractions under thresholds) ->
+    exact-dedup keep-min-doc. The repetition gate drops ~25% of the
+    quality-passing docs on the test corpus, so its effect is visible in
+    the row count, not just the plan. Scale shape: the signals relation
+    is doc-keyed and joins on the id; one extra shuffle over
+    pipeline_clean, all JVM-side."""
+    from pyspark.sql import Window as W
+
+    from timezone_boundary_builder_spark.operators.text import (
+        repetition_gate,
+        with_quality,
+    )
+
+    q = with_quality(_docs(spark, sf_dir))
+    kept = q.where((F.col("n_words_q") >= 20) & (F.col("stopword_ratio") >= 0.05))
+    gated = repetition_gate(
+        kept,
+        max_top_word_frac=0.2,
+        max_dup_word_frac=0.65,
+        max_top_bigram_frac=0.08,
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = W.partitionBy(F.md5(norm)).orderBy("doc_id")
+    return (
+        gated.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("doc_id", "lang")
     )
@@ -1276,6 +1361,45 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(docs, media_col="media")
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode gate: deterministic grayscale PNGs are encoded
+    from doc_id-derived pixel ramps (pure-Python codec), pushed through
+    resize_images(use_real_codec=True) — decode -> nearest-neighbor
+    resize -> re-encode — then decoded AGAIN by decoded_pixel_stats. The
+    oracle recomputes the nearest-neighbor pixel sums in closed form in
+    SQL (pixel(y, x) = (doc_id*7 + x*3 + y*11) % 256; source index =
+    min(floor((j + 0.5) * w / out_w), w - 1), exactly png.resize_nearest),
+    so a hash match proves the real codec chain end-to-end, not the
+    fake-dimension path."""
+    from timezone_boundary_builder_spark.operators.multimodal import (
+        decoded_pixel_stats,
+        resize_images,
+    )
+    from timezone_boundary_builder_spark.operators.png import encode_png
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 13, 1 + did % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((did * 7 + xx * 3 + yy * 11) % 256).astype(np.uint8)
+                rows.append((str(did), encode_png(arr)))
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(_gen, "url string, html binary")
+    )
+    resized = resize_images(pages, target_w=8, target_h=8, use_real_codec=True)
+    return decoded_pixel_stats(resized)
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timezone_boundary_builder_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -1411,76 +1535,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for driver verification: the correctness driver
-    # samples the first 50 entries in iteration order (rounds 1-2 skipped
-    # exactly the trailing keys), so the entries that have not yet
-    # received a driver CORRECTNESS row lead the dict, and the trailing 9
-    # are queries with green rows in BOTH CORRECTNESS_r01 and r02 whose
-    # operators are additionally gated by a checked sibling query and the
-    # in-repo pytest oracle mirror (tests/test_entry_oracle.py runs all
-    # 59 every session). Union over rounds => every key driver-verified.
+    # samples the first 50 entries in iteration order.
+    #
+    # INVARIANT (adopted round 4, per the round-3 verdict): any query
+    # that is NEW this round, or whose operator's source file CHANGED
+    # during the round, must sit inside the first 50. Only queries whose
+    # operators are untouched this round AND that hold green rows in at
+    # least two prior CORRECTNESS files may trail; every trailing query
+    # is additionally gated by a checked sibling query and the in-repo
+    # pytest oracle mirror (tests/test_entry_oracle.py runs ALL entries
+    # every session). Union over rounds => every key driver-verified.
     return {
-        # never (rel_shipping_priority) or once driver-checked — first
-        "rel_shipping_priority": _q_rel_shipping_priority,
-        "rel_pricing_summary": _q_rel_pricing_summary,
-        "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
-        "rel_customer_order_stats": _q_rel_customer_order_stats,
-        "events_windowed": _q_events_windowed,
-        "events_sessions": _q_events_sessions,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "multimodal_frames": _q_multimodal_frames,
-        "text_repetition": _q_text_repetition,  # new in round 3
-        # Part A (boundary build) + Part B (serving) — SURVEY.md §2
-        "geo_zone_build": _q_geo_zone_build,
-        "geo_validate_overlaps": _q_geo_validate_overlaps,
-        "geo_ocean_zones": _q_geo_ocean_zones,
-        "geo_cell_covers": _q_geo_cell_covers,
-        "geo_combined_outputs": _q_geo_combined_outputs,
-        "geo_zone_lookup": _q_geo_zone_lookup,
-        "geo_pip_assign": _q_geo_pip_assign,
-        "geo_knn_assign": _q_geo_knn_assign,
-        "geo_ring_assembly": _q_geo_ring_assembly,
-        "geo_source_union": _q_geo_source_union,
-        "geo_tz_real_groups": _q_geo_tz_real_groups,
-        "geo_derived_now_oceans": _q_geo_derived_now_oceans,
-        "geo_lint_config": _q_geo_lint_config,
-        "geo_real_config_build": _q_geo_real_config_build,
-        "geo_manifest_resume": _q_geo_manifest_resume,
-        "pages_maintenance": _q_pages_maintenance,
-        "geo_lineage_conservation": _q_geo_lineage_conservation,
-        "geo_zone_filter_prune": _q_geo_zone_filter_prune,
-        "geo_release_diff": _q_geo_release_diff,
-        "geo_tiles_summary": _q_geo_tiles_summary,
-        "geo_tiles_serve": _q_geo_tiles_serve,
-        "geo_tiles_vector_area": _q_geo_tiles_vector_area,
-        "geo_tiles_pyramid": _q_geo_tiles_pyramid,
-        "tiles_page_counts": _q_tiles_page_counts,
-        # webtext pipeline ops
-        "dedup_exact": _q_dedup_exact,
-        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "pipeline_clean": _q_pipeline_clean,
-        "dedup_url": _q_dedup_url,
-        "sample_stratified": _q_sample_stratified,
-        "pack_batches": _q_pack_batches,
-        "text_quality": _q_text_quality,
-        "text_tokens": _q_text_tokens,
-        "text_langid": _q_text_langid,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "dedup_embed_cosine": _q_dedup_embed_cosine,
-        "geocode_extract": _q_geocode_extract,
-        "multimodal_meta": _q_multimodal_meta,
-        # trailing 9: double-green (r01+r02), operator gated by a checked
-        # sibling — geo_tz_groups by geo_tz_real_groups, geo_derived_1970
-        # by geo_derived_now_oceans, geo_osm_zones by
-        # geo_combined_outputs, geo_tiles_raster by the 5 other tile
-        # gates, geo_tzid_counts by geo_pip_assign, dedup_minhash by
-        # dedup_lsh_pairs (recomputes the signature chain),
-        # sample_hash_fraction by sample_stratified, text_fingerprint by
-        # the 3 other text gates, multimodal_resize by multimodal_meta/
-        # frames plus the real-codec pytest round-trips
+        # new in round 4 — real-codec decode chain, repetition-gated
+        # pipeline, skewed tile rollup
+        "multimodal_decode": _q_multimodal_decode,
+        "pipeline_gopher": _q_pipeline_gopher,
+        "geo_tiles_skew": _q_geo_tiles_skew,
+        # the 9 rotated out of the r03 sample (double-green r01+r02) —
+        # head of the dict this round so r04 re-verifies them
         "multimodal_resize": _q_multimodal_resize,
         "geo_tz_groups": _q_geo_tz_groups,
         "geo_derived_1970": _q_geo_derived_1970,
@@ -1490,6 +1562,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "sample_hash_fraction": _q_sample_hash_fraction,
         "text_fingerprint": _q_text_fingerprint,
+        # operators whose source files changed in round 4 (dedup.py
+        # materialize default, multimodal.py decode stats, text.py
+        # repetition gate, tiles.py skew salting)
+        "dedup_exact": _q_dedup_exact,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frames": _q_multimodal_frames,
+        "pipeline_clean": _q_pipeline_clean,
+        "text_repetition": _q_text_repetition,
+        "geo_tiles_summary": _q_geo_tiles_summary,
+        "geo_tiles_serve": _q_geo_tiles_serve,
+        "geo_tiles_vector_area": _q_geo_tiles_vector_area,
+        "geo_tiles_pyramid": _q_geo_tiles_pyramid,
+        "tiles_page_counts": _q_tiles_page_counts,
+        # unchanged operators, rotating through the sample
+        "rel_shipping_priority": _q_rel_shipping_priority,
+        "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
+        "rel_customer_order_stats": _q_rel_customer_order_stats,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
+        "geo_zone_build": _q_geo_zone_build,
+        "geo_validate_overlaps": _q_geo_validate_overlaps,
+        "geo_ocean_zones": _q_geo_ocean_zones,
+        "geo_combined_outputs": _q_geo_combined_outputs,
+        "geo_pip_assign": _q_geo_pip_assign,
+        "geo_knn_assign": _q_geo_knn_assign,
+        "geo_tz_real_groups": _q_geo_tz_real_groups,
+        "geo_derived_now_oceans": _q_geo_derived_now_oceans,
+        "geo_lint_config": _q_geo_lint_config,
+        "geo_real_config_build": _q_geo_real_config_build,
+        "geo_manifest_resume": _q_geo_manifest_resume,
+        "pages_maintenance": _q_pages_maintenance,
+        "geo_lineage_conservation": _q_geo_lineage_conservation,
+        "geo_zone_filter_prune": _q_geo_zone_filter_prune,
+        "geo_release_diff": _q_geo_release_diff,
+        "sample_stratified": _q_sample_stratified,
+        "pack_batches": _q_pack_batches,
+        # trailing 12: operator source untouched in round 4, triple-green
+        # (r01+r02+r03), each gated by a checked sibling — ann_* by
+        # dedup_embed_cosine (shared similarity kernels), dedup_url by
+        # pipeline_clean/pipeline_gopher, geo_cell_covers by
+        # geo_tiles_* (shared cellindex), geo_ring_assembly /
+        # geo_source_union / geo_zone_lookup by geo_zone_build /
+        # geo_combined_outputs, geocode_extract by geo_pip_assign
+        # (shared coordinate plumbing), text_quality/tokens/langid by
+        # pipeline_clean which composes all three
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "dedup_url": _q_dedup_url,
+        "geo_cell_covers": _q_geo_cell_covers,
+        "geo_ring_assembly": _q_geo_ring_assembly,
+        "geo_source_union": _q_geo_source_union,
+        "geo_zone_lookup": _q_geo_zone_lookup,
+        "geocode_extract": _q_geocode_extract,
+        "text_quality": _q_text_quality,
+        "text_tokens": _q_text_tokens,
+        "text_langid": _q_text_langid,
     }
 
 
@@ -2090,6 +2225,7 @@ FROM pw JOIN pg ON pw.doc_id = pg.doc_id"""
             ('exclude_shanghai', 418, 439, 410)
             ) AS t(filter_case, zones, ops, sources)""",
         "tiles_page_counts": _page_counts_sql(),
+        "geo_tiles_skew": _tiles_skew_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_ivf": _ivf_sql(),
@@ -2282,6 +2418,30 @@ FROM pw JOIN pg ON pw.doc_id = pg.doc_id"""
                    CAST(length(substring(s, i * 256 + 1, 256)) AS INT) AS frame_bytes,
                    sha256(substring(s, i * 256 + 1, 256)) AS frame_sha256
             FROM f""",
+        # closed-form mirror of the REAL codec chain in multimodal_decode:
+        # source pixels are doc_id-derived ramps, nearest-neighbor index
+        # per png.resize_nearest = min(floor((j+0.5)*w/out_w), w-1); the
+        # double arithmetic (LEAST/FLOOR over IEEE doubles) matches
+        # numpy's float64 exactly, so pix_sum is bit-reproducible
+        "multimodal_decode": """
+            WITH dims AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS url,
+                     1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h
+              FROM documents),
+            outs AS (
+              SELECT doc_id, url, w, h,
+                     GREATEST(1, CAST(FLOOR(w * LEAST(8.0 / w, 8.0 / h)) AS INT)) AS out_w,
+                     GREATEST(1, CAST(FLOOR(h * LEAST(8.0 / w, 8.0 / h)) AS INT)) AS out_h
+              FROM dims)
+            SELECT url, out_w, out_h,
+                   CAST(SUM((doc_id * 7
+                             + LEAST(CAST(FLOOR((j + 0.5) * w / out_w) AS BIGINT), w - 1) * 3
+                             + LEAST(CAST(FLOOR((i + 0.5) * h / out_h) AS BIGINT), h - 1) * 11
+                            ) % 256) AS BIGINT) AS pix_sum
+            FROM outs,
+                 LATERAL (SELECT unnest(range(out_h)) AS i) yy,
+                 LATERAL (SELECT unnest(range(out_w)) AS j) xx
+            GROUP BY url, out_w, out_h""",
         "events_windowed": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
                    event_type,
@@ -2377,6 +2537,27 @@ FROM pw JOIN pg ON pw.doc_id = pg.doc_id"""
               FROM documents),
             kept AS (SELECT doc_id, lang, text FROM q
                      WHERE nw >= 20 AND sr >= 0.05),
+            d AS (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY md5({norm})
+                                            ORDER BY doc_id) AS rn
+                  FROM kept)
+            SELECT doc_id, lang FROM d WHERE rn = 1""",
+        # pipeline_clean + the Gopher repetition gate (thresholds match
+        # _q_pipeline_gopher); `repetition` is the text_repetition oracle
+        "pipeline_gopher": f"""
+            WITH rep AS ({repetition}),
+            q AS (
+              SELECT doc_id, lang, text,
+                     len({words}) AS nw,
+                     len(list_filter({words}, w -> w IN ({stop_list}))) * 1.0
+                       / len({words}) AS sr
+              FROM documents),
+            kept AS (SELECT q.doc_id, lang, text FROM q
+                     JOIN rep ON q.doc_id = rep.doc_id
+                     WHERE nw >= 20 AND sr >= 0.05
+                       AND rep.top_word_frac <= 0.2
+                       AND rep.dup_word_frac <= 0.65
+                       AND rep.top_bigram_frac <= 0.08),
             d AS (SELECT doc_id, lang,
                          row_number() OVER (PARTITION BY md5({norm})
                                             ORDER BY doc_id) AS rn

@@ -202,6 +202,67 @@ def run_assignment(spark: SparkSession, n_points: int, cellmap=None) -> float:
     return dt
 
 
+def synthetic_docs(spark: SparkSession, n: int):
+    """Deterministic near-dup corpus, generated JVM-side: docs in the
+    same group of 8 share 50 of their 53 words (md5-derived), so LSH
+    banding finds real candidate mass at any n — the workload shape of
+    a crawl-dedup pass, scaled by one knob."""
+    grp = F.expr("id div 8")
+    shared = F.transform(
+        F.sequence(F.lit(1), F.lit(50)),
+        lambda i: F.substring(
+            F.md5(F.concat(grp.cast("string"), F.lit("|"), i.cast("string"))), 1, 6
+        ),
+    )
+    own = F.transform(
+        F.sequence(F.lit(1), F.lit(3)),
+        lambda i: F.substring(
+            F.md5(
+                F.concat(F.col("id").cast("string"), F.lit("|x"), i.cast("string"))
+            ),
+            1,
+            6,
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.concat(shared, own)).alias("text"),
+    )
+
+
+def run_lsh_dedup(spark: SparkSession, n_docs: int) -> tuple[float, int]:
+    """Wall seconds + candidate-pair count for the MinHash->LSH chain
+    over n_docs synthetic near-dup docs (signatures -> banded self-join
+    -> distinct pairs, the sf-table dedup_lsh_pairs shape at bench
+    scale)."""
+    from timezone_boundary_builder_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = synthetic_docs(spark, n_docs)
+    t0 = time.perf_counter()
+    sigs = minhash_signatures(docs, num_hashes=4, shingle_size=3)
+    pairs = minhash_lsh_pairs(sigs, num_hashes=4, bands=2)
+    n_pairs = pairs.count()
+    dt = time.perf_counter() - t0
+    assert n_pairs > 0
+    return dt, n_pairs
+
+
+def jvm_peak_heap_mb(spark: SparkSession) -> int:
+    """Peak heap across all JVM memory pools (local mode: driver and
+    executor share the one JVM, so this IS peak executor memory)."""
+    mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+    total = 0
+    it = mf.getMemoryPoolMXBeans().iterator()
+    while it.hasNext():
+        pool = it.next()
+        if "Heap" in pool.getType().toString():
+            total += pool.getPeakUsage().getUsed()
+    return int(total // (1024 * 1024))
+
+
 def run_parta_real_config(spark: SparkSession) -> float:
     """Wall seconds for the Part A core at the REAL reference shape: the
     419-zone timezones.json op lists + 411 osmBoundarySources sources +
@@ -354,6 +415,50 @@ def main() -> None:
             trials_419 += 1
         thr_419 = pts_419 / dt419
         log(f"419-zone world: {dt419:.2f}s -> {thr_419:,.0f} pages/sec")
+        # --- order-of-magnitude soak (round-4 verdict item 4): 10x the
+        # sf0.1-scale 64M-point workload through the identical hot path
+        # on the identical config, one real datapoint behind the 100x
+        # claims. Workers are fully warm from the 419 leg, so the 64M
+        # comparator and the 640M run differ ONLY in row count; a
+        # throughput ratio near 1.0 = no memory/spill cliff in the 10x
+        # window. BENCH_SF1_POINTS=0 skips (quick health-check runs).
+        sf1_points = int(os.environ.get("BENCH_SF1_POINTS", "640000000"))
+        soak: dict[str, object] = {}
+        if sf1_points > 0:
+            dt_base = run_assignment(spark, SCALE_POINTS, cellmap=cm419)
+            probes.append(host_probe())
+            log(f"  host probe before sf1 soak: {probes[-1]}s")
+            dt_sf1 = run_assignment(spark, sf1_points, cellmap=cm419)
+            thr_base = SCALE_POINTS / dt_base
+            thr_sf1 = sf1_points / dt_sf1
+            log(
+                f"sf1 soak: {SCALE_POINTS / 1e6:.0f}M in {dt_base:.2f}s "
+                f"({thr_base / 1e6:.2f}M/s) vs {sf1_points / 1e6:.0f}M in "
+                f"{dt_sf1:.2f}s ({thr_sf1 / 1e6:.2f}M/s)"
+            )
+            # LSH dedup at 10x the sf0.1 doc count (5k -> 50k), same
+            # generator both runs so the ratio isolates scale, not data
+            lsh_n = (5_000, 50_000)
+            lsh = [run_lsh_dedup(spark, n) for n in lsh_n]
+            for n, (dt, np_) in zip(lsh_n, lsh):
+                log(f"lsh dedup: {n} docs in {dt:.2f}s ({np_} pairs)")
+            soak = {
+                "sf1_points": sf1_points,
+                "pages_per_sec_sf1": round(thr_sf1),
+                f"pages_per_sec_{SCALE_POINTS // 1_000_000}m_warm": round(
+                    thr_base
+                ),
+                "sf1_vs_base_throughput_ratio": round(thr_sf1 / thr_base, 3),
+                "lsh_docs": list(lsh_n),
+                "lsh_sec": [round(d, 3) for d, _ in lsh],
+                "lsh_pairs": [p for _, p in lsh],
+                "lsh_docs_per_sec_10x": round(lsh_n[1] / lsh[1][0]),
+                # per-doc rate retained going 5k -> 50k (1.0 = linear)
+                "lsh_scaleup_rate_ratio": round(
+                    (lsh_n[1] / lsh[1][0]) / (lsh_n[0] / lsh[0][0]), 3
+                ),
+                "jvm_peak_heap_mb": jvm_peak_heap_mb(spark),
+            }
         # Part A cost at the real config shape (best of 2, same rationale)
         dt_parta = min(run_parta_real_config(spark) for _ in range(2))
         log(f"Part A real-config build+validate: {dt_parta:.2f}s")
@@ -385,6 +490,7 @@ def main() -> None:
                 f"pages_per_sec_419zones_local{CPUS}": round(thr_419),
                 "trials_419": trials_419,
                 "parta_real_config_sec": round(dt_parta, 3),
+                **soak,
                 # fixed-work single-process numpy probe (quiet host
                 # ~0.29s, throttled ~0.84s; see BENCH.md): one sample
                 # before each scaling pair, one before the query suite,

@@ -79,6 +79,10 @@ def main(argv=None) -> int:
     p.add_argument("--min-words", type=int, default=20)
     p.add_argument("--min-stopword-ratio", type=float, default=0.05)
     p.add_argument("--max-top-bigram-frac", type=float, default=0.5)
+    # Gopher repetition gates (1.0 = off): applied with the bigram gate
+    # in the quality stage, thresholds keyed into the stage fingerprint
+    p.add_argument("--max-top-word-frac", type=float, default=1.0)
+    p.add_argument("--max-dup-word-frac", type=float, default=1.0)
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--token-budget", type=float, default=2048.0)
     p.add_argument("--n-shards", type=int, default=16)
@@ -142,6 +146,8 @@ def main(argv=None) -> int:
         str(args.min_words),
         str(args.min_stopword_ratio),
         str(args.max_top_bigram_frac),
+        str(args.max_top_word_frac),
+        str(args.max_dup_word_frac),
     )
     stages = {"input": {"rows": n_in}}
 
@@ -155,6 +161,8 @@ def main(argv=None) -> int:
                 (F.col("n_words_q") >= args.min_words)
                 & (F.col("stopword_ratio") >= args.min_stopword_ratio)
                 & (F.col("top_bigram_frac") <= args.max_top_bigram_frac)
+                & (F.col("top_word_frac") <= args.max_top_word_frac)
+                & (F.col("dup_word_frac") <= args.max_dup_word_frac)
             )
             .select("doc_id", "text", "lang", "lang_pred", "ws_tokens")
         )

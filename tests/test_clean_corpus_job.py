@@ -67,6 +67,22 @@ def test_clean_corpus_runs_resumes_and_accounts(spark, tmp_path):
     assert r3["stages"]["quality"]["cached"] is False
     assert r3["stages"]["quality"]["rows"] < s["quality"]["rows"]
 
+    # Gopher repetition gates active: row accounting shows their drops
+    # (thresholds match the pipeline_gopher oracle: 217 of the 290
+    # quality-passing docs survive), and the changed thresholds key a
+    # fresh stage fingerprint rather than serving the cached 290
+    r4 = _run(
+        work,
+        out,
+        extra=(
+            "--max-top-word-frac", "0.2",
+            "--max-dup-word-frac", "0.65",
+            "--max-top-bigram-frac", "0.08",
+        ),
+    )
+    assert r4["stages"]["quality"]["cached"] is False
+    assert r4["stages"]["quality"]["rows"] == 217
+
 
 def test_clean_corpus_from_pages_table(spark, tmp_path):
     """Crawl-table mode: the cleaning pipeline reads a snapshot-pinned

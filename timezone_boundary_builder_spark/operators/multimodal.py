@@ -170,6 +170,32 @@ def resize_images(
     return pages.select("url", "html").mapInPandas(_resize, RESIZE_SCHEMA)
 
 
+PIXEL_STATS_SCHEMA = "url string, out_w int, out_h int, pix_sum long"
+
+
+def decoded_pixel_stats(resized: DataFrame, data_col: str = "resized") -> DataFrame:
+    """Decode an image binary column with the REAL codec and emit per-row
+    pixel statistics (width, height, sum of all sample values). Composes
+    with resize_images(use_real_codec=True) to close the loop on the
+    whole encode -> decode -> resize -> re-encode chain with values a SQL
+    oracle can recompute in closed form (the driver's multimodal_decode
+    query does exactly that).
+
+    Scale: mapInPandas over Arrow batches, map-only — no shuffle, no
+    collect; decode cost is per-row CPU that scales out with partitions.
+    """
+
+    def _stats(batches):
+        for pdf in batches:
+            rows = []
+            for url, b in zip(pdf["url"], pdf[data_col]):
+                (w, h), arr = _decode_image_real(bytes(b))
+                rows.append((url, int(w), int(h), int(np.asarray(arr, dtype=np.int64).sum())))
+            yield pd.DataFrame(rows, columns=["url", "out_w", "out_h", "pix_sum"])
+
+    return resized.select("url", data_col).mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+
+
 def _decode_image_real(data: bytes):
     """Real pixel decode. PIL when installed (covers JPEG/GIF/...);
     otherwise the pure-Python PNG codec (operators/png.py, stdlib

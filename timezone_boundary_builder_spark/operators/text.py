@@ -104,6 +104,31 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_gate(
+    df: DataFrame,
+    max_top_word_frac: float = 0.2,
+    max_dup_word_frac: float = 0.65,
+    max_top_bigram_frac: float = 0.08,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition FILTER: keep only documents whose
+    repetition signals (repetition_signals below) sit under all three
+    thresholds. The gate is an inner join on the id — the signals
+    relation is doc-keyed (one row per doc, three doubles), so both
+    sides hash-partition on the id and the join carries no corpus text;
+    at 10^12 rows this is the standard signal-table semi-join shape a
+    staged pipeline would materialize between stages (clean_corpus does
+    exactly that via its stage manifests)."""
+    sig = repetition_signals(df.select(id_col, text_col), text_col, id_col)
+    ok = sig.where(
+        (F.col("top_word_frac") <= max_top_word_frac)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    ).select(id_col)
+    return df.join(ok, id_col)
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

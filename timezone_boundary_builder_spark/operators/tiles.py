@@ -332,6 +332,73 @@ def page_tile_counts(points: DataFrame, res: int) -> DataFrame:
     encode is one scalar pandas UDF over the numpy Morton interleave;
     the count aggregates map-side first, so the shuffle carries one row
     per live (cell, tzid), never per page — the 10^12-row-safe shape."""
+    return (
+        points.where(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .withColumn("cell_id", _cell_encode_udf(res)(F.col("lon"), F.col("lat")))
+        .groupBy("cell_id", "tzid")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select("cell_id", F.lit(res).cast("int").alias("res"), "tzid", "n_pages")
+    )
+
+
+TOPK_SCHEMA = "cell_id long, rank int, url string"
+
+
+def page_topk_per_cell(
+    points: DataFrame, res: int, k: int = 3, salt_buckets: int = 0
+) -> DataFrame:
+    """Deterministic k-page sample per tile cell (the preview pages a
+    tile server shows): rank pages inside each cell by md5(url) — a
+    deterministic, tie-free shuffle order — and keep the first k.
+
+    This is the B8 skew shape that partial aggregation can NOT fix by
+    itself: a window over cell_id needs every row of the cell in one
+    task, and a dense-urban cell holding 30% of a 10^12-row corpus is a
+    straggler (or an OOM) on any cluster size. Two defenses, both here:
+
+    - salt_buckets == 0: a bare row_number window. Spark >= 3.5 inserts
+      a PARTIAL WindowGroupLimit before the exchange, so each map task
+      forwards at most k rows per cell — the hot cell ships
+      #map_tasks x k rows, not its full population. The plan gate
+      (tests/test_plan_quality.py) asserts the partial node exists so a
+      regression (e.g. switching to rank with ties or an agg that
+      defeats the pushdown) is caught.
+    - salt_buckets > 0: explicit two-phase top-k for engines/operators
+      without the pushdown and as the driver-verified path: partial
+      top-k per (cell_id, salt) — the hot cell spreads over N reducers,
+      each emitting <= k candidates — then final top-k per cell over
+      <= N x k rows. Selection is distributive (global top-k is inside
+      the union of per-salt top-ks), so the result is exactly equal;
+      tests/test_tiles_skew.py asserts the bound arithmetically on a
+      zipf-hot input.
+    """
+    from pyspark.sql import Window as W
+
+    pts = points.where(
+        F.col("lon").isNotNull() & F.col("lat").isNotNull()
+    ).withColumn("cell_id", _cell_encode_udf(res)(F.col("lon"), F.col("lat")))
+    order = [F.md5(F.col("url")).asc(), F.col("url").asc()]
+    if salt_buckets > 0:
+        wp = W.partitionBy("cell_id", "__salt").orderBy(*order)
+        pts = (
+            pts.withColumn(
+                "__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+            )
+            .withColumn("__pr", F.row_number().over(wp))
+            .where(F.col("__pr") <= k)
+            .drop("__salt", "__pr")
+        )
+    wf = W.partitionBy("cell_id").orderBy(*order)
+    return (
+        pts.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select("cell_id", "rank", "url")
+    )
+
+
+def _cell_encode_udf(res: int):
+    """Scalar pandas UDF: (lon, lat) -> Morton cell id at `res` (shared
+    by page_tile_counts and page_topk_per_cell)."""
     from pyspark.sql.functions import pandas_udf
 
     from ..geom.cellindex import encode_points
@@ -345,13 +412,7 @@ def page_tile_counts(points: DataFrame, res: int) -> DataFrame:
         )
         return pd.Series(codes.astype(np.int64))
 
-    return (
-        points.where(F.col("lon").isNotNull() & F.col("lat").isNotNull())
-        .withColumn("cell_id", _cell(F.col("lon"), F.col("lat")))
-        .groupBy("cell_id", "tzid")
-        .agg(F.count(F.lit(1)).alias("n_pages"))
-        .select("cell_id", F.lit(res).cast("int").alias("res"), "tzid", "n_pages")
-    )
+    return _cell
 
 
 def merge_tile_counts(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
