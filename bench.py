@@ -250,6 +250,24 @@ def run_lsh_dedup(spark: SparkSession, n_docs: int) -> tuple[float, int]:
     return dt, n_pairs
 
 
+def jvm_spill_bytes(spark: SparkSession) -> tuple[int, int]:
+    """(memoryBytesSpilled, diskBytesSpilled) summed over every stage in
+    this session's AppStatusStore — direct evidence for the soak leg's
+    no-spill-pathology claim (a 10x run that silently spilled would show
+    here even if wall time stayed plausible)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    empty = sc._jvm.java.util.ArrayList()
+    no_quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+    it = store.stageList(empty, False, False, no_quantiles, empty).iterator()
+    mem = disk = 0
+    while it.hasNext():
+        s = it.next()
+        mem += s.memoryBytesSpilled()
+        disk += s.diskBytesSpilled()
+    return int(mem), int(disk)
+
+
 def jvm_peak_heap_mb(spark: SparkSession) -> int:
     """Peak heap across all JVM memory pools (local mode: driver and
     executor share the one JVM, so this IS peak executor memory)."""
@@ -459,6 +477,12 @@ def main() -> None:
                 ),
                 "jvm_peak_heap_mb": jvm_peak_heap_mb(spark),
             }
+            spill_mem, spill_disk = jvm_spill_bytes(spark)
+            soak["spill_bytes_mem_disk"] = [spill_mem, spill_disk]
+            log(
+                f"  soak peak heap {soak['jvm_peak_heap_mb']}MB, "
+                f"spill mem/disk {spill_mem}/{spill_disk}B"
+            )
         # Part A cost at the real config shape (best of 2, same rationale)
         dt_parta = min(run_parta_real_config(spark) for _ in range(2))
         log(f"Part A real-config build+validate: {dt_parta:.2f}s")

@@ -173,6 +173,35 @@ def test_repetition_signals_single_exchange_no_join(spark):
     assert "Join" not in plan, plan
 
 
+def test_pipeline_gopher_stays_jvm_side(spark):
+    """The repetition-gated pipeline must stay whole-stage-codegen'd:
+    no Python/Arrow node anywhere (the gate is built-in functions only),
+    and the signal join keys both sides on the doc id."""
+    q = entry.queries()["pipeline_gopher"](spark, SF)
+    plan = plan_of(q)
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_topk_two_phase_windows(spark):
+    """page_topk_per_cell(salt_buckets=N) must carry BOTH window stages
+    — partial per (cell, salt), final per cell — each with its own
+    WindowGroupLimit pair, so no single task ever sees a hot cell's full
+    population."""
+    from timezone_boundary_builder_spark.operators.tiles import page_topk_per_cell
+
+    pts = spark.range(1000).select(
+        F.col("id").cast("string").alias("url"),
+        (F.col("id") % 360 - 180.0).alias("lon"),
+        (F.col("id") % 170 - 85.0).alias("lat"),
+    )
+    plan = plan_of(page_topk_per_cell(pts, res=5, k=3, salt_buckets=8))
+    assert plan.count("Window [") == 2, plan
+    # each window phase gets its own partial+final WindowGroupLimit
+    assert plan.count("WindowGroupLimit") >= 3, plan
+    assert "__salt" in plan
+
+
 def test_prune_sources_is_broadcast_left_semi(spark):
     """R13 source pruning must broadcast the tiny used-source-id set —
     at 10^12-scale source tables a shuffled semi-join would move the
