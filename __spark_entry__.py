@@ -1151,12 +1151,14 @@ def _q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint; no Python anywhere."""
     from pyspark.sql import Window as W
 
-    from timezone_boundary_builder_spark.operators.text import with_quality
+    from timezone_boundary_builder_spark.operators.text import (
+        norm_text_col,
+        with_quality,
+    )
 
     q = with_quality(_docs(spark, sf_dir))
     kept = q.where((F.col("n_words_q") >= 20) & (F.col("stopword_ratio") >= 0.05))
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    w = W.partitionBy(F.md5(norm)).orderBy("doc_id")
+    w = W.partitionBy(F.md5(norm_text_col())).orderBy("doc_id")
     return (
         kept.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -1176,6 +1178,7 @@ def _q_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from timezone_boundary_builder_spark.operators.text import (
+        norm_text_col,
         repetition_gate,
         with_quality,
     )
@@ -1188,8 +1191,7 @@ def _q_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dup_word_frac=0.65,
         max_top_bigram_frac=0.08,
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    w = W.partitionBy(F.md5(norm)).orderBy("doc_id")
+    w = W.partitionBy(F.md5(norm_text_col())).orderBy("doc_id")
     return (
         gated.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -1575,6 +1577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "pipeline_clean": _q_pipeline_clean,
         "text_repetition": _q_text_repetition,
+        "text_quality": _q_text_quality,
+        "text_tokens": _q_text_tokens,
+        "text_langid": _q_text_langid,
         "geo_tiles_summary": _q_geo_tiles_summary,
         "geo_tiles_serve": _q_geo_tiles_serve,
         "geo_tiles_vector_area": _q_geo_tiles_vector_area,
@@ -1589,7 +1594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "geo_zone_build": _q_geo_zone_build,
         "geo_validate_overlaps": _q_geo_validate_overlaps,
-        "geo_ocean_zones": _q_geo_ocean_zones,
         "geo_combined_outputs": _q_geo_combined_outputs,
         "geo_pip_assign": _q_geo_pip_assign,
         "geo_knn_assign": _q_geo_knn_assign,
@@ -1602,18 +1606,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_lineage_conservation": _q_geo_lineage_conservation,
         "geo_zone_filter_prune": _q_geo_zone_filter_prune,
         "geo_release_diff": _q_geo_release_diff,
-        "sample_stratified": _q_sample_stratified,
-        "pack_batches": _q_pack_batches,
         # trailing 12: operator source untouched in round 4, triple-green
         # (r01+r02+r03), each gated by a checked sibling — ann_* by
         # dedup_embed_cosine (shared similarity kernels), dedup_url by
-        # pipeline_clean/pipeline_gopher, geo_cell_covers by
-        # geo_tiles_* (shared cellindex), geo_ring_assembly /
-        # geo_source_union / geo_zone_lookup by geo_zone_build /
-        # geo_combined_outputs, geocode_extract by geo_pip_assign
-        # (shared coordinate plumbing), text_quality/tokens/langid by
-        # pipeline_clean which composes all three
+        # the pipeline queries, geo_cell_covers by geo_tiles_* (shared
+        # cellindex), geo_ring_assembly / geo_source_union /
+        # geo_zone_lookup by geo_zone_build / geo_combined_outputs,
+        # geocode_extract by geo_pip_assign (shared coordinate
+        # plumbing), sample_stratified / pack_batches (sampling.py
+        # untouched) by sample_hash_fraction which leads this round,
+        # geo_ocean_zones (oceans.py untouched) by
+        # geo_derived_now_oceans + geo_real_config_build which exercise
+        # the same ocean-band difference fold
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "geo_ocean_zones": _q_geo_ocean_zones,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "dedup_url": _q_dedup_url,
@@ -1622,9 +1628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_source_union": _q_geo_source_union,
         "geo_zone_lookup": _q_geo_zone_lookup,
         "geocode_extract": _q_geocode_extract,
-        "text_quality": _q_text_quality,
-        "text_tokens": _q_text_tokens,
-        "text_langid": _q_text_langid,
+        "sample_stratified": _q_sample_stratified,
+        "pack_batches": _q_pack_batches,
     }
 
 

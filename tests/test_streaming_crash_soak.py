@@ -27,19 +27,26 @@ from timezone_boundary_builder_spark.sources.fixtures import (
 )
 
 
-def _kill_mid_tranche(q, timeout_s: float = 120.0) -> bool:
+def _kill_mid_tranche(q, timeout_s: float = 120.0) -> int:
     """Stop the query as soon as one micro-batch has committed rows.
-    Returns True if the stop happened before the query self-terminated
+    Returns the number of input rows observed committed at the moment of
+    the stop decision — the caller uses it to decide whether the kill
+    really landed mid-tranche (a fast drain can commit everything
+    between the poll and the stop; exactly-once must hold either way,
+    but the strict partial-sink assertion only applies to a real
+    mid-tranche kill). Returns -1 if the query self-terminated first
     (availableNow drains and stops on its own when done)."""
     t0 = time.time()
     while time.time() - t0 < timeout_s:
         if not q.isActive:
-            return False  # drained before we could kill it
-        done = sum(p["numInputRows"] for p in q.recentProgress)
-        if done > 0:
+            return -1  # drained before we could kill it
+        if sum(p["numInputRows"] for p in q.recentProgress) > 0:
             q.stop()
             q.awaitTermination(60)
-            return True
+            # count AFTER the stop settled: batches that raced to commit
+            # between the poll and the stop must count, or the caller's
+            # partial-sink assertion would mis-fire on a full drain
+            return sum(p["numInputRows"] for p in q.recentProgress)
         time.sleep(0.05)
     raise AssertionError("no micro-batch committed within timeout")
 
@@ -59,11 +66,13 @@ def test_stream_assign_crash_restart_exactly_once(spark, tmp_path):
 
     bc = spark.sparkContext.broadcast(entry._local_cellmap())
     q = stream_assign(spark, src, sink, ckpt, bc, OCEAN_BANDS)
-    killed = _kill_mid_tranche(q)
+    seen = _kill_mid_tranche(q)
 
-    if killed:
+    if 0 <= seen < total:
         # the crash left the tranche partially processed (committed
-        # batches only — uncommitted parts are invisible via the sink log)
+        # batches only — uncommitted parts are invisible via the sink
+        # log); when all batches raced to completion before the stop
+        # landed, only the exactly-once assertions below apply
         n_after_crash = spark.read.parquet(sink).count()
         assert n_after_crash < total
 
@@ -123,8 +132,8 @@ def test_stream_dedup_crash_restart_exactly_once(spark, tmp_path):
         write_pages(rows, parts=8)
 
     q = stream_dedup_first_seen(spark, src, sink, ckpt)
-    killed = _kill_mid_tranche(q)
-    if killed:
+    seen = _kill_mid_tranche(q)
+    if 0 <= seen < 240:  # 240 input rows feed the 120 fingerprints
         assert spark.read.parquet(sink).count() < 120
 
     # tranche B lands during the outage and OVERLAPS tranche A: every

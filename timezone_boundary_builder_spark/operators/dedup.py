@@ -43,10 +43,18 @@ def _materialize_then_unpersist(result: DataFrame, *intermediates: DataFrame) ->
     (`sc.setCheckpointDir`), uses `checkpoint()` instead of
     `localCheckpoint()`: local checkpoints truncate lineage to
     executor-resident blocks, which a lost executor on a real cluster
-    cannot recompute — reliable checkpoints survive executor loss."""
+    cannot recompute — reliable checkpoints survive executor loss. The
+    result is persisted across the checkpoint write (Spark's reliable
+    checkpoint otherwise recomputes the whole plan a second time when
+    materializing the files) and released once written. Checkpoint-file
+    lifecycle belongs to whoever set the dir (job surfaces point it
+    inside their --work-dir; spark.cleaner.referenceTracking.
+    cleanCheckpoints defaults to false)."""
     sc = result.sparkSession.sparkContext
     if sc._jsc.sc().checkpointDir().isDefined():
-        out = result.checkpoint(eager=True)
+        cached = result.persist()
+        out = cached.checkpoint(eager=True)
+        cached.unpersist()
     else:
         out = result.localCheckpoint(eager=True)
     for df in intermediates:

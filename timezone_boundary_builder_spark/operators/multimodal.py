@@ -208,13 +208,20 @@ def _decode_image_real(data: bytes):
         from PIL import Image
 
         img = Image.open(io.BytesIO(data))
-        # normalize palette/other indexed modes: np.asarray on a P-mode
-        # PNG yields raw palette indices (h, w), while the pure-Python
-        # codec expands the palette to RGB — convert so both paths
-        # produce the same pixels for the same payload (deterministic
-        # outputs must not depend on whether pillow is installed; the
-        # pure codec ignores palette tRNS, so RGB, not RGBA)
-        if img.mode not in ("L", "LA", "RGB", "RGBA"):
+        # normalize modes so the pixels match the pure-Python codec for
+        # the same payload (deterministic outputs must not depend on
+        # whether pillow is installed):
+        # - bilevel '1' -> 'L': np.asarray on mode '1' yields a bool
+        #   array, while the pure codec scales 1-bit gray to 0/255
+        #   (2/4-bit gray PIL already opens as 'L' with the same
+        #   bit-replication scaling the pure codec applies);
+        # - palette/other indexed modes -> 'RGB': np.asarray on P mode
+        #   yields raw palette indices (h, w), while the pure codec
+        #   expands the palette (it ignores palette tRNS, so RGB, not
+        #   RGBA)
+        if img.mode == "1":
+            img = img.convert("L")
+        elif img.mode not in ("L", "LA", "RGB", "RGBA"):
             img = img.convert("RGB")
         return img.size, np.asarray(img)
     except ImportError:

@@ -341,9 +341,6 @@ def page_tile_counts(points: DataFrame, res: int) -> DataFrame:
     )
 
 
-TOPK_SCHEMA = "cell_id long, rank int, url string"
-
-
 def page_topk_per_cell(
     points: DataFrame, res: int, k: int = 3, salt_buckets: int = 0
 ) -> DataFrame:
