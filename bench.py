@@ -460,31 +460,46 @@ def main() -> None:
             # 9.3M/s -> ratio 0.46 with nothing wrong in the engine).
             # Sample base+sf1 as alternating pairs, keep best-per-leg,
             # stop once the ratio clears 0.8 or the trials run out.
-            dt_base = dt_sf1 = float("inf")
+            # Best-of pairing has a duration-asymmetry bias on this VM:
+            # the ~3 s base leg can land wholly inside a quiet host
+            # stretch (best-of picks the peak), while the ~45 s 640M leg
+            # necessarily time-averages the host's minute-scale quota
+            # swings — window 3 measured base 21.2M/s vs sf1 13.9M/s
+            # from exactly this. The AGGREGATE ratio (sum points / sum
+            # seconds over every trial of each leg) time-averages both
+            # legs identically, so it is the honest scale-degradation
+            # signal; both are recorded.
+            base_ts: list[float] = []
+            sf1_ts: list[float] = []
             trials_sf1 = 0
             for _ in range(1 + int(os.environ.get("BENCH_SF1_EXTRA_TRIALS", "2"))):
                 trials_sf1 += 1
-                dt_base = min(
-                    dt_base, run_assignment(spark, SCALE_POINTS, cellmap=cm419)
-                )
+                base_ts.append(run_assignment(spark, SCALE_POINTS, cellmap=cm419))
                 probes.append(host_probe())
                 log(f"  host probe before sf1 leg: {probes[-1]}s")
-                dt_sf1 = min(
-                    dt_sf1, run_assignment(spark, sf1_points, cellmap=cm419)
+                sf1_ts.append(run_assignment(spark, sf1_points, cellmap=cm419))
+                agg = (sf1_points * len(sf1_ts) / sum(sf1_ts)) / (
+                    SCALE_POINTS * len(base_ts) / sum(base_ts)
                 )
-                if (sf1_points / dt_sf1) / (SCALE_POINTS / dt_base) >= 0.8:
+                if agg >= 0.8:
                     break
-                log("  sf1/base ratio below 0.8 — extra soak pair")
-            thr_base = SCALE_POINTS / dt_base
-            thr_sf1 = sf1_points / dt_sf1
+                log("  sf1/base aggregate ratio below 0.8 — extra soak pair")
+            thr_base = SCALE_POINTS / min(base_ts)
+            thr_sf1 = sf1_points / min(sf1_ts)
+            agg_base = SCALE_POINTS * len(base_ts) / sum(base_ts)
+            agg_sf1 = sf1_points * len(sf1_ts) / sum(sf1_ts)
             log(
-                f"sf1 soak: {SCALE_POINTS / 1e6:.0f}M in {dt_base:.2f}s "
-                f"({thr_base / 1e6:.2f}M/s) vs {sf1_points / 1e6:.0f}M in "
-                f"{dt_sf1:.2f}s ({thr_sf1 / 1e6:.2f}M/s), "
+                f"sf1 soak: {SCALE_POINTS / 1e6:.0f}M best {min(base_ts):.2f}s "
+                f"({thr_base / 1e6:.2f}M/s, agg {agg_base / 1e6:.2f}M/s) vs "
+                f"{sf1_points / 1e6:.0f}M best {min(sf1_ts):.2f}s "
+                f"({thr_sf1 / 1e6:.2f}M/s, agg {agg_sf1 / 1e6:.2f}M/s), "
                 f"{trials_sf1} pair(s)"
             )
             # LSH dedup at 10x the sf0.1 doc count (5k -> 50k), same
-            # generator both runs so the ratio isolates scale, not data
+            # generator both runs so the ratio isolates scale, not data;
+            # a small untimed run first warms the code path (window 3's
+            # cold 5k leg read 16.5 s where a warm one reads ~2.8 s)
+            run_lsh_dedup(spark, 1_000)
             lsh_n = (5_000, 50_000)
             lsh = [run_lsh_dedup(spark, n) for n in lsh_n]
             for n, (dt, np_) in zip(lsh_n, lsh):
@@ -496,6 +511,9 @@ def main() -> None:
                     thr_base
                 ),
                 "sf1_vs_base_throughput_ratio": round(thr_sf1 / thr_base, 3),
+                "sf1_vs_base_agg_ratio": round(agg_sf1 / agg_base, 3),
+                "sf1_base_sec": [round(t, 3) for t in base_ts],
+                "sf1_sec": [round(t, 3) for t in sf1_ts],
                 "trials_sf1_pairs": trials_sf1,
                 "lsh_docs": list(lsh_n),
                 "lsh_sec": [round(d, 3) for d, _ in lsh],
