@@ -230,12 +230,18 @@ def synthetic_docs(spark: SparkSession, n: int):
     )
 
 
-def run_lsh_dedup(spark: SparkSession, n_docs: int) -> tuple[float, int]:
-    """Wall seconds + candidate-pair count for the MinHash->LSH chain
-    over n_docs synthetic near-dup docs (signatures -> banded self-join
-    -> distinct pairs, the sf-table dedup_lsh_pairs shape at bench
-    scale)."""
+def run_dedup_chain(
+    spark: SparkSession, n_docs: int
+) -> tuple[float, int, float, int]:
+    """(lsh_sec, n_pairs, cc_sec, n_clusters) for the full near-dup
+    chain over n_docs synthetic near-dup docs: signatures -> banded LSH
+    self-join -> distinct candidate pairs (the dedup_lsh_pairs shape),
+    then connected-components clustering over the pairs (the
+    clean_corpus neardup-stage shape; pointer jumping, so 10x docs must
+    not multiply rounds — chains here are bounded by the group size)."""
     from timezone_boundary_builder_spark.operators.dedup import (
+        _release_checkpoint,
+        connected_components,
         minhash_lsh_pairs,
         minhash_signatures,
     )
@@ -248,9 +254,14 @@ def run_lsh_dedup(spark: SparkSession, n_docs: int) -> tuple[float, int]:
     # signature chain through the self-join and measure the wrong plan
     pairs = minhash_lsh_pairs(sigs, num_hashes=4, bands=2, materialize=True)
     n_pairs = pairs.count()
-    dt = time.perf_counter() - t0
-    assert n_pairs > 0
-    return dt, n_pairs
+    dt_lsh = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    comp = connected_components(pairs)
+    n_clusters = comp.select("cluster_id").distinct().count()
+    dt_cc = time.perf_counter() - t1
+    _release_checkpoint(pairs)
+    assert n_pairs > 0 and n_clusters > 0
+    return dt_lsh, n_pairs, dt_cc, n_clusters
 
 
 def jvm_spill_bytes(spark: SparkSession) -> tuple[int, int]:
@@ -495,15 +506,19 @@ def main() -> None:
                 f"({thr_sf1 / 1e6:.2f}M/s, agg {agg_sf1 / 1e6:.2f}M/s), "
                 f"{trials_sf1} pair(s)"
             )
-            # LSH dedup at 10x the sf0.1 doc count (5k -> 50k), same
-            # generator both runs so the ratio isolates scale, not data;
-            # a small untimed run first warms the code path (window 3's
-            # cold 5k leg read 16.5 s where a warm one reads ~2.8 s)
-            run_lsh_dedup(spark, 1_000)
+            # near-dup chain (LSH + CC clustering) at 10x the sf0.1 doc
+            # count (5k -> 50k), same generator both runs so the ratio
+            # isolates scale, not data; a small untimed run first warms
+            # the code path (window 3's cold 5k leg read 16.5 s where a
+            # warm one reads ~2.8 s)
+            run_dedup_chain(spark, 1_000)
             lsh_n = (5_000, 50_000)
-            lsh = [run_lsh_dedup(spark, n) for n in lsh_n]
-            for n, (dt, np_) in zip(lsh_n, lsh):
-                log(f"lsh dedup: {n} docs in {dt:.2f}s ({np_} pairs)")
+            lsh = [run_dedup_chain(spark, n) for n in lsh_n]
+            for n, (dt, np_, dtc, nc) in zip(lsh_n, lsh):
+                log(
+                    f"dedup chain: {n} docs — lsh {dt:.2f}s ({np_} pairs), "
+                    f"cc {dtc:.2f}s ({nc} clusters)"
+                )
             soak = {
                 "sf1_points": sf1_points,
                 "pages_per_sec_sf1": round(thr_sf1),
@@ -516,12 +531,20 @@ def main() -> None:
                 "sf1_sec": [round(t, 3) for t in sf1_ts],
                 "trials_sf1_pairs": trials_sf1,
                 "lsh_docs": list(lsh_n),
-                "lsh_sec": [round(d, 3) for d, _ in lsh],
-                "lsh_pairs": [p for _, p in lsh],
+                "lsh_sec": [round(r[0], 3) for r in lsh],
+                "lsh_pairs": [r[1] for r in lsh],
                 "lsh_docs_per_sec_10x": round(lsh_n[1] / lsh[1][0]),
                 # per-doc rate retained going 5k -> 50k (1.0 = linear)
                 "lsh_scaleup_rate_ratio": round(
                     (lsh_n[1] / lsh[1][0]) / (lsh_n[0] / lsh[0][0]), 3
+                ),
+                # CC clustering over the candidate pairs: pointer-jump
+                # rounds are bounded by chain length (group size here),
+                # so 10x docs should cost ~linear wall, not 10x rounds
+                "cc_sec": [round(r[2], 3) for r in lsh],
+                "cc_clusters": [r[3] for r in lsh],
+                "cc_scaleup_rate_ratio": round(
+                    (lsh_n[1] / lsh[1][2]) / (lsh_n[0] / lsh[0][2]), 3
                 ),
                 "jvm_peak_heap_mb": jvm_peak_heap_mb(spark),
             }
