@@ -1,8 +1,13 @@
 """Mirror of the driver's correctness gate: run every __spark_entry__
 query at sf0.01 and compare to its DuckDB oracle — row count, column
-names, and order-insensitive values."""
+names, and order-insensitive values.
+
+Set ENTRY_ORACLE_SF_DIR to run the same gate at another scale factor
+(e.g. /root/testdata/sf0.1 — a 10x parity soak; slower, so not the
+default CI path)."""
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -10,7 +15,7 @@ import pytest
 
 import __spark_entry__ as entry
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("ENTRY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region",
     "nation",
