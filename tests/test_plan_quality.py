@@ -183,6 +183,16 @@ def test_pipeline_gopher_stays_jvm_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_multimodal_decode_chain_is_map_only(spark):
+    """The real-codec chain (generate -> decode/resize/re-encode ->
+    decode/stats) is three mapInPandas stages — the plan must contain
+    ZERO exchanges: per-image work never shuffles, so the chain scales
+    exactly like a projection."""
+    q = entry.queries()["multimodal_decode"](spark, SF)
+    plan = plan_of(q)
+    assert "Exchange" not in plan, plan
+
+
 def test_salted_topk_two_phase_windows(spark):
     """page_topk_per_cell(salt_buckets=N) must carry BOTH window stages
     — partial per (cell, salt), final per cell — each with its own
