@@ -86,6 +86,35 @@ def test_hot_cell_flattened_by_salt(spark, skewed_points):
     assert max_into_final * 50 < hot_rows
 
 
+def test_salted_equals_unsalted_random_workloads(spark):
+    """Property over randomized workloads (seeded): salted two-phase
+    top-k equals the single-window result for varying k, salt_buckets,
+    and point distributions — selection distributivity isn't specific
+    to the zipf fixture."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    for k, salt in [(1, 2), (2, 16), (5, 3)]:
+        n = 3000
+        hot_frac = rng.uniform(0.1, 0.5)
+        hot = rng.random(n) < hot_frac
+        lon = np.where(hot, 2.35, rng.uniform(-180, 180, n))
+        lat = np.where(hot, 48.85, rng.uniform(-85, 85, n))
+        pts = spark.createDataFrame(
+            pd.DataFrame(
+                {"url": [f"u{i}" for i in range(n)], "lon": lon, "lat": lat}
+            )
+        )
+        key = lambda r: (r.cell_id, r.rank)
+        plain = sorted(page_topk_per_cell(pts, res=4, k=k).collect(), key=key)
+        salted = sorted(
+            page_topk_per_cell(pts, res=4, k=k, salt_buckets=salt).collect(),
+            key=key,
+        )
+        assert salted == plain and plain, (k, salt)
+
+
 def test_unsalted_plan_has_partial_window_group_limit(spark, skewed_points):
     df = page_topk_per_cell(skewed_points, res=RES, k=K)
     plan = df._jdf.queryExecution().executedPlan().toString()
