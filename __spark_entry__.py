@@ -52,12 +52,7 @@ from timezone_boundary_builder_spark.operators.text import (
     with_token_counts,
 )
 from timezone_boundary_builder_spark.operators.validate import validate_overlaps
-from timezone_boundary_builder_spark.operators.zone_build import (
-    build_zones,
-    fold_zone_ops,
-    post_process,
-    zone_row,
-)
+from timezone_boundary_builder_spark.operators.zone_build import build_zones
 from timezone_boundary_builder_spark.sources.fixtures import (
     OCEAN_BANDS,
     _box_gj,
@@ -73,29 +68,20 @@ ANN_QUERY_IDS = [0, 1, 2]
 # --------------------------------------------------------------- fixtures
 
 
-@lru_cache(maxsize=1)
 def _local_zones() -> pd.DataFrame:
-    """The synthetic zone world folded locally (pure numpy, no Spark) —
-    feeds the broadcast cell map and the SQL oracles' edge tables."""
-    cfg = zones_config_pdf()
-    src = sources_pdf().set_index("source_id")["geometry"].to_dict()
-    rows = []
-    for tzid, grp in cfg.groupby("tzid"):
-        ops = []
-        for r in grp.sort_values("op_seq").itertuples():
-            gj = r.geometry if isinstance(r.geometry, str) and r.geometry else src[r.source_id]
-            ops.append({"op_seq": r.op_seq, "op": r.op, "geometry": gj})
-        rows.append(zone_row(tzid, post_process(fold_zone_ops(ops))))
-    return pd.DataFrame(rows).sort_values("tzid").reset_index(drop=True)
+    """The synthetic zone world folded locally — now built by the
+    package (sources.fixtures.local_zones) so spark-submit jobs can use
+    it without this repo-root harness on sys.path; kept as an alias for
+    the oracles/tests below."""
+    from timezone_boundary_builder_spark.sources.fixtures import local_zones
+
+    return local_zones()
 
 
-@lru_cache(maxsize=1)
 def _local_cellmap() -> CellMap:
-    from timezone_boundary_builder_spark.operators.cover import (
-        cellmap_from_zones_pdf,
-    )
+    from timezone_boundary_builder_spark.sources.fixtures import local_cellmap
 
-    return cellmap_from_zones_pdf(_local_zones(), max_res=7)
+    return local_cellmap()
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:

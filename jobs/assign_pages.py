@@ -94,6 +94,12 @@ def main(argv=None) -> int:
     sid = args.snapshot or pages_table.current_snapshot_id(args.pages_root)
 
     if args.incremental:
+        if args.ts_day_min is not None or args.ts_day_max is not None:
+            # the delta path scans whole manifest entries; silently
+            # ignoring a range filter would assign out-of-range days
+            # while the user believes the filter applied
+            p.error("--ts-day-min/--ts-day-max are not supported with "
+                    "--incremental (deltas are whole manifest entries)")
         return _run_incremental(spark, args, sid, t0)
 
     cm = _load_cellmap(spark, args)
@@ -102,8 +108,11 @@ def main(argv=None) -> int:
     # decides ocean tzids and the cover resolution decides the
     # cell-vs-pip method mix — omitting either would replay a stale
     # cached stage after a flag change
+    # "v2": the cached assign stage now carries warc_ts (composite row
+    # identity for tables where urls recur across crawls) — the format
+    # marker keeps an older cached stage from replaying without it
     stage_fp = fingerprint(
-        "assign",
+        "assign-v2",
         str(sid),
         str(args.ts_day_min),
         str(args.ts_day_max),
@@ -123,7 +132,10 @@ def main(argv=None) -> int:
             ts_day_min=args.ts_day_min,
             ts_day_max=args.ts_day_max,
         )
-        pts = with_coordinates(scan).select("url", pack_coords_col())
+        # warc_ts rides along: (url, warc_ts) is the row identity of a
+        # crawl table (warc_ts exists to version url revisits), and the
+        # invariant join below must not fan out on recrawled urls
+        pts = with_coordinates(scan).select("url", "warc_ts", pack_coords_col())
         return assign_tzid_udf_packed(pts, bc, _ocean_bands(args))
 
     assigned, cached = manifest.run_stage(spark, "assign", stage_fp, compute)
@@ -132,12 +144,14 @@ def main(argv=None) -> int:
         for r in assigned.groupBy("method").agg(F.count(F.lit(1)).alias("n")).collect()
     }
 
-    # per-partition lineage + metrics side table
-    lineage = lineage_table(assigned, "url")
-    lineage.write.mode("overwrite").parquet(f"{args.out_dir}/lineage")
-
     # byte-identical text invariant: order-insensitive hash aggregate of
-    # (url, text) must survive the join back to the assignments
+    # (url, text) must survive the join back to the assignments. The
+    # join keys on the COMPOSITE (url, warc_ts) row identity, null-safe
+    # on warc_ts — a recrawled url (same url, two warc_ts rows) is
+    # routine input, and a url-only join would fan out and abort the run
+    # as a spurious invariant violation. (Exact duplicate (url, warc_ts)
+    # rows still fan out and abort — that IS table corruption: a
+    # double-published commit.)
     scan = pages_table.scan(
         spark,
         args.pages_root,
@@ -149,15 +163,29 @@ def main(argv=None) -> int:
         F.bit_xor(F.xxhash64("url", "text")).alias("h"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    joined = scan.join(assigned, "url", "inner")
+    a = assigned.select(
+        F.col("url").alias("a_url"),
+        F.col("warc_ts").alias("a_ts"),
+        "tzid",
+        "method",
+    )
+    joined = scan.join(
+        a,
+        (scan["url"] == a["a_url"]) & scan["warc_ts"].eqNullSafe(a["a_ts"]),
+        "inner",
+    ).drop("a_url", "a_ts")
     # stage-then-promote: write to a staging path, hash the WRITTEN bytes
     # (one join execution, and the invariant covers what actually landed
-    # on disk), and only rename into the consumer-visible path once the
-    # check passes — a violation must never leave corrupt parquet where
-    # downstream readers can pick it up
+    # on disk), and only rename into the consumer-visible paths once the
+    # check passes — a violation must never leave corrupt parquet (or a
+    # lineage table describing an aborted output) where downstream
+    # readers can pick it up
     final_path = f"{args.out_dir}/assigned_pages"
     staging_path = f"{final_path}.__staging__"
+    lineage_final = f"{args.out_dir}/lineage"
+    lineage_staging = f"{lineage_final}.__staging__"
     joined.write.mode("overwrite").parquet(staging_path)
+    lineage_table(assigned, "url").write.mode("overwrite").parquet(lineage_staging)
     written = spark.read.parquet(staging_path)
     h_out = written.agg(
         F.bit_xor(F.xxhash64("url", "text")).alias("h"),
@@ -166,10 +194,16 @@ def main(argv=None) -> int:
     text_ok = (h_in["h"] == h_out["h"]) and (h_in["n"] == h_out["n"])
     if not text_ok:
         shutil.rmtree(staging_path, ignore_errors=True)
+        shutil.rmtree(lineage_staging, ignore_errors=True)
         raise AssertionError("text passthrough invariant violated")
-    if os.path.exists(final_path):
-        shutil.rmtree(final_path)
-    os.replace(staging_path, final_path)
+    for staged, final in ((staging_path, final_path), (lineage_staging, lineage_final)):
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(staged, final)
+    # metadata-only count of the PROMOTED lineage parquet: re-running the
+    # lineage mapInPandas pass just for a metrics line would double its
+    # cost at crawl scale
+    n_lineage = spark.read.parquet(lineage_final).count()
 
     print(
         json.dumps(
@@ -179,7 +213,7 @@ def main(argv=None) -> int:
                 "rows": int(h_out["n"]),
                 "methods": methods,
                 "text_invariant_ok": text_ok,
-                "lineage_partitions": lineage.count(),
+                "lineage_partitions": n_lineage,
                 "wall_sec": round(time.time() - t0, 2),
             }
         )
@@ -203,20 +237,27 @@ def _ocean_bands(args) -> list[dict]:
 def _load_cellmap(spark, args):
     """Fixture world by default; with --zones-parquet, any published zone
     artifact (tzid, geometry) — bboxes re-derived, cover built driver-side
-    (zones are config-sized; the pages side is where scale lives)."""
-    import __spark_entry__ as entry
+    (zones are config-sized; the pages side is where scale lives). The
+    fixture world comes from the PACKAGE (sources.fixtures), never from
+    the repo-root driver harness — under the documented
+    `spark-submit --py-files engine.zip` invocation only the package is
+    on sys.path."""
     from timezone_boundary_builder_spark.operators.cover import (
         DEFAULT_COVER_RES,
         cellmap_from_zones_pdf,
     )
+    from timezone_boundary_builder_spark.sources.fixtures import (
+        local_cellmap,
+        local_zones,
+    )
 
     if not args.zones_parquet:
         if args.cover_res is None:
-            return entry._local_cellmap()
+            return local_cellmap()
         # honor --cover-res on the fixture world too: the flag is in the
         # stage fingerprint, so it must also change the artifact (the
         # cell-vs-pip method mix), not just bust the cache
-        return cellmap_from_zones_pdf(entry._local_zones(), max_res=args.cover_res)
+        return cellmap_from_zones_pdf(local_zones(), max_res=args.cover_res)
     zdf = spark.read.parquet(args.zones_parquet)
     bbox_cols = [c for c in ("min_x", "min_y", "max_x", "max_y") if c in zdf.columns]
     zp = zdf.select("tzid", "geometry", *bbox_cols).toPandas()
@@ -266,14 +307,23 @@ def _run_incremental(spark, args, sid, t0) -> int:
     rows = 0
     methods: dict[str, int] = {}
     if delta:
+        from timezone_boundary_builder_spark.plans.lineage import lineage_table
+
         cm = _load_cellmap(spark, args)
         bc = spark.sparkContext.broadcast(cm)
         scan = spark.read.schema(PAGES_SCHEMA).parquet(*[e["path"] for e in delta])
-        pts = with_coordinates(scan).select("url", pack_coords_col())
+        pts = with_coordinates(scan).select("url", "warc_ts", pack_coords_col())
         assigned = assign_tzid_udf_packed(pts, bc, _ocean_bands(args))
         inc_path = os.path.join(args.out_dir, "increments", f"snap-{sid}")
         assigned.write.mode("overwrite").parquet(inc_path)
         got = spark.read.parquet(inc_path)
+        # per-partition lineage for the increment too — the incremental
+        # surface carries the same per-partition metrics contract as the
+        # full run, one lineage table per increment (kept OUTSIDE
+        # increments/ so consumers can glob increments/* homogeneously)
+        lineage_table(got, "url").write.mode("overwrite").parquet(
+            os.path.join(args.out_dir, "increments_lineage", f"snap-{sid}")
+        )
         rows = got.count()
         methods = {
             r["method"]: r["n"]

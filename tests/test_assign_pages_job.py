@@ -100,3 +100,63 @@ def test_assign_job_incremental(spark, pages_root, tmp_path):
     inc = spark.read.parquet(f"{out}/increments/*")
     assert inc.count() == 750
     assert inc.select("url").distinct().count() == 750
+
+
+def test_assign_job_handles_recrawled_urls(spark, tmp_path):
+    """Round-4 review regression: urls recrawled at a later warc_ts (the
+    reason warc_ts exists) must not fan out the invariant join — the job
+    keys row identity on (url, warc_ts) and assigns every version."""
+    from timezone_boundary_builder_spark.sources import pages as pt
+    from timezone_boundary_builder_spark.sources.fixtures import synthetic_pages
+
+    root = str(tmp_path / "tbl")
+    pdf = synthetic_pages(n=200, seed=21).drop(columns=["kind"])
+    recrawl = pdf.head(60).copy()
+    recrawl["warc_ts"] = recrawl["warc_ts"] + __import__("pandas").Timedelta(days=30)
+    recrawl["text"] = recrawl["text"] + " updated on recrawl"
+    pt.commit_append(root, spark.createDataFrame(pdf))
+    pt.commit_append(root, spark.createDataFrame(recrawl))
+
+    r = _run(root, str(tmp_path / "w"), str(tmp_path / "o"))
+    assert r["rows"] == 260 and r["text_invariant_ok"] is True
+    outp = spark.read.parquet(str(tmp_path / "o" / "assigned_pages"))
+    assert outp.count() == 260
+    assert outp.select("url").distinct().count() == 200  # 60 urls twice
+    assert outp.select("url", "warc_ts").distinct().count() == 260
+
+
+def test_assign_job_runs_with_package_only_syspath(spark, tmp_path):
+    """spark-submit contract: with ONLY the package on sys.path (what
+    --py-files engine.zip provides — no repo checkout, no repo-root
+    driver harness), the job must still run its fixture path."""
+    from timezone_boundary_builder_spark.sources import pages as pt
+    from timezone_boundary_builder_spark.sources.fixtures import synthetic_pages
+
+    pkg_only = tmp_path / "pkg_only"
+    pkg_only.mkdir()
+    os.symlink(
+        os.path.join(REPO, "timezone_boundary_builder_spark"),
+        pkg_only / "timezone_boundary_builder_spark",
+    )
+    root = str(tmp_path / "tbl")
+    pdf = synthetic_pages(n=120, seed=5).drop(columns=["kind"])
+    pt.commit_append(root, spark.createDataFrame(pdf))
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "assign_pages.py"),
+            "--pages-root", root,
+            "--work-dir", str(tmp_path / "w"),
+            "--out-dir", str(tmp_path / "o"),
+            "--cores", "4",
+        ],
+        cwd=str(pkg_only),
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**os.environ, "PYTHONPATH": str(pkg_only)},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    r = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert r["rows"] == 120 and r["text_invariant_ok"] is True

@@ -263,6 +263,59 @@ def test_added_paths_since_skips_rewrites(spark, tmp_path, pages_pdf):
         pg.added_paths_since(root, pg.current_snapshot_id(root), s1)
 
 
+def test_baseline_after_compaction_covers_full_corpus(spark, tmp_path, pages_pdf):
+    """Data-loss regression (round-4 review): a None-cursor baseline
+    after compact + expire must return the COMPLETE corpus — the old
+    chain-walked-appends baseline skipped rewrite snapshots and returned
+    zero rows for a fully-compacted table, permanently losing the
+    pre-compaction corpus for any consumer that re-baselines after
+    maintenance."""
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pages_pdf)
+    pg.commit_append(root, df.limit(150))
+    pg.commit_append(root, df.offset(150))
+    pg.compact_data_files(spark, root)
+    pg.expire_snapshots(root, keep_last=1, orphan_ttl_sec=0)
+    sid = pg.current_snapshot_id(root)
+    baseline = pg.added_paths_since(root, sid, None)
+    assert sum(e["rows"] for e in baseline) == len(pages_pdf)
+    got = spark.read.schema(pg.PAGES_SCHEMA).parquet(*[e["path"] for e in baseline])
+    assert got.count() == len(pages_pdf)
+
+
+def test_publish_cas_rejects_stale_parent(spark, tmp_path, pages_pdf):
+    """Concurrent-commit safety: a publish built against a parent that
+    is no longer current must raise ConflictError (last-writer-wins
+    would silently drop the other writer's committed rows), and
+    commit_append's retry loop must absorb the race by re-merging."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pages_pdf)
+    s1 = pg.commit_append(root, df.limit(100))
+    # simulate a stale compaction: manifest derived from parent=None
+    # while current is s1
+    with pytest.raises(pg.ConflictError):
+        pg._publish_snapshot(root, [], None, op="rewrite")
+    # a clean append on the current parent still succeeds and chains
+    s2 = pg.commit_append(root, df.offset(100).limit(50))
+    assert pg.read_snapshot(root, s2)["parent"] == s1
+    assert pg.snapshot_row_count(root, s2) == 150
+
+
+def test_empty_append_publishes_noop_snapshot(spark, tmp_path, pages_pdf):
+    """A crawler tick with zero new pages must publish a no-op snapshot
+    (empty delta, content unchanged), not crash on parquet schema
+    inference over an empty staging directory."""
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pages_pdf)
+    s1 = pg.commit_append(root, df.limit(100))
+    s2 = pg.commit_append(root, df.limit(0))
+    assert pg.snapshot_row_count(root, s2) == 100
+    assert pg.added_paths_since(root, s2, s1) == []
+    assert pg.scan(spark, root).count() == 100
+
+
 def test_null_warc_ts_lands_in_sentinel_partition(spark, tmp_path):
     import datetime
 

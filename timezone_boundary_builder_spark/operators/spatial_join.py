@@ -309,8 +309,12 @@ def assign_tzid_udf_packed(
 ) -> DataFrame:
     """assign_tzid_udf over a packed int64 micro-degree coordinate column
     `xy` (see pack_coords_col): 8 input bytes/row through the Arrow pipe
-    instead of 16. Same output columns and, for coordinates on the 1e-6
-    grid, identical assignments (tested row-equal on the bench grid)."""
+    instead of 16. For coordinates on the 1e-6 grid, identical
+    assignments (tested row-equal on the bench grid). Every input column
+    except `xy` passes through to the output — callers that need a
+    composite row identity (e.g. assign_pages joining back on
+    (url, warc_ts) in a table where urls recur across crawls) carry it
+    alongside url; the Arrow pipe still moves only the 8-byte xy."""
     import pyspark.sql.functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -334,8 +338,9 @@ def assign_tzid_udf_packed(
     tz_lits = F.array(*[F.lit(t) for t in list(cellmap_bc.value.tzids) + band_tzids])
     m_lits = F.array(*[F.lit(m) for m in METHOD_NAMES])
     out = pages_with_xy.withColumn("__a", _codes(F.col("xy")))
+    passthrough = [c for c in pages_with_xy.columns if c != "xy"]
     return out.select(
-        "url",
+        *passthrough,
         F.when(
             F.col("__a.code") >= 0, F.element_at(tz_lits, F.col("__a.code") + 1)
         ).alias("tzid"),

@@ -15,6 +15,7 @@ engine has no network, so source geometries are inline constants here.
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 import json
 
@@ -495,3 +496,31 @@ def synthetic_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
             "kind": kinds,  # generator ground-truth hint (tests only; dropped in pipelines)
         }
     )
+
+
+@_functools.lru_cache(maxsize=1)
+def local_zones() -> pd.DataFrame:
+    """The synthetic zone world folded locally (pure numpy, no Spark) —
+    feeds the broadcast cell map, the production jobs' fixture path, and
+    the SQL oracles' edge tables. Lives in the package (not the repo-root
+    driver harness) so spark-submit --py-files engine.zip runs can build
+    it without the repo checkout on sys.path."""
+    from ..operators.zone_build import fold_zone_ops, post_process, zone_row
+
+    cfg = zones_config_pdf()
+    src = sources_pdf().set_index("source_id")["geometry"].to_dict()
+    rows = []
+    for tzid, grp in cfg.groupby("tzid"):
+        ops = []
+        for r in grp.sort_values("op_seq").itertuples():
+            gj = r.geometry if isinstance(r.geometry, str) and r.geometry else src[r.source_id]
+            ops.append({"op_seq": r.op_seq, "op": r.op, "geometry": gj})
+        rows.append(zone_row(tzid, post_process(fold_zone_ops(ops))))
+    return pd.DataFrame(rows).sort_values("tzid").reset_index(drop=True)
+
+
+@_functools.lru_cache(maxsize=1)
+def local_cellmap(max_res: int = 7):
+    from ..operators.cover import cellmap_from_zones_pdf
+
+    return cellmap_from_zones_pdf(local_zones(), max_res=max_res)

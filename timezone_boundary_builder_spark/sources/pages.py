@@ -64,17 +64,31 @@ def read_snapshot(root: str, snapshot_id: str | None = None) -> dict:
     return _read_json(os.path.join(_meta_dir(root), f"snap-{sid}.json"))
 
 
-def commit_append(root: str, df: DataFrame) -> str:
+def commit_append(root: str, df: DataFrame, max_retries: int = 5) -> str:
     """Append rows as a new snapshot: write data files under a staging
     partition layout, then atomically publish the snapshot JSON + current
     pointer (writers never mutate published files — the Iceberg property
-    resume depends on)."""
+    resume depends on). Publish is compare-and-swap on the parent
+    pointer: when a concurrent commit won the race, the append re-merges
+    against the NEW current and retries — its staged batch files are
+    immutable, so only the cheap metadata merge re-runs (Iceberg's
+    optimistic-concurrency commit loop)."""
     os.makedirs(_meta_dir(root), exist_ok=True)
-    manifest = _write_batch(df.sparkSession, root, df, "batch")
-    parent = current_snapshot_id(root)
-    if parent is not None:
-        manifest = read_snapshot(root, parent)["manifest"] + manifest
-    return _publish_snapshot(root, manifest, parent, op="append")
+    batch = _write_batch(df.sparkSession, root, df, "batch")
+    for _ in range(max_retries):
+        parent = current_snapshot_id(root)
+        manifest = (
+            read_snapshot(root, parent)["manifest"] + batch
+            if parent is not None
+            else list(batch)
+        )
+        try:
+            return _publish_snapshot(root, manifest, parent, op="append")
+        except ConflictError:
+            continue
+    raise ConflictError(
+        f"commit_append lost the publish race {max_retries} times in {root}"
+    )
 
 
 # null-warc_ts rows get a sentinel partition so the manifest never holds
@@ -86,7 +100,10 @@ NULL_TS_DAY = "~null"
 
 def _write_batch(spark: SparkSession, root: str, df: DataFrame, prefix: str) -> list[dict]:
     """Stage a partitioned data batch and return its manifest entries —
-    the one write path shared by the append and rewrite commits."""
+    the one write path shared by the append and rewrite commits. The
+    read-back uses the DECLARED schema (+ the ts_day partition column):
+    an empty batch leaves no partition files to infer from, and an
+    empty append must publish a no-op snapshot, not crash the crawler."""
     staged = df.withColumn(
         "ts_day",
         F.coalesce(F.date_format("warc_ts", "yyyy-MM-dd"), F.lit(NULL_TS_DAY)),
@@ -94,24 +111,27 @@ def _write_batch(spark: SparkSession, root: str, df: DataFrame, prefix: str) -> 
     batch_id = uuid.uuid4().hex[:12]
     data_path = os.path.join(root, "data", f"{prefix}-{batch_id}")
     staged.write.mode("error").partitionBy("ts_day").parquet(data_path)
-    written = spark.read.parquet(data_path)
+    # StructType.add mutates in place — build a fresh copy, never touch
+    # the shared PAGES_SCHEMA constant
+    read_schema = T.StructType(
+        PAGES_SCHEMA.fields + [T.StructField("ts_day", T.StringType(), True)]
+    )
+    written = spark.read.schema(read_schema).parquet(data_path)
     stats = (
         written.withColumn("ts_day", F.col("ts_day").cast("string"))
         .groupBy("ts_day")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min("warc_ts").alias("min_ts"),
-            F.max("warc_ts").alias("max_ts"),
-        )
+        .agg(F.count(F.lit(1)).alias("rows"))
         .collect()
     )
+    # day-granular pruning keys only: finer per-partition ts bounds were
+    # once computed here but never consulted by scan(), so they were
+    # dropped — dead stats invite a reader to trust bounds nothing
+    # validates (parquet row-group stats give the finer pruning anyway)
     return [
         {
             "path": os.path.join(data_path, f"ts_day={r.ts_day}"),
             "ts_day": r.ts_day,
             "rows": r.rows,
-            "min_ts": str(r.min_ts),
-            "max_ts": str(r.max_ts),
         }
         for r in stats
     ]
@@ -125,10 +145,10 @@ def scan(
     ts_day_max: str | None = None,
 ) -> DataFrame:
     """Snapshot-pinned scan with manifest-level partition pruning: only
-    partition directories whose ts_day (and ts bounds) intersect the
-    requested range are handed to the Spark reader — pruning before the
-    scan, like Iceberg's manifest filtering. Parquet row-group pruning
-    still applies on top for pushed filters."""
+    partition directories whose ts_day intersects the requested range
+    are handed to the Spark reader — pruning before the scan, like
+    Iceberg's manifest filtering. Parquet row-group pruning still
+    applies on top for pushed filters."""
     snap = read_snapshot(root, snapshot_id)
     entries = snap["manifest"]
     if ts_day_min is not None or ts_day_max is not None:
@@ -160,7 +180,15 @@ def added_paths_since(
     logical rows, so a raw path-set diff would re-emit the whole table.
     Raises ValueError when the cursor is not on the chain (e.g. expired
     by expire_snapshots): the consumer must re-baseline explicitly rather
-    than silently reprocess everything."""
+    than silently reprocess everything.
+
+    A None cursor is a FULL BASELINE: snapshots carry complete manifests,
+    so the baseline is simply the current snapshot's manifest — walking
+    append deltas here would silently drop every row a rewrite snapshot
+    (compact_data_files) had compacted away, losing the pre-compaction
+    corpus for any consumer that baselines after maintenance."""
+    if cursor_sid is None:
+        return list(read_snapshot(root, current_sid)["manifest"])
     chain = []
     sid = current_sid
     while sid is not None and sid != cursor_sid:
@@ -193,8 +221,21 @@ def added_paths_since(
 # any data files no retained snapshot references.
 
 
+class ConflictError(RuntimeError):
+    """A concurrent writer advanced `current` past the parent this
+    commit was built on (Iceberg's CommitFailedException)."""
+
+
 def _publish_snapshot(root: str, manifest: list[dict], parent: str | None, op: str) -> str:
-    """Atomic snapshot publish (shared by append and rewrite commits)."""
+    """Atomic snapshot publish (shared by append and rewrite commits)
+    with compare-and-swap semantics on the current pointer: the pointer
+    update happens under an exclusive lock file and only if `current`
+    still equals the parent the manifest was derived from. Without the
+    check, two writers reading the same parent would last-writer-win the
+    pointer and silently drop the loser's committed rows — whose data
+    files the orphan sweep would later delete. Stale locks (a writer
+    killed mid-publish) expire after 60 s; the critical section is two
+    metadata file writes, so a live writer holds it for milliseconds."""
     batch_id = uuid.uuid4().hex[:12]
     sid = f"{int(time.time() * 1000)}-{batch_id}"
     snap = {
@@ -204,16 +245,43 @@ def _publish_snapshot(root: str, manifest: list[dict], parent: str | None, op: s
         "manifest": manifest,
         "schema": "pages_v1",
     }
-    snap_path = os.path.join(_meta_dir(root), f"snap-{sid}.json")
-    tmp = snap_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(snap, f)
-    os.rename(tmp, snap_path)
-    cur_tmp = os.path.join(_meta_dir(root), "current.tmp")
-    with open(cur_tmp, "w") as f:
-        f.write(sid)
-    os.rename(cur_tmp, os.path.join(_meta_dir(root), "current"))
-    return sid
+    lock = os.path.join(_meta_dir(root), "current.lock")
+    deadline = time.time() + 30.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > 60.0:
+                    os.remove(lock)  # stale lock from a killed writer
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(f"could not acquire {lock}")
+            time.sleep(0.05)
+    try:
+        if current_snapshot_id(root) != parent:
+            raise ConflictError(
+                f"current snapshot moved past parent {parent!r} in {root}"
+            )
+        snap_path = os.path.join(_meta_dir(root), f"snap-{sid}.json")
+        tmp = snap_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.rename(tmp, snap_path)
+        cur_tmp = os.path.join(_meta_dir(root), "current.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(sid)
+        os.rename(cur_tmp, os.path.join(_meta_dir(root), "current"))
+        return sid
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 def compact_data_files(spark: SparkSession, root: str) -> str:
@@ -222,7 +290,10 @@ def compact_data_files(spark: SparkSession, root: str) -> str:
     batch directory, manifest entries collapse to one per partition.
     Logical content is untouched — the new snapshot's rows hash-match the
     old (tested), and prior snapshots keep reading their original files
-    until expire_snapshots drops them."""
+    until expire_snapshots drops them. Raises ConflictError when a
+    concurrent append advances `current` mid-rewrite — the rewrite is
+    stale against the new rows; rerun maintenance (an automatic retry
+    would need a fresh scan anyway)."""
     parent = current_snapshot_id(root)
     df = scan(spark, root, snapshot_id=parent)
     manifest = _write_batch(spark, root, df, "compact")

@@ -161,13 +161,16 @@ def stream_dedup_first_seen(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from ..operators.text import norm_text_col
+
     pages = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    fp = pages.withColumn("fingerprint", F.md5(norm)).select(
+    # the ONE shared dedup normalization (operators.text.norm_text_col):
+    # streaming fingerprints must never drift from the batch twin's
+    fp = pages.withColumn("fingerprint", F.md5(norm_text_col())).select(
         "fingerprint", "url", "warc_ts"
     )
 
