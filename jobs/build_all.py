@@ -198,9 +198,13 @@ def main(argv=None) -> int:
 
         want = {r.source_id: _pa(_fg(r.geometry)) for r in src_pdf.itertuples()}
         got = {r["source_id"]: r["area_deg2"] for r in sources_assembled.collect()}
-        assert set(got) == set(want) and all(
+        # explicit raise, not assert: this gate must survive python -O /
+        # PYTHONOPTIMIZE — a ring-assembly regression flowing silently
+        # into zone build produces wrong geometries instead of an abort
+        if set(got) != set(want) or not all(
             np.isclose(got[s], want[s]) for s in want
-        ), "assembled sources diverge from canonical source table"
+        ):
+            raise SystemExit("assembled sources diverge from canonical source table")
 
     from timezone_boundary_builder_spark.operators.zone_build import (
         apply_zone_filters,
@@ -271,6 +275,11 @@ def main(argv=None) -> int:
             derive_zone_groups,
         )
 
+        # cutoffs per strategy; only the strategies the flags left
+        # enabled are derived (computing a grouping nothing consumes
+        # would waste the job's heaviest real-config stage)
+        cutoffs = {"1970": 0, "now": 1577836800}
+
         def _real_groups():
             zones_tz = sorted(cfg_pdf.tzid.unique())
             band_tz = [b["tzid"] for b in ocean_bands]
@@ -282,9 +291,14 @@ def main(argv=None) -> int:
                     }
                 )
             )
-            g70 = derive_zone_groups(spark, ztab, "1970", 0, 2082758400)
-            gnow = derive_zone_groups(spark, ztab, "now", 1577836800, 2082758400)
-            return g70.unionByName(gnow)
+            parts = [
+                derive_zone_groups(spark, ztab, s, cutoffs[s], 2082758400)
+                for s in strategies
+            ]
+            out = parts[0]
+            for pt in parts[1:]:
+                out = out.unionByName(pt)
+            return out
 
         # the stage's logical inputs are the zone list, the band table,
         # the cutoffs, AND the tzdb itself — hash the TZif bytes of every
@@ -294,12 +308,21 @@ def main(argv=None) -> int:
         import zoneinfo as _zi
 
         tz_h = _hl.md5()
-        zdir = _zi.TZPATH[0] if _zi.TZPATH else "/usr/share/zoneinfo"
+        # first EXISTING tzpath root, not blindly TZPATH[0]: on hosts
+        # where zoneinfo lives in a later entry, hashing a non-existent
+        # dir yields a constant key and a tzdata update would silently
+        # resume stale groupings; a missing TZif still marks the hash so
+        # presence changes invalidate too
+        zdir = next(
+            (d for d in _zi.TZPATH if os.path.isdir(d)), "/usr/share/zoneinfo"
+        )
         for _tz in sorted(cfg_pdf.tzid.unique()) + [b["tzid"] for b in ocean_bands]:
             _p = os.path.join(zdir, _tz)
             if os.path.exists(_p):
                 with open(_p, "rb") as _f:
                     tz_h.update(_f.read())
+            else:
+                tz_h.update(f"missing:{_tz}".encode())
         groups_df_cached, cached = manifest.run_stage(
             spark,
             "real_groups",
@@ -308,7 +331,8 @@ def main(argv=None) -> int:
                 cfg_fp,
                 json.dumps(ocean_bands),
                 tz_h.hexdigest(),
-                "0:1577836800:2082758400",
+                json.dumps({s: cutoffs[s] for s in strategies}),
+                "horizon:2082758400",
             ),
             _real_groups,
         )
@@ -354,7 +378,6 @@ def main(argv=None) -> int:
 
     progress.begin_task("combined outputs", log_time_left=True)
     counts = combine_and_write(
-        spark,
         products,
         oceans,
         args.out_dir,
@@ -460,12 +483,11 @@ def main(argv=None) -> int:
             zf.write(manifest_path, arcname="stage-manifest.json")
     for strategy in strategies:
         write_zone_lookup(
-            spark,
             groups_df,
             strategy,
             f"{args.out_dir}/lookup-{strategy}.json",
         )
-        write_combined_zone_lookup(spark, groups_df, strategy, args.out_dir)
+        write_combined_zone_lookup(groups_df, strategy, args.out_dir)
     stages["outputs"] = counts
 
     print(json.dumps({"stages": stages, "wall_sec": round(time.time() - t0, 2)}))

@@ -166,7 +166,7 @@ def test_combined_outputs(spark, zones_df, tmp_path):
         "now": build_derived_zones(spark, zones_df, groups, "now"),
     }
     out = str(tmp_path / "dist")
-    counts = combine_and_write(spark, products, oceans, out)
+    counts = combine_and_write(products, oceans, out)
     assert counts["comprehensive.geojson"] == 8
     assert counts["comprehensive-with-oceans.geojson"] == 12
     assert counts["1970.geojson"] == 7  # hotel merged away
@@ -182,7 +182,7 @@ def test_combined_outputs(spark, zones_df, tmp_path):
     assert not any(n.startswith("Etc/GMT") for n in names)
     with_oc = json.load(open(os.path.join(out, "timezone-names-with-oceans.json")))
     assert with_oc[: len(names)] == names and "Etc/GMT+9" in with_oc
-    write_zone_lookup(spark, groups, "1970", os.path.join(out, "lookup-1970.json"))
+    write_zone_lookup(groups, "1970", os.path.join(out, "lookup-1970.json"))
     lookup = json.load(open(os.path.join(out, "lookup-1970.json")))
     assert lookup["Test/Hotel"] == "Test/Alpha"
 
@@ -226,7 +226,7 @@ def test_derived_with_oceans_absorbs_member_band(spark, zones_df, tmp_path):
 
     out = str(tmp_path / "dist-oc")
     counts = combine_and_write(
-        spark, products, oceans, out,
+        products, oceans, out,
         with_oceans_products=with_oceans, ocean_skip=skip,
     )
     assert counts["now-with-oceans.geojson"] == 6 + 3  # GMT+9 skipped
@@ -244,7 +244,7 @@ def test_derived_with_oceans_absorbs_member_band(spark, zones_df, tmp_path):
         write_combined_zone_lookup,
     )
 
-    write_combined_zone_lookup(spark, groups, "now", out)
+    write_combined_zone_lookup(groups, "now", out)
     full = json.load(open(os.path.join(out, "timezone-names-with-oceans-now.json")))
     assert full["Test/Foxtrot"] == ["Etc/GMT+9", "Test/Foxtrot"]
     no_oc = json.load(open(os.path.join(out, "timezone-names-now.json")))

@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PRODUCTS = ("comprehensive", "1970", "now")
@@ -58,12 +58,26 @@ def _js_number(tok: str):
     return int(f) if f.is_integer() and abs(f) < 2**53 else f
 
 
-def write_feature_collection(zones: DataFrame, path: str) -> int:
+def write_feature_collection(
+    zones: DataFrame, path: str, tzid_order: list[str] | None = None
+) -> int:
     """Streamed-array protocol like util/featureWriterStream.js:3-25 —
     header / comma-separated features / footer — collect->write since the
     zone table is small by construction. Byte parity with the reference
-    writer is pinned by tests/goldens (node-generated)."""
+    writer is pinned by tests/goldens (node-generated).
+
+    tzid_order: emission order, matching the reference's writer which
+    streams land zones in Object.keys(zoneCfg) order and APPENDS ocean
+    features afterwards (combineAndWriteZones, index.js:1319-1376) — a
+    plain tzid sort would interleave Etc/GMT* bands among the land
+    zones in with-oceans products. Tzids missing from the list append
+    sorted; None = sorted (the fixture goldens' order)."""
     rows = zones.select("tzid", "geometry").orderBy("tzid").collect()
+    if tzid_order is not None:
+        rank = {tz: i for i, tz in enumerate(tzid_order)}
+        # rows are already tzid-sorted, so unranked tzids keep a sorted
+        # tail after the ordered prefix (stable sort)
+        rows = sorted(rows, key=lambda r: rank.get(r.tzid, len(rank)))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write('{"type":"FeatureCollection","features":[')
@@ -197,7 +211,6 @@ def write_name_lists(
 
 
 def combine_and_write(
-    spark: SparkSession,
     products: dict[str, DataFrame],
     oceans: DataFrame,
     out_dir: str,
@@ -220,16 +233,24 @@ def combine_and_write(
     present in the built products are dropped, extras fall back sorted."""
     counts = {}
     ocean_sel = oceans.select("tzid", "geometry")
+    # the reference writer's feature order: land zones in config order,
+    # ocean bands appended at the END in declaration order
+    # (combineAndWriteZones, index.js:1319-1376)
+    combined_order = (
+        (base_name_order or []) + (ocean_name_order or [])
+    ) or None
     for name, zones in products.items():
         land = zones.select("tzid", "geometry")
         counts[f"{name}.geojson"] = write_feature_collection(
-            land, os.path.join(out_dir, f"{name}.geojson")
+            land, os.path.join(out_dir, f"{name}.geojson"),
+            tzid_order=base_name_order,
         )
         with_oc = _with_oceans_relation(
             name, land, ocean_sel, with_oceans_products, ocean_skip
         )
         counts[f"{name}-with-oceans.geojson"] = write_feature_collection(
-            with_oc, os.path.join(out_dir, f"{name}-with-oceans.geojson")
+            with_oc, os.path.join(out_dir, f"{name}-with-oceans.geojson"),
+            tzid_order=combined_order,
         )
         # parquet twin for downstream stages
         land.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
@@ -296,9 +317,7 @@ def combined_zone_table(
     return out
 
 
-def write_zone_lookup(
-    spark: SparkSession, zone_groups: DataFrame, strategy: str, path: str
-) -> None:
+def write_zone_lookup(zone_groups: DataFrame, strategy: str, path: str) -> None:
     """Merged-zone lookup (reference writeCombinedZoneLookup,
     index.js:1726-1743): member tzid -> representative tzid."""
     rows = (
@@ -313,7 +332,7 @@ def write_zone_lookup(
 
 
 def write_combined_zone_lookup(
-    spark: SparkSession, zone_groups: DataFrame, strategy: str, out_dir: str
+    zone_groups: DataFrame, strategy: str, out_dir: str
 ) -> None:
     """Reference-shaped merged-zone maps (writeCombinedZoneLookup,
     index.js:1726-1743): rep -> [member tzids], two variants per product —
