@@ -1552,7 +1552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         # operators whose source files changed in round 4 (dedup.py
         # materialize default, multimodal.py decode stats, text.py
-        # repetition gate, tiles.py skew salting)
+        # repetition gate, tiles.py skew salting, outputs.py feature
+        # emission order — S8/S12 queries both in-sample)
+        "geo_zone_lookup": _q_geo_zone_lookup,
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_simhash": _q_dedup_simhash,
@@ -1573,7 +1575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_page_counts": _q_tiles_page_counts,
         # unchanged operators, rotating through the sample
         "rel_shipping_priority": _q_rel_shipping_priority,
-        "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
         "rel_customer_order_stats": _q_rel_customer_order_stats,
         "events_windowed": _q_events_windowed,
@@ -1596,8 +1597,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r01+r02+r03), each gated by a checked sibling — ann_* by
         # dedup_embed_cosine (shared similarity kernels), dedup_url by
         # the pipeline queries, geo_cell_covers by geo_tiles_* (shared
-        # cellindex), geo_ring_assembly / geo_source_union /
-        # geo_zone_lookup by geo_zone_build / geo_combined_outputs,
+        # cellindex), geo_ring_assembly / geo_source_union by
+        # geo_zone_build / geo_combined_outputs, rel_pricing_summary by
+        # the three sibling rel_* queries in the head (same plain
+        # DataFrame/SQL relational path over unchanged inputs),
         # geocode_extract by geo_pip_assign (shared coordinate
         # plumbing), sample_stratified / pack_batches (sampling.py
         # untouched) by sample_hash_fraction which leads this round,
@@ -1605,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo_derived_now_oceans + geo_real_config_build which exercise
         # the same ocean-band difference fold
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "rel_pricing_summary": _q_rel_pricing_summary,
         "geo_ocean_zones": _q_geo_ocean_zones,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1612,7 +1616,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cell_covers": _q_geo_cell_covers,
         "geo_ring_assembly": _q_geo_ring_assembly,
         "geo_source_union": _q_geo_source_union,
-        "geo_zone_lookup": _q_geo_zone_lookup,
         "geocode_extract": _q_geocode_extract,
         "sample_stratified": _q_sample_stratified,
         "pack_batches": _q_pack_batches,
