@@ -187,6 +187,40 @@ def test_combined_outputs(spark, zones_df, tmp_path):
     assert lookup["Test/Hotel"] == "Test/Alpha"
 
 
+def test_feature_emission_order(spark, zones_df, tmp_path):
+    """Reference combineAndWriteZones (index.js:1319-1376) streams land
+    zones in Object.keys(zoneCfg) order and APPENDS ocean features after
+    them — never interleaved, even though Etc/* sorts before Test/*."""
+    groups = spark.createDataFrame(zone_groups_pdf())
+    bands = spark.createDataFrame(pd.DataFrame(OCEAN_BANDS))
+    oceans = build_ocean_zones(spark, bands, zones_df)
+    products = {"comprehensive": zones_df}
+    # deliberately non-sorted config order, with one tzid (Golf) omitted
+    # to exercise the sorted-tail fallback for unranked tzids
+    cfg_order = [
+        "Test/Hotel", "Test/Alpha", "Test/Echo", "Test/Bravo",
+        "Test/Charlie", "Test/Delta", "Test/Foxtrot",
+    ]
+    ocean_order = [b["tzid"] for b in OCEAN_BANDS]
+    out = str(tmp_path / "dist-order")
+    combine_and_write(
+        products, oceans, out,
+        base_name_order=cfg_order, ocean_name_order=ocean_order,
+    )
+    fc = json.load(open(os.path.join(out, "comprehensive.geojson")))
+    land = [f["properties"]["tzid"] for f in fc["features"]]
+    assert land == cfg_order + ["Test/Golf"]  # unranked appends sorted
+    fc = json.load(open(os.path.join(out, "comprehensive-with-oceans.geojson")))
+    combined = [f["properties"]["tzid"] for f in fc["features"]]
+    # ranked land in config order, oceans after, unranked (Golf) in the
+    # sorted tail — every real build ranks all land tzids, so the only
+    # reference-semantics assertion that matters is land-ordered +
+    # oceans-appended for the ranked set
+    assert [t for t in combined if t in cfg_order] == cfg_order
+    assert [t for t in combined if t in ocean_order] == ocean_order
+    assert combined.index(ocean_order[0]) > combined.index(cfg_order[-1])
+
+
 def test_derived_with_oceans_absorbs_member_band(spark, zones_df, tmp_path):
     """Reference makeDerivedTimezoneBoundariesWithOceans + hasAlikeInNow
     (index.js:941-1009, 1206-1216, 1367-1374): the Etc/GMT+9 ocean is a
