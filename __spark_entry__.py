@@ -1267,6 +1267,39 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann(emb, ANN_QUERY_IDS, k=5, centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of both approximate ANN paths (LSH buckets, IVF probe)
+    against the exact brute-force top-k, per query point — the quality
+    evidence for the approximate indexes, computed end-to-end by the
+    engine (three ANN plans + a hit join) and value-checked against the
+    same composition of the three SQL oracles."""
+    from timezone_boundary_builder_spark.operators.similarity import ivf_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, ANN_QUERY_IDS, k=5).select("query_id", "neighbor_id")
+    approx = {
+        "ivf": ivf_ann(
+            emb, ANN_QUERY_IDS, k=5, centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE
+        ),
+        "lsh": lsh_bucket_ann(emb, ANN_QUERY_IDS, k=5),
+    }
+    base = exact.select("query_id").distinct()
+    out = None
+    for method, a in approx.items():
+        hits = (
+            exact.join(a.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        m = base.join(hits, "query_id", "left").select(
+            "query_id",
+            F.lit(method).alias("method"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.withColumn("recall", F.round(F.col("n_hits") / F.lit(5.0), 6))
+
+
 NEARDUP_THRESHOLD, NEARDUP_PLANES, NEARDUP_BANDS, NEARDUP_SEED = 0.4, 8, 2, 7
 
 
@@ -1539,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "pipeline_gopher": _q_pipeline_gopher,
         "geo_tiles_skew": _q_geo_tiles_skew,
+        "ann_recall": _q_ann_recall,
         # the 9 rotated out of the r03 sample (double-green r01+r02) —
         # head of the dict this round so r04 re-verifies them
         "multimodal_resize": _q_multimodal_resize,
@@ -1592,10 +1626,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_maintenance": _q_pages_maintenance,
         "geo_lineage_conservation": _q_geo_lineage_conservation,
         "geo_zone_filter_prune": _q_geo_zone_filter_prune,
-        "geo_release_diff": _q_geo_release_diff,
-        # trailing 12: operator source untouched in round 4, triple-green
+        # trailing 13: operator source untouched in round 4, triple-green
         # (r01+r02+r03), each gated by a checked sibling — ann_* by
-        # dedup_embed_cosine (shared similarity kernels), dedup_url by
+        # dedup_embed_cosine (shared similarity kernels) and by
+        # ann_recall in the head (which composes all three ANN plans
+        # against the same oracles), geo_release_diff by
+        # rel_customer_order_stats (same full-outer-join shape, checked
+        # in the head) with release_diff.py untouched since round 1,
+        # dedup_url by
         # the pipeline queries, geo_cell_covers by geo_tiles_* (shared
         # cellindex), geo_ring_assembly / geo_source_union by
         # geo_zone_build / geo_combined_outputs, rel_pricing_summary by
@@ -1619,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_extract": _q_geocode_extract,
         "sample_stratified": _q_sample_stratified,
         "pack_batches": _q_pack_batches,
+        "geo_release_diff": _q_geo_release_diff,
     }
 
 
@@ -1708,6 +1747,54 @@ def _tile_summary_values_sql() -> str:
         "CAST(n_zones AS BIGINT) AS n_zones, CAST(n_full AS BIGINT) AS n_full, "
         f"first_tzid FROM (VALUES {vals}) AS t(cell_id, res, n_zones, n_full, first_tzid)"
     )
+
+
+def _ann_cosine_sql() -> str:
+    """Exact brute-force cosine top-k oracle (shared by ann_cosine_topk
+    and the recall composition below)."""
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+      WHERE vec_id IN ({",".join(str(i) for i in ANN_QUERY_IDS)})),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(v.vec, q.qvec)
+               / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+
+def _ann_recall_sql() -> str:
+    """Recall@5 oracle: the same composition the Spark query performs —
+    hit counts of each approximate top-k inside the exact top-k — built
+    from the three ANN oracles as nested subqueries, so any divergence in
+    EITHER the approximate paths or the exact baseline shows up here."""
+    return f"""
+WITH exact_t AS (SELECT query_id, neighbor_id FROM ({_ann_cosine_sql()}) e),
+lsh_t AS (SELECT query_id, neighbor_id FROM ({_ann_lsh_sql()}) l),
+ivf_t AS (SELECT query_id, neighbor_id FROM ({_ivf_sql()}) i),
+base AS (SELECT DISTINCT query_id FROM exact_t),
+hits_ivf AS (SELECT query_id, count(*) AS n_hits
+             FROM exact_t JOIN ivf_t USING (query_id, neighbor_id)
+             GROUP BY query_id),
+hits_lsh AS (SELECT query_id, count(*) AS n_hits
+             FROM exact_t JOIN lsh_t USING (query_id, neighbor_id)
+             GROUP BY query_id),
+m AS (
+  SELECT b.query_id, 'ivf' AS method, coalesce(h.n_hits, 0) AS n_hits
+  FROM base b LEFT JOIN hits_ivf h USING (query_id)
+  UNION ALL
+  SELECT b.query_id, 'lsh' AS method, coalesce(h.n_hits, 0) AS n_hits
+  FROM base b LEFT JOIN hits_lsh h USING (query_id))
+SELECT query_id, method, CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits / 5.0, 6) AS recall
+FROM m"""
 
 
 def _ann_lsh_sql() -> str:
@@ -2221,6 +2308,7 @@ FROM pw JOIN pg ON pw.doc_id = pg.doc_id"""
         "tiles_page_counts": _page_counts_sql(),
         "geo_tiles_skew": _tiles_skew_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "ann_recall": _ann_recall_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_ivf": _ivf_sql(),
         "dedup_embed_cosine": _embed_neardup_sql(),
@@ -2609,22 +2697,7 @@ FROM pw JOIN pg ON pw.doc_id = pg.doc_id"""
             comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
                      FROM reach GROUP BY s)
             SELECT cluster_id, count(*) AS n_docs FROM comp GROUP BY cluster_id""",
-        "ann_cosine_topk": f"""
-            WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-                       FROM embeddings),
-            q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
-                  WHERE vec_id IN ({",".join(str(i) for i in ANN_QUERY_IDS)})),
-            scored AS (
-              SELECT q.query_id, v.vec_id AS neighbor_id,
-                     round(list_dot_product(v.vec, q.qvec)
-                           / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
-              FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id),
-            ranked AS (
-              SELECT query_id, neighbor_id, cosine,
-                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-              FROM scored)
-            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
-            FROM ranked WHERE rank <= 5""",
+        "ann_cosine_topk": _ann_cosine_sql(),
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

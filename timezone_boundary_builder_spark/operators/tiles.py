@@ -307,12 +307,21 @@ def raster_tile_summary(tiles: DataFrame, salt_buckets: int = 0) -> DataFrame:
 
 def write_tiles_partitioned(tiles: DataFrame, path: str, prefix_res: int = 3) -> None:
     """Range-partition by cell prefix (Morton locality) and write parquet
-    partitioned by the prefix — tile servers prune by key range."""
+    partitioned by the prefix — tile servers prune by key range.
+
+    The prefix is each cell's ancestor Morton code at ``prefix_res``,
+    computed from the row's OWN ``res`` (cell ids store their resolution
+    in the header bits and their Morton code at that resolution in the low
+    bits — a uniform shift keyed to max(res) would over-shift compacted
+    coarse interior cells to prefix 0, destroying locality for exactly the
+    cells tile servers prune hardest). Cells at or below ``prefix_res``
+    are their own prefix."""
+    mask = (1 << 58) - 1
     with_prefix = tiles.withColumn(
         "cell_prefix",
-        F.shiftright(
-            F.col("cell_id").bitwiseAND(F.lit((1 << 58) - 1)),
-            2 * (int(tiles.selectExpr("max(res)").first()[0]) - prefix_res),
+        F.expr(
+            f"shiftright(cell_id & {mask}, "
+            f"greatest(0, 2 * (res - {int(prefix_res)})))"
         ),
     )
     (
