@@ -356,6 +356,7 @@ def timed_queries(spark: SparkSession) -> dict[str, float]:
         "pipeline_gopher",
         "geo_tiles_skew",
         "multimodal_decode",
+        "ann_recall",
         "ann_cosine_topk",
         "rel_pricing_summary",
         "rel_top_customer_per_nation",

@@ -81,3 +81,36 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
+
+
+def test_trailing_queries_are_multi_green_in_prior_rounds():
+    """Mechanized driver-sampling invariant (adopted round 4): the
+    correctness driver checks only the FIRST 50 entries of queries(), so
+    any key beyond position 50 must already hold green rows in at least
+    TWO prior driver CORRECTNESS files — a new or recently-changed query
+    parked in the tail would silently never be driver-verified."""
+    import glob
+    import json
+
+    keys = list(QUERIES)
+    trailing = keys[50:]
+    if not trailing:
+        return
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green_counts = {k: 0 for k in trailing}
+    rounds = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert rounds, "driver correctness files missing — cannot prove the tail"
+    for path in rounds:
+        with open(path) as f:
+            data = json.load(f)
+        for k in trailing:
+            e = data.get(k)
+            if e and e.get("rows_match") and e.get("schema_match") and (
+                e.get("hash_match") in (True, None)
+            ) and not e.get("err"):
+                green_counts[k] += 1
+    weak = [k for k, n in green_counts.items() if n < 2]
+    assert not weak, (
+        f"trailing queries lack two prior green driver rows: {weak} — "
+        "move them into the first 50 of __spark_entry__.queries()"
+    )

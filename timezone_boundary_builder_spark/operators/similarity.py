@@ -12,6 +12,7 @@ map-side; only k rows per query survive to the shuffle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -75,24 +76,31 @@ def ivf_ann(
     (``vec_id % centroid_stride == 0`` — no RNG, so Spark and the SQL
     oracle agree bit-for-bit). The coarse quantizer is DRIVER-KNOWN by
     construction (a real IVF trains its centroids on a sample and pins
-    them), so nearest-centroid assignment is computed MAP-SIDE: the
-    centroid vectors are baked into the plan as literal arrays and each
-    row sorts its per-centroid cosines with ``array_sort`` over
-    (-cos, centroid_id) structs — identical arithmetic and tie-break to
-    a windowed argmax, but the shuffle carries nothing: the old
+    them), so nearest-centroid assignment is computed MAP-SIDE with no
+    shuffle: one vectorized pandas UDF holds the centroid matrix and
+    emits each row's per-centroid cosine array (the raw dot/norm
+    arithmetic reproduces the ``F.aggregate`` left fold bit-for-bit via
+    ``np.cumsum`` — sequential accumulation, NOT pairwise ``np.sum`` —
+    so the values are identical to the old in-plan fold), and the
+    rounding / (-cos, centroid_id) tie-break / ``array_sort`` stay in
+    the JVM plan — identical ordering semantics to a windowed argmax,
+    but the shuffle carries nothing. (An earlier variant baked the
+    centroids into the plan as per-centroid literal-array folds;
+    higher-order-function lambdas are evaluated interpreted per row, so
+    at rows x centroids x dim evaluations it was ~20x slower than the
+    Arrow batch path and bloated the task binary past 3 MiB.) The old
     crossJoin + Window.partitionBy(vec_id) shape moved rows x
     n_centroids through a full exchange just to pick each vector's
     nearest centroid, which at 10^12 vectors is n_centroids x the corpus
-    over the wire. (Beyond O(10^3) centroids the same map-side argmax
-    moves into the existing vectorized pandas-UDF surface as one numpy
-    matmul per Arrow batch — plan literals are the right shape for a
-    coarse quantizer's typical list count, not for a fine codebook.)
+    over the wire.
 
     Query: each query probes its ``nprobe`` nearest centroids and exact
     cosine re-ranks only the vectors in those lists. At 10^12 rows the
     inverted file is a partitioned table keyed by centroid_id; probing is
     partition pruning — the scan touches nprobe/N_centroids of the data.
     """
+    from pyspark.sql.functions import pandas_udf
+
     v = vectors.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
@@ -105,48 +113,162 @@ def ivf_ann(
         return vectors.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-
-    def _cent_struct(row):
-        cvec = [float(x) for x in row["cvec"]]
-        lit = F.array(*[F.lit(x) for x in cvec])
-        # the norm is a left-fold sum of squares, computed here in Python
-        # with the same fold order as F.aggregate -> bit-identical to the
-        # old Spark-side _norm(cvec)
+    cent_ids = [int(r["centroid_id"]) for r in cent_rows]
+    cmat = np.array(
+        [[float(x) for x in r["cvec"]] for r in cent_rows], dtype=np.float64
+    )
+    # centroid norms: the same left fold the old plan literal carried
+    cnorms = np.empty(len(cmat))
+    for ci, row in enumerate(cmat):
         acc = 0.0
-        for x in cvec:
+        for x in row:
             acc += x * x
-        c_cos = F.round(
-            _dot(F.col("vec"), lit) / (_norm(F.col("vec")) * F.lit(acc**0.5)), 9
+        cnorms[ci] = acc**0.5
+    n_cents, dim = cmat.shape
+
+    @pandas_udf("array<double>")
+    def _cent_cos(vec: pd.Series) -> pd.Series:
+        m = np.array(
+            [r if r is not None else [np.nan] * dim for r in vec],
+            dtype=np.float64,
+        ).reshape(-1, dim)
+        # np.cumsum accumulates sequentially -> bit-identical to the
+        # F.aggregate left fold (np.sum's pairwise order is not)
+        rnorm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+        out = np.empty((len(m), n_cents), dtype=np.float64)
+        for ci in range(n_cents):
+            dots = np.cumsum(m * cmat[ci], axis=1)[:, -1]
+            out[:, ci] = dots / (rnorm * cnorms[ci])
+        return pd.Series(list(out))
+
+    # asNondeterministic: the UDF IS deterministic, but leaving it marked
+    # deterministic lets Catalyst's constraint propagation expand the
+    # file side's `centroid_id = coalesce(slice(array_sort(..UDF..)).., -1)`
+    # alias THROUGH the join equality and infer a probe-side filter that
+    # references the file side's `vec` attribute — which fails reference
+    # binding at runtime (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and even
+    # when it binds it would re-run the whole centroid assignment per
+    # probe row. Nondeterministic expressions are excluded from
+    # constraint generation, which cuts both failure modes off.
+    _cent_cos = _cent_cos.asNondeterministic()
+
+    # rounding + NaN handling + tie-break stay in the JVM plan, exactly
+    # the old semantics: NaN cosine (zero-norm vector/centroid) must
+    # sort FIRST like Window.orderBy(desc) did (NaN > everything in
+    # Spark/DuckDB ordering), so it maps to -inf in the negated sort
+    # key; ascending struct sort == (cosine DESC, centroid_id ASC)
+    cid_lits = F.array(*[F.lit(c).cast("long") for c in cent_ids])
+
+    def _struct_at(i):
+        c = F.round(F.element_at(F.col("__ccos"), i + 1), 9)
+        neg = F.when(F.isnan(c), F.lit(float("-inf"))).otherwise(-c)
+        return F.struct(
+            neg.alias("neg_cos"),
+            F.element_at(cid_lits, i + 1).alias("centroid_id"),
         )
-        # NaN cosine (zero-norm vector/centroid) must sort FIRST like the
-        # old Window.orderBy(desc) did (NaN > everything in Spark/DuckDB
-        # ordering): map it to -inf in the negated sort key — plain
-        # negation would leave NaN, which array_sort puts LAST
+
+    top_cents = F.slice(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_cents - 1)), _struct_at
+            )
+        ),
+        1,
+        nprobe,
+    )
+    # The PROBE side does NOT use the pandas UDF: the two join branches
+    # derive from the same `v` (same expression ids), and Spark's
+    # self-join attribute dedup fails to rewrite references INSIDE a
+    # PythonUDF expression — the deduped ArrowEvalPython still binds the
+    # original `vec` attribute and execution dies with
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. The probe side is the literal
+    # query ids (a handful of rows after parquet pushdown), so it uses
+    # the in-plan literal-fold arithmetic instead — same left-fold order
+    # as the UDF's np.cumsum, hence bit-identical cosines — and the join
+    # then has exactly one Python-UDF branch, which dedup handles.
+    def _cent_struct_fold(cvec_list, centroid_id, vec_c):
+        lit = F.array(*[F.lit(x) for x in cvec_list])
+        acc = 0.0
+        for x in cvec_list:
+            acc += x * x
+        c_cos = F.round(_dot(vec_c, lit) / (_norm(vec_c) * F.lit(acc**0.5)), 9)
         neg = F.when(F.isnan(c_cos), F.lit(float("-inf"))).otherwise(-c_cos)
         return F.struct(
             neg.alias("neg_cos"),
-            F.lit(int(row["centroid_id"])).cast("long").alias("centroid_id"),
+            F.lit(int(centroid_id)).cast("long").alias("centroid_id"),
         )
 
-    # ascending struct sort == (cosine DESC, centroid_id ASC): exactly
-    # the old window's ordering, ties included
-    top_cents = F.slice(
-        F.array_sort(F.array(*[_cent_struct(r) for r in cent_rows])), 1, nprobe
-    )
-    assigned = v.withColumn("top_cents", top_cents)
+    def _top_cents_fold(vec_c):
+        return F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        _cent_struct_fold(
+                            [float(x) for x in r["cvec"]], r["centroid_id"], vec_c
+                        )
+                        for r in cent_rows
+                    ]
+                )
+            ),
+            1,
+            nprobe,
+        )
+
     # rows: each vector listed under its own top-1 centroid (the file);
-    # queries keep top-nprobe centroids (the probe set)
-    file_side = assigned.select(
-        F.col(id_col),
-        F.col("vec"),
-        F.col("top_cents")[0]["centroid_id"].alias("centroid_id"),
+    # queries keep top-nprobe centroids (the probe set).
+    # The join key is wrapped in coalesce(.., -1) to make it provably
+    # NON-NULLABLE: otherwise the optimizer infers an
+    # isnotnull(centroid_id) filter on the join key and pushes it BELOW
+    # the projection, duplicating the ArrowEvalPython node (the pandas
+    # UDF runs twice per file-side row). Keys are never actually null
+    # (cent_rows is non-empty and ids are >= 0, so -1 can't collide).
+    def _key(expr):
+        return F.coalesce(expr, F.lit(-1).cast("long")).alias("centroid_id")
+
+    file_side = (
+        v.withColumn("__ccos", _cent_cos(F.col("vec")))
+        .withColumn("top_cents", top_cents)
+        .select(
+            F.col(id_col),
+            F.col("vec"),
+            _key(F.col("top_cents")[0]["centroid_id"]),
+        )
     )
-    probe_side = assigned.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.explode(
-            F.transform("top_cents", lambda s: s["centroid_id"])
-        ).alias("centroid_id"),
+    # The probe side is a LITERAL frame, not a second scan of `v`: the
+    # query vectors are driver-known inputs (the query_ids list is a
+    # literal, and ANN serving collects its query batch by definition),
+    # and sharing a scan with the file side would make this a self-join
+    # through a pandas UDF — Spark's DeduplicateRelations does not
+    # rewrite attribute references INSIDE PythonUDF expressions, so
+    # whichever deduped branch carries the UDF dies at runtime with
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. The per-query top-nprobe
+    # centroid selection still happens IN-PLAN via the literal fold
+    # (same left-fold order as the UDF's np.cumsum -> identical
+    # cosines, same round/NaN/tie-break expressions).
+    probe_rows = (
+        v.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col), F.col("vec"))
+        .collect()
+    )
+    if not probe_rows:
+        return vectors.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    probe_side = (
+        vectors.sparkSession.createDataFrame(
+            [(int(r[id_col]), [float(x) for x in r["vec"]]) for r in probe_rows],
+            "query_id long, qvec array<double>",
+        )
+        .withColumn("top_cents", _top_cents_fold(F.col("qvec")))
+        .select(
+            "query_id",
+            "qvec",
+            F.explode(
+                F.transform(
+                    "top_cents", lambda s: F.coalesce(s["centroid_id"], F.lit(-1))
+                )
+            ).alias("centroid_id"),
+        )
     )
     cand = file_side.join(F.broadcast(probe_side), "centroid_id").where(
         F.col(id_col) != F.col("query_id")
