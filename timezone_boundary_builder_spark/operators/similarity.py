@@ -156,63 +156,23 @@ def ivf_ann(
     # the old semantics: NaN cosine (zero-norm vector/centroid) must
     # sort FIRST like Window.orderBy(desc) did (NaN > everything in
     # Spark/DuckDB ordering), so it maps to -inf in the negated sort
-    # key; ascending struct sort == (cosine DESC, centroid_id ASC)
-    cid_lits = F.array(*[F.lit(c).cast("long") for c in cent_ids])
-
-    def _struct_at(i):
-        c = F.round(F.element_at(F.col("__ccos"), i + 1), 9)
-        neg = F.when(F.isnan(c), F.lit(float("-inf"))).otherwise(-c)
-        return F.struct(
-            neg.alias("neg_cos"),
-            F.element_at(cid_lits, i + 1).alias("centroid_id"),
-        )
-
-    top_cents = F.slice(
-        F.array_sort(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_cents - 1)), _struct_at
-            )
-        ),
-        1,
-        nprobe,
+    # key; ascending struct sort == (cosine DESC, centroid_id ASC).
+    # Built as ONE F.expr string: the per-index Python construction
+    # (round/when/struct per centroid) cost a py4j round trip per call —
+    # ~650 driver round trips at 80 centroids, several seconds of plan
+    # BUILD time per query. The SQL string parses JVM-side in one call
+    # and resolves to the same expression tree. Only integer centroid
+    # ids are embedded (exact in text); no doubles are round-tripped.
+    cid_sql = ",".join(f"{c}L" for c in cent_ids)
+    top_cents = F.expr(
+        f"slice(array_sort(transform(sequence(0, {n_cents - 1}), "
+        "i -> named_struct("
+        "'neg_cos', CASE WHEN isnan(round(element_at(__ccos, i + 1), 9)) "
+        "THEN CAST('-Infinity' AS DOUBLE) "
+        "ELSE -round(element_at(__ccos, i + 1), 9) END, "
+        f"'centroid_id', element_at(array({cid_sql}), i + 1)))), "
+        f"1, {nprobe})"
     )
-    # The PROBE side does NOT use the pandas UDF: the two join branches
-    # derive from the same `v` (same expression ids), and Spark's
-    # self-join attribute dedup fails to rewrite references INSIDE a
-    # PythonUDF expression — the deduped ArrowEvalPython still binds the
-    # original `vec` attribute and execution dies with
-    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. The probe side is the literal
-    # query ids (a handful of rows after parquet pushdown), so it uses
-    # the in-plan literal-fold arithmetic instead — same left-fold order
-    # as the UDF's np.cumsum, hence bit-identical cosines — and the join
-    # then has exactly one Python-UDF branch, which dedup handles.
-    def _cent_struct_fold(cvec_list, centroid_id, vec_c):
-        lit = F.array(*[F.lit(x) for x in cvec_list])
-        acc = 0.0
-        for x in cvec_list:
-            acc += x * x
-        c_cos = F.round(_dot(vec_c, lit) / (_norm(vec_c) * F.lit(acc**0.5)), 9)
-        neg = F.when(F.isnan(c_cos), F.lit(float("-inf"))).otherwise(-c_cos)
-        return F.struct(
-            neg.alias("neg_cos"),
-            F.lit(int(centroid_id)).cast("long").alias("centroid_id"),
-        )
-
-    def _top_cents_fold(vec_c):
-        return F.slice(
-            F.array_sort(
-                F.array(
-                    *[
-                        _cent_struct_fold(
-                            [float(x) for x in r["cvec"]], r["centroid_id"], vec_c
-                        )
-                        for r in cent_rows
-                    ]
-                )
-            ),
-            1,
-            nprobe,
-        )
 
     # rows: each vector listed under its own top-1 centroid (the file);
     # queries keep top-nprobe centroids (the probe set).
@@ -241,10 +201,10 @@ def ivf_ann(
     # through a pandas UDF — Spark's DeduplicateRelations does not
     # rewrite attribute references INSIDE PythonUDF expressions, so
     # whichever deduped branch carries the UDF dies at runtime with
-    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. The per-query top-nprobe
-    # centroid selection still happens IN-PLAN via the literal fold
-    # (same left-fold order as the UDF's np.cumsum -> identical
-    # cosines, same round/NaN/tie-break expressions).
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. Because the literal frame has
+    # its OWN lineage (no shared expression ids with the file side), it
+    # can safely apply the SAME pandas UDF and the SAME top_cents
+    # expression — identical arithmetic on both sides by construction.
     probe_rows = (
         v.where(F.col(id_col).isin(query_ids))
         .select(F.col(id_col), F.col("vec"))
@@ -259,7 +219,8 @@ def ivf_ann(
             [(int(r[id_col]), [float(x) for x in r["vec"]]) for r in probe_rows],
             "query_id long, qvec array<double>",
         )
-        .withColumn("top_cents", _top_cents_fold(F.col("qvec")))
+        .withColumn("__ccos", _cent_cos(F.col("qvec")))
+        .withColumn("top_cents", top_cents)
         .select(
             "query_id",
             "qvec",
