@@ -384,6 +384,24 @@ def test_ivf_ann_recall_vs_exact(spark):
     assert hits >= 5  # nontrivial recall into the exact head
 
 
+def test_ivf_ann_survives_ragged_and_null_vectors(spark):
+    """A malformed embedding (wrong dimension, or null) must degrade to
+    NaN cosines for that row — never kill the Arrow batch (which at
+    scale fails the whole stage on one dirty record). Well-formed
+    queries still return their full top-k."""
+    from timezone_boundary_builder_spark.operators.similarity import ivf_ann
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(60)]
+    rows[7] = (7, [1.0, 2.0])  # ragged: dim 2 instead of 8
+    rows[9] = (9, None)  # null vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_ann(df, [0, 3], k=3, centroid_stride=10, nprobe=2).toPandas()
+    assert len(out) == 6  # 2 queries x k — malformed rows didn't crash
+    assert set(out.query_id) == {0, 3}
+    # NaN-cosine rows sort into the -inf bucket, never into a real top-k
+    assert 7 not in set(out.neighbor_id) and 9 not in set(out.neighbor_id)
+
+
 def test_embed_neardup_pairs_verified(spark):
     """Every emitted pair satisfies the threshold and id_a < id_b."""
     from timezone_boundary_builder_spark.operators.dedup import embed_neardup_pairs

@@ -128,10 +128,20 @@ def ivf_ann(
 
     @pandas_udf("array<double>")
     def _cent_cos(vec: pd.Series) -> pd.Series:
-        m = np.array(
-            [r if r is not None else [np.nan] * dim for r in vec],
-            dtype=np.float64,
-        ).reshape(-1, dim)
+        try:
+            m = np.array(
+                [r if r is not None else [np.nan] * dim for r in vec],
+                dtype=np.float64,
+            ).reshape(-1, dim)
+        except ValueError:
+            # ragged batch (a row with the wrong dimension): degrade that
+            # row to all-NaN cosines — same "sorts unusably" outcome the
+            # old in-plan fold gave malformed rows — instead of killing
+            # the task (and at scale, the stage) on one dirty record
+            m = np.full((len(vec), dim), np.nan)
+            for i, r in enumerate(vec):
+                if r is not None and len(r) == dim:
+                    m[i] = r
         # np.cumsum accumulates sequentially -> bit-identical to the
         # F.aggregate left fold (np.sum's pairwise order is not)
         rnorm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
