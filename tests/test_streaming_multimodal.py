@@ -402,6 +402,49 @@ def test_ivf_ann_survives_ragged_and_null_vectors(spark):
     assert 7 not in set(out.neighbor_id) and 9 not in set(out.neighbor_id)
 
 
+def test_ivf_build_serve_partition_pruning(spark, tmp_path):
+    """The materialized inverted file serves queries identically to the
+    in-plan ivf_ann, and the probe filter actually PRUNES partitions:
+    the scan touches only the probed centroid directories."""
+    from pyspark.sql import functions as F
+
+    from timezone_boundary_builder_spark.operators.similarity import (
+        ivf_ann,
+        ivf_build,
+        ivf_serve,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 1, 2]
+    direct = sorted(tuple(r) for r in ivf_ann(emb, qids, k=5, nprobe=3).collect())
+    path = str(tmp_path / "ivf")
+    info = ivf_build(emb, path, centroid_stride=25)
+    assert info["n_centroids"] == 20
+    qvecs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(emb.vec_id.isin(qids)).collect()
+    ]
+    served_df = ivf_serve(spark, path, qvecs, k=5, nprobe=3)
+    assert sorted(tuple(r) for r in served_df.collect()) == direct
+    # plan-level evidence: the probe IN-list reached PartitionFilters
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # runtime evidence: a 3-centroid probe touches exactly 3 of the 20
+    # partition files (input_file_name over the same pruned scan)
+    pruned = spark.read.parquet(f"{path}/inverted").where(
+        F.col("centroid_id").isin([0, 100, 150])
+    )
+    touched = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(touched) == 3
+    assert {t.split("centroid_id=")[1].split("/")[0] for t in touched} == {
+        "0",
+        "100",
+        "150",
+    }
+
+
 def test_lsh_multiprobe_masks_shape():
     """Masks cover exactly the Hamming ball: C(n,0..bits) distinct
     masks, popcount bounded, exact bucket (mask 0) first."""

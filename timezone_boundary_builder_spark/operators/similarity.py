@@ -99,20 +99,51 @@ def ivf_ann(
     inverted file is a partitioned table keyed by centroid_id; probing is
     partition pruning — the scan touches nprobe/N_centroids of the data.
     """
-    from pyspark.sql.functions import pandas_udf
+    v = _as_vec(vectors, id_col, vec_col)
+    cent_rows = _collect_centroids(v, centroid_stride, id_col)
+    if not cent_rows:
+        return _empty_ann(vectors.sparkSession)
+    cent_cos, top_cents = _ivf_quantizer(cent_rows, nprobe)
+    file_side = _ivf_file_side(v, cent_cos, top_cents, id_col)
+    probe_side = _ivf_probe_side(
+        vectors.sparkSession, v, query_ids, cent_cos, top_cents, id_col
+    )
+    if probe_side is None:
+        return _empty_ann(vectors.sparkSession)
+    cand = file_side.join(F.broadcast(probe_side), "centroid_id").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    return _score_topk(cand, id_col, k)
 
-    v = vectors.select(
+
+def _as_vec(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return vectors.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
+
+
+def _empty_ann(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double, rank int"
+    )
+
+
+def _collect_centroids(v: DataFrame, centroid_stride: int, id_col: str) -> list:
     cents = v.where(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("centroid_id"), F.col("vec").alias("cvec")
     )
-    cent_rows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
-    if not cent_rows:
-        return vectors.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
-        )
+    return sorted(cents.collect(), key=lambda r: r["centroid_id"])
+
+
+def _ivf_quantizer(cent_rows: list, nprobe: int):
+    """(cent_cos UDF, top_cents Column) for a pinned centroid set.
+
+    The UDF emits each row's per-centroid cosine array in one Arrow
+    batch; top_cents ranks them JVM-side and keeps the top nprobe.
+    """
+    from pyspark.sql.functions import pandas_udf
+
     cent_ids = [int(r["centroid_id"]) for r in cent_rows]
     cmat = np.array(
         [[float(x) for x in r["cvec"]] for r in cent_rows], dtype=np.float64
@@ -183,53 +214,63 @@ def ivf_ann(
         f"'centroid_id', element_at(array({cid_sql}), i + 1)))), "
         f"1, {nprobe})"
     )
+    return _cent_cos, top_cents
 
-    # rows: each vector listed under its own top-1 centroid (the file);
-    # queries keep top-nprobe centroids (the probe set).
+
+def _ivf_key(expr):
     # The join key is wrapped in coalesce(.., -1) to make it provably
     # NON-NULLABLE: otherwise the optimizer infers an
     # isnotnull(centroid_id) filter on the join key and pushes it BELOW
     # the projection, duplicating the ArrowEvalPython node (the pandas
     # UDF runs twice per file-side row). Keys are never actually null
     # (cent_rows is non-empty and ids are >= 0, so -1 can't collide).
-    def _key(expr):
-        return F.coalesce(expr, F.lit(-1).cast("long")).alias("centroid_id")
+    return F.coalesce(expr, F.lit(-1).cast("long")).alias("centroid_id")
 
-    file_side = (
-        v.withColumn("__ccos", _cent_cos(F.col("vec")))
+
+def _ivf_file_side(v: DataFrame, cent_cos, top_cents, id_col: str) -> DataFrame:
+    # each vector listed under its own top-1 centroid (the file): pure
+    # map-side — no shuffle to assign
+    return (
+        v.withColumn("__ccos", cent_cos(F.col("vec")))
         .withColumn("top_cents", top_cents)
         .select(
             F.col(id_col),
             F.col("vec"),
-            _key(F.col("top_cents")[0]["centroid_id"]),
+            _ivf_key(F.col("top_cents")[0]["centroid_id"]),
         )
     )
-    # The probe side is a LITERAL frame, not a second scan of `v`: the
-    # query vectors are driver-known inputs (the query_ids list is a
-    # literal, and ANN serving collects its query batch by definition),
-    # and sharing a scan with the file side would make this a self-join
-    # through a pandas UDF — Spark's DeduplicateRelations does not
-    # rewrite attribute references INSIDE PythonUDF expressions, so
-    # whichever deduped branch carries the UDF dies at runtime with
-    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. Because the literal frame has
-    # its OWN lineage (no shared expression ids with the file side), it
-    # can safely apply the SAME pandas UDF and the SAME top_cents
-    # expression — identical arithmetic on both sides by construction.
+
+
+def _ivf_probe_side(
+    spark, v: DataFrame, query_ids: list[int], cent_cos, top_cents, id_col: str
+):
+    """Queries exploded to their top-nprobe centroids (the probe set).
+
+    A LITERAL frame, not a second scan of `v`: the query vectors are
+    driver-known inputs (the query_ids list is a literal, and ANN
+    serving collects its query batch by definition), and sharing a scan
+    with the file side would make this a self-join through a pandas UDF
+    — Spark's DeduplicateRelations does not rewrite attribute references
+    INSIDE PythonUDF expressions, so whichever deduped branch carries
+    the UDF dies at runtime with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND.
+    Because the literal frame has its OWN lineage (no shared expression
+    ids with the file side), it can safely apply the SAME pandas UDF and
+    the SAME top_cents expression — identical arithmetic on both sides
+    by construction. Returns None when no query id exists in the table.
+    """
     probe_rows = (
         v.where(F.col(id_col).isin(query_ids))
         .select(F.col(id_col), F.col("vec"))
         .collect()
     )
     if not probe_rows:
-        return vectors.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
-        )
-    probe_side = (
-        vectors.sparkSession.createDataFrame(
+        return None
+    return (
+        spark.createDataFrame(
             [(int(r[id_col]), [float(x) for x in r["vec"]]) for r in probe_rows],
             "query_id long, qvec array<double>",
         )
-        .withColumn("__ccos", _cent_cos(F.col("qvec")))
+        .withColumn("__ccos", cent_cos(F.col("qvec")))
         .withColumn("top_cents", top_cents)
         .select(
             "query_id",
@@ -241,9 +282,10 @@ def ivf_ann(
             ).alias("centroid_id"),
         )
     )
-    cand = file_side.join(F.broadcast(probe_side), "centroid_id").where(
-        F.col(id_col) != F.col("query_id")
-    )
+
+
+def _score_topk(cand: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Exact cosine re-rank of (vec, qvec) candidate pairs -> top k."""
     sim = _dot(F.col("vec"), F.col("qvec")) / (
         _norm(F.col("vec")) * _norm(F.col("qvec"))
     )
@@ -256,6 +298,98 @@ def ivf_ann(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_build(
+    vectors: DataFrame,
+    path: str,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the inverted file as a parquet table PARTITIONED BY
+    centroid_id (``<path>/inverted``), plus the pinned centroids
+    (``<path>/centroids``).
+
+    This is the persisted form of ivf_ann's file side — at 10^12 rows
+    the build runs once and every query batch afterwards touches only
+    its probed partitions (see ivf_serve). Assignment is the same
+    map-side Arrow pass as ivf_ann; the single shuffle here is the
+    repartition by centroid_id so each list lands in few files instead
+    of every task writing a sliver of every partition.
+    """
+    v = _as_vec(vectors, id_col, vec_col)
+    cent_rows = _collect_centroids(v, centroid_stride, id_col)
+    if not cent_rows:
+        raise ValueError("ivf_build: no centroids (empty input?)")
+    cent_cos, top1 = _ivf_quantizer(cent_rows, nprobe=1)
+    file_side = _ivf_file_side(v, cent_cos, top1, id_col)
+    file_side.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{path}/inverted")
+    vectors.sparkSession.createDataFrame(
+        [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in cent_rows],
+        "centroid_id long, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return {"n_centroids": len(cent_rows), "path": path}
+
+
+def ivf_serve(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve ANN queries from a materialized inverted file (ivf_build):
+    probe-list selection runs on the literal query batch, and the
+    inverted-file scan is filtered to the probed centroid_ids — which is
+    PARTITION PRUNING on the build layout, so the scan reads
+    ~nprobe/N_centroids of the table instead of all of it. Results are
+    identical to ivf_ann over the same data (same quantizer arithmetic,
+    same re-rank)."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    if not cent_rows or not queries:
+        return _empty_ann(spark)
+    cent_cos, top_cents = _ivf_quantizer(cent_rows, nprobe)
+    probe_side = (
+        spark.createDataFrame(
+            [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+            "query_id long, qvec array<double>",
+        )
+        .withColumn("__ccos", cent_cos(F.col("qvec")))
+        .withColumn("top_cents", top_cents)
+        .select(
+            "query_id",
+            "qvec",
+            F.explode(
+                F.transform(
+                    "top_cents", lambda s: F.coalesce(s["centroid_id"], F.lit(-1))
+                )
+            ).alias("centroid_id"),
+        )
+    )
+    # the probe set must be plan-time literals for the scan to prune
+    # partitions, so the tiny literal-frame job runs eagerly here
+    probed = sorted({int(r["centroid_id"]) for r in probe_side.collect()})
+    inverted = spark.read.parquet(f"{path}/inverted").where(
+        F.col("centroid_id").isin(probed)
+    )
+    # partition-column inference may type centroid_id as int; normalize
+    # AFTER the pruning filter so the filter stays on the raw column
+    inverted = inverted.select(
+        F.col(id_col),
+        F.col("vec"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+    )
+    cand = inverted.join(F.broadcast(probe_side), "centroid_id").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    return _score_topk(cand, id_col, k)
 
 
 def lsh_multiprobe_masks(n_planes: int, multiprobe_bits: int) -> list[int]:
