@@ -223,3 +223,60 @@ def test_round_checkpoints_released(spark):
     # only the FINAL round's checkpoint (consumed by the returned frame)
     # may remain beyond the pre-call state
     assert n_persisted() <= before + 1, (before, n_persisted())
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    """A doc sharing one 8-gram with the benchmark is flagged with the
+    right distinct-overlap count; clean docs are not; a short benchmark
+    doc (< n words) contaminates only its exact short-shingle match."""
+    from timezone_boundary_builder_spark.operators.dedup import decontaminate
+
+    gram = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {gram} trailing words here"),  # shares the 8-gram
+            (2, "completely different content with no overlap at all ok"),
+            (3, "tiny doc"),  # exact match of the short benchmark doc
+            (4, "tiny doc plus extra words making other eight grams only"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"{gram} and some benchmark tail"), (101, "tiny doc")],
+        "bench_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in decontaminate(docs, bench, n=8, bench_text_col="text").collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)  # short-shingle exact match
+    # doc 4 contains the words "tiny doc" but its 8-grams differ from the
+    # benchmark's short shingle, so it is clean
+    assert out[4] == (0, False)
+
+
+def test_redact_pii_exact_output(spark):
+    """Redaction replaces each PII kind with its placeholder, counts are
+    taken sequentially on the progressively-redacted text, and non-PII
+    text is untouched. An '@host' with a bare-IP domain is NOT an email
+    (no alphabetic TLD) — the dotted quad inside it is still caught by
+    the IP pass, so the address leaks no PII either way."""
+    from timezone_boundary_builder_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@site.org ip 192.168.0.1 tel +123456789 end"),
+            (2, "user@10.0.0.5 hides a dotted quad in its domain"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert rows[1].text == "mail <EMAIL> ip <IP> tel <PHONE> end"
+    assert (rows[1].n_emails, rows[1].n_ips, rows[1].n_phones) == (1, 1, 1)
+    assert rows[2].text == "user@<IP> hides a dotted quad in its domain"
+    assert (rows[2].n_emails, rows[2].n_ips, rows[2].n_phones) == (0, 1, 0)
+    assert rows[3].text == "nothing sensitive here"
+    assert (rows[3].n_emails, rows[3].n_ips, rows[3].n_phones) == (0, 0, 0)

@@ -409,3 +409,47 @@ def ngram_jaccard_pairs(
     return joined.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination detection: flag every training doc that
+    shares at least one word n-gram with a benchmark/eval set, with the
+    count of distinct overlapping n-grams. The standard pre-training
+    hygiene pass (the reference pipelines drop or flag such docs before
+    packing).
+
+    Scale shape: the benchmark's distinct n-grams are BROADCAST (eval
+    sets are tiny next to the corpus), so the corpus side is a map-only
+    explode + broadcast-hash semi-probe — no corpus-wide shuffle. Only
+    the hit rows (a sliver, in a clean corpus) reach the per-doc
+    count-distinct aggregation; the final per-doc flag join moves one
+    row per doc. Shingling matches minhash_signatures: docs shorter than
+    n words contribute their single short shingle, identically on both
+    engine and oracle sides.
+    """
+    def _shingles(frame: DataFrame, col: str, keep_id: bool) -> DataFrame:
+        words = F.split(F.trim(F.col(col)), r"\s+")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        cols = ([F.col(id_col)] if keep_id else []) + [F.explode(sh).alias("shingle")]
+        return frame.select(*cols)
+
+    bench_sh = _shingles(benchmark, bench_text_col, keep_id=False).distinct()
+    hits = _shingles(docs, text_col, keep_id=True).join(
+        F.broadcast(bench_sh), "shingle"
+    )
+    per_doc = hits.groupBy(id_col).agg(
+        F.count_distinct("shingle").alias("n_overlap")
+    )
+    return docs.select(id_col).join(F.broadcast(per_doc), id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -184,3 +184,36 @@ def repetition_signals(
         ).alias("dup_word_frac"),
         F.round(F.col("top_gram") / F.col("n_grams"), 6).alias("top_bigram_frac"),
     )
+
+
+# PII redaction patterns, applied IN ORDER on the progressively-redacted
+# text (emails first so an IP-like dotted host inside an email domain is
+# counted once, as part of the email). Patterns are restricted to syntax
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookaround, no backrefs.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{9,15}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: emails, IPv4 addresses, and
+    international phone numbers are replaced by typed placeholder tokens,
+    with a per-doc count of each kind. Pure chained regexp_replace /
+    regexp_count — JVM-side, whole-stage codegen, no shuffle: scales as a
+    projection. Counts are taken on the text as it stands BEFORE that
+    pattern's replacement (sequential semantics, mirrored by the oracle).
+
+    Adds columns: n_emails, n_ips, n_phones (long) and replaces text_col
+    with the redacted text.
+    """
+    out = df
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}s"))
+        cur = F.regexp_replace(cur, pat, rep)
+    keep = [c for c in df.columns if c != text_col]
+    return out.select(*keep, cur.alias(text_col), *counts)
