@@ -1209,6 +1209,35 @@ def _q_sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_RATES, MIX_SEED = {"src0": 1.0, "src1": 0.5, "src3": 0.25, "src7": 0.1}, 7
+
+
+def _q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight downsampling (domain rebalancing before packing):
+    four sources kept at rates 1.0/0.5/0.25/0.1, everything else dropped
+    (an explicit mixture is a whitelist). Map-only CASE-threshold filter
+    on the md5(id|seed) hash space — deterministic at any cluster size."""
+    from timezone_boundary_builder_spark.operators.sampling import mix_sources
+
+    return mix_sources(_docs(spark, sf_dir), MIX_RATES, seed=MIX_SEED).select(
+        "doc_id", "source"
+    )
+
+
+def _mix_sources_sql() -> str:
+    def thr(rate: float) -> str:
+        return "g" * 8 if rate >= 1.0 else format(int(rate * 16**8), "08x")
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{thr(r)}'" for s, r in sorted(MIX_RATES.items())
+    )
+    return (
+        "SELECT doc_id, source FROM documents "
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|{MIX_SEED}'), 1, 8) < "
+        f"CASE source {cases} ELSE '{thr(0.0)}' END"
+    )
+
+
 def _q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: whitespace token counts -> 8
     deterministic shards -> per-shard hash-ordered greedy fill at 2000
@@ -1754,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_served": _q_ann_ivf_served,
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
+        "mix_sources": _q_mix_sources,
         "geo_zone_lookup": _q_geo_zone_lookup,
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -1777,7 +1807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_shipping_priority": _q_rel_shipping_priority,
         "rel_customer_order_stats": _q_rel_customer_order_stats,
         "events_sessions": _q_events_sessions,
-        "geo_validate_overlaps": _q_geo_validate_overlaps,
         "geo_combined_outputs": _q_geo_combined_outputs,
         "geo_pip_assign": _q_geo_pip_assign,
         "geo_knn_assign": _q_geo_knn_assign,
@@ -1789,7 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_maintenance": _q_pages_maintenance,
         "geo_lineage_conservation": _q_geo_lineage_conservation,
         "geo_zone_filter_prune": _q_geo_zone_filter_prune,
-        # trailing 16: operator source untouched in round 4, at least
+        # trailing 17: operator source untouched in round 4, at least
         # double-green in prior driver rounds (mechanized by
         # tests/test_entry_oracle.py::
         # test_trailing_queries_are_multi_green_in_prior_rounds), each
@@ -1820,10 +1849,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rel_customer_order_stats + rel_shipping_priority in the head,
         # geo_zone_build (zone_build.py untouched this round) by
         # geo_real_config_build + geo_zone_filter_prune in the head
-        # (same op-fold machinery at the real 419/441 shape)
+        # (same op-fold machinery at the real 419/441 shape),
+        # geo_validate_overlaps (validate.py untouched) by
+        # geo_real_config_build whose DAG runs the same pairwise
+        # validation at the real 419-zone shape
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
         "geo_zone_build": _q_geo_zone_build,
+        "geo_validate_overlaps": _q_geo_validate_overlaps,
         "events_windowed": _q_events_windowed,
         "geo_ocean_zones": _q_geo_ocean_zones,
         "geo_tz_groups": _q_geo_tz_groups,
@@ -2501,6 +2534,7 @@ FROM pw JOIN pg ON pw.doc_id = pg.doc_id"""
         "ann_ivf_served": _ivf_sql(),
         "decontaminate": _decontaminate_sql(),
         "pii_redact": _pii_redact_sql(),
+        "mix_sources": _mix_sources_sql(),
         "dedup_embed_cosine": _embed_neardup_sql(),
         "rel_shipping_priority": """
             SELECT l_orderkey, o_orderdate,

@@ -280,3 +280,35 @@ def test_redact_pii_exact_output(spark):
     assert (rows[2].n_emails, rows[2].n_ips, rows[2].n_phones) == (0, 1, 0)
     assert rows[3].text == "nothing sensitive here"
     assert (rows[3].n_emails, rows[3].n_ips, rows[3].n_phones) == (0, 0, 0)
+
+
+def test_mix_sources_rates_and_whitelist(spark):
+    """rate 1.0 keeps every row of its source, unlisted sources are
+    dropped (explicit mixture = whitelist), intermediate rates keep a
+    deterministic subset that shrinks monotonically with the rate, and
+    default_rate resurrects unlisted sources."""
+    from pyspark.sql import functions as F
+
+    from timezone_boundary_builder_spark.operators.sampling import mix_sources
+
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources(df, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, seed=7)
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["src0"] == 100          # rate 1.0: everything
+    assert "src3" not in by_src           # unlisted: dropped
+    assert 20 < by_src["src1"] < 80       # ~50 of 100
+    assert 0 < by_src["src2"] < by_src["src1"]  # lower rate -> fewer
+    # determinism: the same call selects the same rows
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in mix_sources(df, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, seed=7).collect()
+    )
+    assert a == b
+    # default_rate keeps unlisted sources at the fallback rate
+    fallback = mix_sources(df, {"src0": 1.0}, seed=7, default_rate=1.0)
+    assert fallback.count() == 400

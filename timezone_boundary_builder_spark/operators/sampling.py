@@ -95,3 +95,39 @@ def sample_hash_fraction(
     return df.where(
         F.substring(hash_order_col(id_col, seed), 1, _HEX_DIGITS) < F.lit(thr)
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Mixture-weight downsampling: keep each row independently with the
+    RATE OF ITS SOURCE — how a training pipeline rebalances domains
+    (e.g. wiki x1.0, commoncrawl x0.1) before packing. Deterministic and
+    engine-independent like sample_hash_fraction (same md5(id|seed)
+    hash-space threshold per row), so the mixed corpus is auditable and
+    reproducible at any cluster size.
+
+    Map-only: the per-source thresholds are a CASE expression over the
+    rates dict (driver-known, like every mixture config) — no join, no
+    shuffle, the filter sits directly on the scan. Sources absent from
+    `rates` get default_rate (0.0 = dropped: an explicit mixture is a
+    whitelist).
+    """
+    def _thr(rate: float) -> str:
+        rate = max(0.0, min(1.0, rate))
+        if rate >= 1.0:
+            # past the 8-hex space: every hash compares below
+            return "g" * _HEX_DIGITS
+        return format(int(rate * 16**_HEX_DIGITS), f"0{_HEX_DIGITS}x")
+
+    thr = F.lit(_thr(default_rate))
+    for src, rate in sorted(rates.items()):
+        thr = F.when(F.col(source_col) == src, F.lit(_thr(rate))).otherwise(thr)
+    return df.where(
+        F.substring(hash_order_col(id_col, seed), 1, _HEX_DIGITS) < thr
+    )
