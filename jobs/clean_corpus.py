@@ -16,7 +16,14 @@ thresholds — rerunning with nothing changed is all manifest hits):
     exact      exact dedup (normalized-md5 window, keep min doc_id)
     neardup    MinHash -> LSH bands -> exact n-gram-Jaccard verify ->
                connected components; keep each cluster's representative
+    decon      (opt, --decontaminate-parquet) drop docs sharing an n-gram
+               with a benchmark/eval set
+    mix        (opt, --mix-rates) mixture-weight rebalancing over --mix-col
     pack       deterministic shard + token-budget batch assignment
+
+PII redaction (--redact-pii) is not a stage: it rewrites the text at
+ingest, so every gate, hash, and packed doc downstream sees redacted
+bytes; totals are reported under stages.pii.
 
 Output: cleaned corpus parquet (doc_id, lang, ws_tokens, shard,
 batch_id), a per-partition lineage table, and ONE JSON line of per-stage
@@ -84,6 +91,19 @@ def main(argv=None) -> int:
     p.add_argument("--max-top-word-frac", type=float, default=1.0)
     p.add_argument("--max-dup-word-frac", type=float, default=1.0)
     p.add_argument("--jaccard", type=float, default=0.8)
+    # optional hygiene / rebalancing stages (all off by default)
+    p.add_argument("--redact-pii", action="store_true",
+                   help="strip emails/IPv4s/phones before any gate sees the text")
+    p.add_argument("--decontaminate-parquet", default=None,
+                   help="benchmark/eval parquet (needs a text column): drop "
+                        "every doc sharing an n-gram with it")
+    p.add_argument("--decon-ngram", type=int, default=8)
+    p.add_argument("--mix-rates", default=None,
+                   help='JSON dict of per-value keep rates over --mix-col, '
+                        'e.g. \'{"en": 1.0, "de": 0.25}\' — values absent '
+                        "from the dict are DROPPED")
+    p.add_argument("--mix-col", default="lang")
+    p.add_argument("--mix-seed", type=int, default=7)
     p.add_argument("--token-budget", type=float, default=2048.0)
     p.add_argument("--n-shards", type=int, default=16)
     args = p.parse_args(argv)
@@ -136,6 +156,16 @@ def main(argv=None) -> int:
     else:
         docs = spark.read.parquet(args.docs_parquet).select("doc_id", "text", "lang")
         source_key = f"{args.docs_parquet}|{_input_fingerprint(args.docs_parquet)}"
+    if args.redact_pii:
+        from timezone_boundary_builder_spark.operators.text import redact_pii
+
+        red = redact_pii(docs)
+        pii_totals = red.agg(
+            F.sum("n_emails").alias("e"),
+            F.sum("n_ips").alias("i"),
+            F.sum("n_phones").alias("p"),
+        ).collect()[0]
+        docs = red.drop("n_emails", "n_ips", "n_phones")
     n_in = docs.count()
     # stage keys scope each threshold to the stages it affects: a
     # --jaccard change must not recompute quality/exact
@@ -148,8 +178,15 @@ def main(argv=None) -> int:
         str(args.max_top_bigram_frac),
         str(args.max_top_word_frac),
         str(args.max_dup_word_frac),
+        f"pii={args.redact_pii}",
     )
     stages = {"input": {"rows": n_in}}
+    if args.redact_pii:
+        stages["pii"] = {
+            "emails": int(pii_totals["e"] or 0),
+            "ips": int(pii_totals["i"] or 0),
+            "phones": int(pii_totals["p"] or 0),
+        }
 
     # --- quality gates: codegen'd features + repetition signals --------
     def compute_quality():
@@ -208,10 +245,63 @@ def main(argv=None) -> int:
     )
     stages["neardup"] = {"cached": cached_n, "rows": neardup.count()}
 
+    # --- optional: train/eval decontamination ----------------------------
+    current = neardup
+    decon_key = ""
+    if args.decontaminate_parquet:
+        from timezone_boundary_builder_spark.operators.dedup import decontaminate
+
+        decon_key = (
+            f"{args.decon_ngram}|{args.decontaminate_parquet}|"
+            f"{_input_fingerprint(args.decontaminate_parquet)}"
+        )
+
+        prev_d = current
+
+        def compute_decon():
+            bench = spark.read.parquet(args.decontaminate_parquet).select("text")
+            flagged = decontaminate(
+                prev_d, bench, n=args.decon_ngram, bench_text_col="text"
+            ).where(F.col("contaminated"))
+            return prev_d.join(
+                flagged.select("doc_id"), "doc_id", "left_anti"
+            )
+
+        current, cached_d = manifest.run_stage(
+            spark,
+            "decon",
+            fingerprint("decon", gate_fp, str(args.jaccard), decon_key),
+            compute_decon,
+        )
+        stages["decon"] = {"cached": cached_d, "rows": current.count()}
+
+    # --- optional: mixture-weight rebalancing ----------------------------
+    mix_key = ""
+    if args.mix_rates:
+        from timezone_boundary_builder_spark.operators.sampling import mix_sources
+
+        rates = {str(k): float(v) for k, v in json.loads(args.mix_rates).items()}
+        mix_key = f"{json.dumps(rates, sort_keys=True)}|{args.mix_col}|{args.mix_seed}"
+        prev = current
+
+        def compute_mix():
+            return mix_sources(
+                prev, rates, source_col=args.mix_col, id_col="doc_id",
+                seed=args.mix_seed,
+            )
+
+        current, cached_m = manifest.run_stage(
+            spark,
+            "mix",
+            fingerprint("mix", gate_fp, str(args.jaccard), decon_key, mix_key),
+            compute_mix,
+        )
+        stages["mix"] = {"cached": cached_m, "rows": current.count()}
+
     # --- token-budget packing -------------------------------------------
     def compute_pack():
         return pack_token_batches(
-            neardup.select("doc_id", "lang", "lang_pred", "ws_tokens"),
+            current.select("doc_id", "lang", "lang_pred", "ws_tokens"),
             "doc_id",
             "ws_tokens",
             budget=args.token_budget,
@@ -222,7 +312,8 @@ def main(argv=None) -> int:
         spark,
         "pack",
         fingerprint(
-            "pack", gate_fp, str(args.jaccard), str(args.token_budget), str(args.n_shards)
+            "pack", gate_fp, str(args.jaccard), decon_key, mix_key,
+            str(args.token_budget), str(args.n_shards),
         ),
         compute_pack,
     )
