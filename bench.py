@@ -357,6 +357,10 @@ def timed_queries(spark: SparkSession) -> dict[str, float]:
         "geo_tiles_skew",
         "multimodal_decode",
         "ann_recall",
+        # round-4 hygiene additions (cheap map-side/broadcast shapes)
+        "decontaminate",
+        "pii_redact",
+        "mix_sources",
         "ann_cosine_topk",
         "rel_pricing_summary",
         "rel_top_customer_per_nation",
