@@ -98,6 +98,9 @@ def ivf_ann(
     cosine re-ranks only the vectors in those lists. At 10^12 rows the
     inverted file is a partitioned table keyed by centroid_id; probing is
     partition pruning — the scan touches nprobe/N_centroids of the data.
+    That persisted form is implemented: ``ivf_build`` materializes the
+    partitioned table, ``ivf_serve`` answers from it with the probe list
+    as PartitionFilters, value-identical to this in-plan path.
     """
     v = _as_vec(vectors, id_col, vec_col)
     cent_rows = _collect_centroids(v, centroid_stride, id_col)
