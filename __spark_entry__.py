@@ -1315,6 +1315,7 @@ def _q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_multimodal.py::test_ivf_build_serve_partition_pruning).
     Same quantizer arithmetic and re-rank as ivf_ann, hence the same
     oracle SQL."""
+    import hashlib
     import tempfile
 
     from timezone_boundary_builder_spark.operators.similarity import (
@@ -1323,7 +1324,13 @@ def _q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    path = tempfile.mkdtemp(prefix="ann_ivf_served_")
+    # deterministic per-input path, OVERWRITTEN by each build: a fresh
+    # mkdtemp per invocation would leave a full inverted-file copy of
+    # the embeddings table in /tmp on every driver sample / oracle run
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ann_ivf_served_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
     ivf_build(emb, path, centroid_stride=IVF_STRIDE)
     qvecs = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -1784,6 +1791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
         "mix_sources": _q_mix_sources,
+        "sample_stratified": _q_sample_stratified,
+        "sample_hash_fraction": _q_sample_hash_fraction,
+        "pack_batches": _q_pack_batches,
         "geo_zone_lookup": _q_geo_zone_lookup,
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -1805,14 +1815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_page_counts": _q_tiles_page_counts,
         # unchanged operators, rotating through the sample
         "rel_shipping_priority": _q_rel_shipping_priority,
-        "rel_customer_order_stats": _q_rel_customer_order_stats,
-        "events_sessions": _q_events_sessions,
+
         "geo_combined_outputs": _q_geo_combined_outputs,
         "geo_pip_assign": _q_geo_pip_assign,
         "geo_knn_assign": _q_geo_knn_assign,
         "geo_tz_real_groups": _q_geo_tz_real_groups,
         "geo_derived_now_oceans": _q_geo_derived_now_oceans,
-        "geo_lint_config": _q_geo_lint_config,
         "geo_real_config_build": _q_geo_real_config_build,
         "geo_manifest_resume": _q_geo_manifest_resume,
         "pages_maintenance": _q_pages_maintenance,
@@ -1832,9 +1840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the three sibling rel_* queries in the head (same plain
         # DataFrame/SQL relational path over unchanged inputs),
         # geocode_extract by geo_pip_assign (shared coordinate
-        # plumbing), sample_stratified / pack_batches /
-        # sample_hash_fraction (sampling.py untouched) by each other's
-        # prior double-greens and the pytest mirror,
+        # plumbing),
+        # rel_customer_order_stats / events_sessions by their rel_* /
+        # events_windowed siblings' prior greens (plain relational and
+        # window paths over unchanged inputs),
+        # geo_lint_config (lint.py untouched) by geo_real_config_build
+        # in the head whose DAG runs the same lint at the real shape,
         # geo_tz_groups / geo_derived_1970 (tz_fingerprint.py /
         # derived.py untouched) by geo_tz_real_groups +
         # geo_derived_now_oceans in the head (same fingerprint grouping
@@ -1855,20 +1866,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # validation at the real 419-zone shape
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
+        "rel_customer_order_stats": _q_rel_customer_order_stats,
+        "events_sessions": _q_events_sessions,
+        "geo_lint_config": _q_geo_lint_config,
         "geo_zone_build": _q_geo_zone_build,
         "geo_validate_overlaps": _q_geo_validate_overlaps,
         "events_windowed": _q_events_windowed,
         "geo_ocean_zones": _q_geo_ocean_zones,
         "geo_tz_groups": _q_geo_tz_groups,
         "geo_derived_1970": _q_geo_derived_1970,
-        "sample_hash_fraction": _q_sample_hash_fraction,
         "dedup_url": _q_dedup_url,
         "geo_cell_covers": _q_geo_cell_covers,
         "geo_ring_assembly": _q_geo_ring_assembly,
         "geo_source_union": _q_geo_source_union,
         "geocode_extract": _q_geocode_extract,
-        "sample_stratified": _q_sample_stratified,
-        "pack_batches": _q_pack_batches,
         "geo_release_diff": _q_geo_release_diff,
     }
 

@@ -35,6 +35,7 @@ import os
 import shutil
 import sys
 import time
+import uuid
 
 
 def main(argv=None) -> int:
@@ -196,6 +197,17 @@ def main(argv=None) -> int:
         shutil.rmtree(staging_path, ignore_errors=True)
         shutil.rmtree(lineage_staging, ignore_errors=True)
         raise AssertionError("text passthrough invariant violated")
+    # The two promotes cannot be one atomic rename (rename(2) cannot swap
+    # non-empty directories), so a crash between them CAN leave a new
+    # output next to the previous run's lineage. Make that torn state
+    # DETECTABLE: both staged dirs carry the same _publish.json (the
+    # underscore prefix hides it from parquet readers) — a consumer that
+    # needs the pair consistent compares the two publish_ids, and the
+    # next run heals the tear by rewriting both.
+    publish = {"publish_id": uuid.uuid4().hex, "snapshot": sid}
+    for staged in (staging_path, lineage_staging):
+        with open(os.path.join(staged, "_publish.json"), "w") as f:
+            json.dump(publish, f)
     for staged, final in ((staging_path, final_path), (lineage_staging, lineage_final)):
         if os.path.exists(final):
             shutil.rmtree(final)

@@ -295,6 +295,16 @@ def main(argv=None) -> int:
                 derive_zone_groups(spark, ztab, s, cutoffs[s], 2082758400)
                 for s in strategies
             ]
+            if not parts:
+                # both derived products skipped: an empty grouping (the
+                # downstream derived stages are skipped too, but the
+                # stage itself must still produce a frame for the
+                # manifest and the stage-rows accounting)
+                return spark.createDataFrame(
+                    [],
+                    "strategy string, rep_tzid string, "
+                    "member_tzid string, population long",
+                )
             out = parts[0]
             for pt in parts[1:]:
                 out = out.unionByName(pt)
@@ -358,7 +368,19 @@ def main(argv=None) -> int:
     # with-oceans variants: group reps absorb member ocean bands
     # (index.js:941-1009); those oceans are then skipped as standalone
     # features (hasAlikeIn1970/Now, index.js:1367-1374)
-    groups_df = spark.createDataFrame(groups_pdf)
+    # explicit schema when the grouping is empty (both derived products
+    # skipped): createDataFrame cannot infer types from an empty pandas
+    # frame; all downstream uses loop over `strategies`, so the empty
+    # frame is only ever a placeholder
+    groups_df = (
+        spark.createDataFrame(groups_pdf)
+        if len(groups_pdf)
+        else spark.createDataFrame(
+            [],
+            "strategy string, rep_tzid string, member_tzid string, "
+            "population long",
+        )
+    )
     oceans_fp = manifest._data["oceans"]["output_hash"]
     with_oceans_products = {}
     ocean_skip = {}

@@ -156,17 +156,23 @@ def main(argv=None) -> int:
     else:
         docs = spark.read.parquet(args.docs_parquet).select("doc_id", "text", "lang")
         source_key = f"{args.docs_parquet}|{_input_fingerprint(args.docs_parquet)}"
+    # one input scan computes the row count AND (when enabled) the PII
+    # totals — a separate totals aggregate would cost a second full
+    # redaction pass on EVERY run, including fully manifest-cached ones
     if args.redact_pii:
         from timezone_boundary_builder_spark.operators.text import redact_pii
 
         red = redact_pii(docs)
-        pii_totals = red.agg(
+        row = red.agg(
+            F.count(F.lit(1)).alias("n"),
             F.sum("n_emails").alias("e"),
             F.sum("n_ips").alias("i"),
             F.sum("n_phones").alias("p"),
         ).collect()[0]
+        n_in, pii_totals = row["n"], row
         docs = red.drop("n_emails", "n_ips", "n_phones")
-    n_in = docs.count()
+    else:
+        n_in = docs.count()
     # stage keys scope each threshold to the stages it affects: a
     # --jaccard change must not recompute quality/exact
     gate_fp = fingerprint(

@@ -54,6 +54,15 @@ def test_assign_job_runs_and_resumes(pages_root, tmp_path):
     # the synthetic mix covers every method incl. offshore knn
     assert set(r1["methods"]) >= {"cell", "knn", "ocean", "none"}
     assert r1["lineage_partitions"] >= 1
+    # torn-publish detectability: output and lineage carry the SAME
+    # publish marker (a crash between the two promote renames would
+    # leave mismatched ids for consumers to detect)
+    pub = [
+        json.load(open(os.path.join(out, d, "_publish.json")))
+        for d in ("assigned_pages", "lineage")
+    ]
+    assert pub[0]["publish_id"] == pub[1]["publish_id"]
+    assert pub[0]["snapshot"] == r1["snapshot"]
     r2 = _run(pages_root, work, out)
     assert r2["cached"] is True
     assert r2["methods"] == r1["methods"]

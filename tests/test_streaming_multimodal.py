@@ -445,6 +445,41 @@ def test_ivf_build_serve_partition_pruning(spark, tmp_path):
     }
 
 
+def test_ivf_ann_uniform_wrong_dim_batch(spark):
+    """An Arrow batch whose rows ALL share the same wrong dimension must
+    degrade to NaN like the ragged case — with n*L divisible by dim, a
+    reshape-based check would silently 'succeed' with the wrong row
+    count and kill the task on a result-length mismatch. Forced by
+    shrinking maxRecordsPerBatch so the bad rows form their own batches
+    (4 rows x 2 dims = 8 = dim)."""
+    from timezone_boundary_builder_spark.operators.similarity import ivf_ann
+
+    good = [(i, [float(i + j) for j in range(8)]) for i in range(40)]
+    bad = [(40 + i, [1.0, 2.0]) for i in range(8)]  # uniform dim-2 run
+    df = spark.createDataFrame(good + bad, "vec_id long, embedding array<float>")
+    clean = spark.createDataFrame(good, "vec_id long, embedding array<float>")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        out = sorted(
+            tuple(r)
+            for r in ivf_ann(df, [0, 3], k=3, centroid_stride=10, nprobe=2).collect()
+        )
+        ref = sorted(
+            tuple(r)
+            for r in ivf_ann(
+                clean, [0, 3], k=3, centroid_stride=10, nprobe=2
+            ).collect()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # the malformed rows influence nothing: results match the clean table
+    assert out == ref and len(out) == 6
+
+
 def test_lsh_multiprobe_masks_shape():
     """Masks cover exactly the Hamming ball: C(n,0..bits) distinct
     masks, popcount bounded, exact bucket (mask 0) first."""

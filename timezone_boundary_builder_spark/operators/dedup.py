@@ -445,10 +445,14 @@ def decontaminate(
     hits = _shingles(docs, text_col, keep_id=True).join(
         F.broadcast(bench_sh), "shingle"
     )
+    # per_doc is NOT broadcast-hinted: its size is the number of
+    # contaminated docs, which a hygiene pass cannot assume is small
+    # (a heavily contaminated corpus is exactly when it runs) — AQE
+    # broadcasts it at runtime when it actually is a sliver
     per_doc = hits.groupBy(id_col).agg(
         F.count_distinct("shingle").alias("n_overlap")
     )
-    return docs.select(id_col).join(F.broadcast(per_doc), id_col, "left").select(
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
         (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),

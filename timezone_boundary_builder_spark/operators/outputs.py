@@ -235,7 +235,15 @@ def combine_and_write(
     ocean_sel = oceans.select("tzid", "geometry")
     # the reference writer's feature order: land zones in config order,
     # ocean bands appended at the END in declaration order
-    # (combineAndWriteZones, index.js:1319-1376)
+    # (combineAndWriteZones, index.js:1319-1376). Supplying only the
+    # ocean order would INVERT that contract (ranked oceans first, all
+    # land falling to the sorted tail) — reject it rather than emit a
+    # silently misordered file.
+    if ocean_name_order and not base_name_order:
+        raise ValueError(
+            "ocean_name_order without base_name_order would emit oceans "
+            "before land — pass both orders (or neither)"
+        )
     combined_order = (
         (base_name_order or []) + (ocean_name_order or [])
     ) or None

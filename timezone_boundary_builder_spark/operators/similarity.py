@@ -136,7 +136,16 @@ def _collect_centroids(v: DataFrame, centroid_stride: int, id_col: str) -> list:
     cents = v.where(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("centroid_id"), F.col("vec").alias("cvec")
     )
-    return sorted(cents.collect(), key=lambda r: r["centroid_id"])
+    rows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
+    # a malformed row (wrong dimension / null vector) that happens to
+    # land on the centroid stride must not kill the build or persist a
+    # useless list (its cosines would all be NaN): keep only centroids
+    # of the majority dimension
+    lengths = [len(r["cvec"]) for r in rows if r["cvec"] is not None]
+    if not lengths:
+        return []
+    maj_dim = max(set(lengths), key=lengths.count)
+    return [r for r in rows if r["cvec"] is not None and len(r["cvec"]) == maj_dim]
 
 
 def _ivf_quantizer(cent_rows: list, nprobe: int):
@@ -163,15 +172,23 @@ def _ivf_quantizer(cent_rows: list, nprobe: int):
     @pandas_udf("array<double>")
     def _cent_cos(vec: pd.Series) -> pd.Series:
         try:
-            m = np.array(
+            arr = np.array(
                 [r if r is not None else [np.nan] * dim for r in vec],
                 dtype=np.float64,
-            ).reshape(-1, dim)
+            )
         except ValueError:
-            # ragged batch (a row with the wrong dimension): degrade that
-            # row to all-NaN cosines — same "sorts unusably" outcome the
-            # old in-plan fold gave malformed rows — instead of killing
-            # the task (and at scale, the stage) on one dirty record
+            arr = None
+        # the fast path requires an exact (n, dim) batch — checked by
+        # SHAPE, not by exception: a batch whose rows ALL have the same
+        # wrong length builds a clean (n, L) array (and a reshape(-1,dim)
+        # would even "succeed" when n*L is divisible by dim, interleaving
+        # halves of different rows and returning the wrong row count).
+        # Anything else degrades the malformed rows to all-NaN cosines —
+        # the same "sorts unusably" outcome the old in-plan fold gave
+        # them — instead of killing the task (and at scale, the stage).
+        if arr is not None and arr.ndim == 2 and arr.shape[1] == dim:
+            m = arr
+        else:
             m = np.full((len(vec), dim), np.nan)
             for i, r in enumerate(vec):
                 if r is not None and len(r) == dim:

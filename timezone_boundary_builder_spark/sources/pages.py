@@ -255,7 +255,18 @@ def _publish_snapshot(root: str, manifest: list[dict], parent: str | None, op: s
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock) > 60.0:
-                    os.remove(lock)  # stale lock from a killed writer
+                    # Steal a stale lock (writer killed mid-publish) by
+                    # ATOMIC RENAME, never remove: with remove+recreate,
+                    # two waiters could both see the stale mtime, the
+                    # first recreates the lock via O_EXCL, and the
+                    # second's remove would delete that FRESH lock —
+                    # letting two writers into the CAS critical section
+                    # (the exact lost-commit the lock exists to stop).
+                    # rename succeeds for exactly one stealer; everyone
+                    # else loops back to the O_EXCL create.
+                    stale = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+                    os.rename(lock, stale)
+                    os.remove(stale)
                     continue
             except FileNotFoundError:
                 continue
