@@ -303,6 +303,45 @@ def test_publish_cas_rejects_stale_parent(spark, tmp_path, pages_pdf):
     assert pg.snapshot_row_count(root, s2) == 150
 
 
+def test_publish_recovers_stale_lock_and_steal_is_single_winner(
+    spark, tmp_path, pages_pdf
+):
+    """A lock left by a killed writer must not block publishes forever:
+    after the 60s expiry a new writer steals it (by atomic rename — the
+    remove+recreate variant let two stealers both enter the critical
+    section) and commits normally. Also: a CONTESTED steal has exactly
+    one winner — a second stealer's rename raises FileNotFoundError and
+    loops back to the create, never deleting the winner's fresh lock."""
+    import os
+    import time as _time
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(pages_pdf)
+    s1 = pg.commit_append(root, df.limit(100))
+    lock = os.path.join(pg._meta_dir(root), "current.lock")
+    # plant a stale lock (killed writer), mtime older than the expiry
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    os.utime(lock, (_time.time() - 120, _time.time() - 120))
+    s2 = pg.commit_append(root, df.offset(100).limit(50))
+    assert pg.read_snapshot(root, s2)["parent"] == s1
+    assert pg.snapshot_row_count(root, s2) == 150
+    assert not os.path.exists(lock)  # released after the steal+publish
+    # single-winner property of the rename steal: once one stealer has
+    # renamed the stale lock away, a racing stealer's rename fails with
+    # FileNotFoundError (it can never remove a FRESH lock by mistake)
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    stale_name = lock + ".stale-test"
+    os.rename(lock, stale_name)  # stealer A wins
+    try:
+        os.rename(lock, lock + ".stale-other")  # stealer B must lose
+        raise AssertionError("second rename of a stolen lock must fail")
+    except FileNotFoundError:
+        pass
+    os.remove(stale_name)
+
+
 def test_empty_append_publishes_noop_snapshot(spark, tmp_path, pages_pdf):
     """A crawler tick with zero new pages must publish a no-op snapshot
     (empty delta, content unchanged), not crash on parquet schema
