@@ -255,3 +255,44 @@ def test_distributed_sink_rows_stay_executor_side(spark):
     # the '*(n)' operator prefix marks whole-stage-codegen participation
     assert "*(1) Project" in plan, plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_pii_redact_is_a_pure_projection(spark):
+    """PII scrubbing on the 10^12-row corpus must be a map-only codegen
+    projection: no exchange, no Python, no Arrow in the plan."""
+    from timezone_boundary_builder_spark.operators.text import redact_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(redact_pii(docs))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "*(1)" in plan  # whole-stage codegen
+
+
+def test_mix_sources_is_a_map_only_filter(spark):
+    """Mixture rebalancing is a CASE-threshold filter on the scan —
+    zero exchanges, no join, whole-stage codegen."""
+    from timezone_boundary_builder_spark.operators.sampling import mix_sources
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(mix_sources(docs, {"src0": 1.0, "src1": 0.5}, seed=7))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "*(1)" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_not_corpus(spark):
+    """The benchmark n-gram set is the broadcast side; the corpus-sized
+    shingle explode must NEVER cross a full exchange before the
+    broadcast probe filters it — the only aggregation exchanges carry
+    the (tiny) hit set and the per-doc flags."""
+    from timezone_boundary_builder_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("text")
+    plan = plan_of(decontaminate(docs, bench, n=8))
+    # exactly one broadcast join: corpus shingles probing bench shingles
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    # the corpus explode feeds the broadcast join directly — a SortMerge
+    # join anywhere would mean the exploded corpus crossed the wire
+    assert "SortMergeJoin" not in plan, plan
