@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from timezone_boundary_builder_spark.sources import commit_backend
+
 PAGES_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -226,7 +228,29 @@ class ConflictError(RuntimeError):
     commit was built on (Iceberg's CommitFailedException)."""
 
 
-def _publish_snapshot(root: str, manifest: list[dict], parent: str | None, op: str) -> str:
+# publish-protocol knobs. LOCK_WAIT must exceed STALE_LOCK_TTL: a
+# writer that crashes mid-publish leaves an orphan lock that nobody can
+# steal until the TTL elapses — with a shorter wait, every commit
+# arriving in that window would TimeoutError (and commit_append retries
+# only ConflictError), so appends would fail outright for up to a
+# minute after a crash. With wait > TTL, any single waiter outlives the
+# orphan, steals it, and commits.
+STALE_LOCK_TTL_SEC = 60.0
+LOCK_WAIT_SEC = 90.0
+
+# swappable storage primitives (local FS by default; S3/HDFS mapping in
+# commit_backend.py). Module-level so tests/jobs can substitute a
+# fault-injecting or object-store backend for EVERY publish.
+BACKEND: commit_backend.CommitBackend = commit_backend.LocalFSBackend()
+
+
+def _publish_snapshot(
+    root: str,
+    manifest: list[dict],
+    parent: str | None,
+    op: str,
+    backend: commit_backend.CommitBackend | None = None,
+) -> str:
     """Atomic snapshot publish (shared by append and rewrite commits)
     with compare-and-swap semantics on the current pointer: the pointer
     update happens under an exclusive lock file and only if `current`
@@ -234,8 +258,14 @@ def _publish_snapshot(root: str, manifest: list[dict], parent: str | None, op: s
     check, two writers reading the same parent would last-writer-win the
     pointer and silently drop the loser's committed rows — whose data
     files the orphan sweep would later delete. Stale locks (a writer
-    killed mid-publish) expire after 60 s; the critical section is two
-    metadata file writes, so a live writer holds it for milliseconds."""
+    killed mid-publish) expire after STALE_LOCK_TTL_SEC; the critical
+    section is two metadata file writes, so a live writer holds it for
+    milliseconds. All storage touches go through a CommitBackend (see
+    commit_backend.py for the exclusive-create / atomic-swap /
+    single-winner-steal contract and its S3/HDFS mapping); the lock
+    carries this writer's token so release can never remove a stealer's
+    fresh lock."""
+    backend = backend or BACKEND
     batch_id = uuid.uuid4().hex[:12]
     sid = f"{int(time.time() * 1000)}-{batch_id}"
     snap = {
@@ -246,33 +276,23 @@ def _publish_snapshot(root: str, manifest: list[dict], parent: str | None, op: s
         "schema": "pages_v1",
     }
     lock = os.path.join(_meta_dir(root), "current.lock")
-    deadline = time.time() + 30.0
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(lock) > 60.0:
-                    # Steal a stale lock (writer killed mid-publish) by
-                    # ATOMIC RENAME, never remove: with remove+recreate,
-                    # two waiters could both see the stale mtime, the
-                    # first recreates the lock via O_EXCL, and the
-                    # second's remove would delete that FRESH lock —
-                    # letting two writers into the CAS critical section
-                    # (the exact lost-commit the lock exists to stop).
-                    # rename succeeds for exactly one stealer; everyone
-                    # else loops back to the O_EXCL create.
-                    stale = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
-                    os.rename(lock, stale)
-                    os.remove(stale)
-                    continue
-            except FileNotFoundError:
-                continue
-            if time.time() > deadline:
-                raise TimeoutError(f"could not acquire {lock}")
-            time.sleep(0.05)
+    token = uuid.uuid4().hex
+    deadline = time.time() + LOCK_WAIT_SEC
+    while not backend.create_exclusive(lock, token):
+        age = backend.age_sec(lock)
+        if age is None:
+            continue  # holder released between create and stat — re-create
+        if age > STALE_LOCK_TTL_SEC:
+            observed = backend.read_token(lock)
+            if observed is not None:
+                try:
+                    backend.steal_stale(lock, observed)
+                except commit_backend.StealRestoreError:
+                    pass  # exclusion in doubt: fall through to re-poll
+            continue
+        if time.time() > deadline:
+            raise TimeoutError(f"could not acquire {lock}")
+        time.sleep(0.05)
     try:
         if current_snapshot_id(root) != parent:
             raise ConflictError(
@@ -282,17 +302,14 @@ def _publish_snapshot(root: str, manifest: list[dict], parent: str | None, op: s
         tmp = snap_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(snap, f)
-        os.rename(tmp, snap_path)
+        backend.atomic_swap(tmp, snap_path)
         cur_tmp = os.path.join(_meta_dir(root), "current.tmp")
         with open(cur_tmp, "w") as f:
             f.write(sid)
-        os.rename(cur_tmp, os.path.join(_meta_dir(root), "current"))
+        backend.atomic_swap(cur_tmp, os.path.join(_meta_dir(root), "current"))
         return sid
     finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+        backend.release(lock, token)
 
 
 def compact_data_files(spark: SparkSession, root: str) -> str:
