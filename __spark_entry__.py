@@ -1326,15 +1326,19 @@ def _q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # deterministic per-input path, OVERWRITTEN by each build: a fresh
     # mkdtemp per invocation would leave a full inverted-file copy of
-    # the embeddings table in /tmp on every driver sample / oracle run
+    # the embeddings table in /tmp on every driver sample / oracle run.
+    # Keyed by PID as well as input: two concurrent sessions on the same
+    # sf_dir (driver run + pytest, parallel workers) must never share a
+    # build dir — one's overwrite would race the other's serve scan.
     path = os.path.join(
         tempfile.gettempdir(),
-        f"ann_ivf_served_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        f"ann_ivf_served_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
     )
     ivf_build(emb, path, centroid_stride=IVF_STRIDE)
     qvecs = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        (int(r["vec_id"]), list(r["embedding"]))
         for r in emb.where(F.col("vec_id").isin(ANN_QUERY_IDS)).collect()
+        if r["embedding"] is not None  # dirty query rows degrade in ivf_serve
     ]
     return ivf_serve(spark, path, qvecs, k=5, nprobe=IVF_NPROBE)
 

@@ -402,6 +402,73 @@ def test_ivf_ann_survives_ragged_and_null_vectors(spark):
     assert 7 not in set(out.neighbor_id) and 9 not in set(out.neighbor_id)
 
 
+def test_ivf_ann_null_query_vector_degrades(spark):
+    """Round-4 ADVICE repro: a QUERY id whose embedding is null killed
+    the whole job driver-side (TypeError iterating None in
+    _ivf_probe_side) — contradicting the degrade-to-NaN design that
+    covered only file-side rows. A dirty query must degrade to 'no rows
+    for that id'; clean queries in the same batch keep their top-k."""
+    from timezone_boundary_builder_spark.operators.similarity import ivf_ann
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(60)]
+    rows[3] = (3, None)  # null embedding ON A QUERY ID
+    rows[5] = (5, [1.0, 2.0])  # wrong-dim embedding on another query id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_ann(df, [0, 3, 5], k=3, centroid_stride=10, nprobe=2).toPandas()
+    assert set(out.query_id) == {0}  # dirty queries silently absent
+    assert len(out) == 3
+    # all-dirty query batch: empty result, not a crash
+    empty = ivf_ann(df, [3, 5], k=3, centroid_stride=10, nprobe=2)
+    assert empty.count() == 0
+
+
+def test_ivf_serve_null_query_vector_degrades(spark, tmp_path):
+    """Same rule on the serving path: caller-supplied query batches can
+    contain null / wrong-dim vectors (collected from a dirty table);
+    they are skipped, the rest served normally."""
+    from timezone_boundary_builder_spark.operators.similarity import (
+        ivf_build,
+        ivf_serve,
+    )
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    ivf_build(df, path, centroid_stride=10)
+    queries = [(0, [float(j) for j in range(8)]), (3, None), (5, [1.0])]
+    out = ivf_serve(spark, path, queries, k=3, nprobe=2).toPandas()
+    assert set(out.query_id) == {0} and len(out) == 3
+    assert ivf_serve(spark, path, [(3, None)], k=3, nprobe=2).count() == 0
+
+
+def test_ivf_centroid_majority_guard(spark):
+    """_collect_centroids ties break deterministically (larger dim wins)
+    and a majority-malformed stride sample raises instead of silently
+    building an all-NaN index (round-4 ADVICE)."""
+    import pytest as _pytest
+
+    from timezone_boundary_builder_spark.operators.similarity import (
+        _as_vec,
+        _collect_centroids,
+    )
+
+    # 3 good dim-8 rows vs 3 uniform dim-2 rows on the stride: tie ->
+    # the larger dimension must win deterministically
+    rows = [(i * 10, [float(j) for j in range(8)]) for i in range(3)]
+    rows += [(30 + i * 10, [1.0, 2.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = _collect_centroids(_as_vec(df, "vec_id", "embedding"), 10, "vec_id")
+    assert {len(r["cvec"]) for r in kept} == {8}
+    # no dimension covering even half the stride sample -> the input is
+    # too dirty to trust any majority: loud failure, never a NaN index
+    frag = [(i * 10, [1.0, 2.0]) for i in range(3)]
+    frag += [(30 + i * 10, [1.0, 2.0, 3.0]) for i in range(2)]
+    frag += [(50 + i * 10, [float(j) for j in range(8)]) for i in range(2)]
+    df2 = spark.createDataFrame(frag, "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="majority dimension"):
+        _collect_centroids(_as_vec(df2, "vec_id", "embedding"), 10, "vec_id")
+
+
 def test_ivf_build_serve_partition_pruning(spark, tmp_path):
     """The materialized inverted file serves queries identically to the
     in-plan ivf_ann, and the probe filter actually PRUNES partitions:

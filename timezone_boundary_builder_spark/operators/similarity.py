@@ -109,7 +109,13 @@ def ivf_ann(
     cent_cos, top_cents = _ivf_quantizer(cent_rows, nprobe)
     file_side = _ivf_file_side(v, cent_cos, top_cents, id_col)
     probe_side = _ivf_probe_side(
-        vectors.sparkSession, v, query_ids, cent_cos, top_cents, id_col
+        vectors.sparkSession,
+        v,
+        query_ids,
+        cent_cos,
+        top_cents,
+        id_col,
+        dim=len(cent_rows[0]["cvec"]),
     )
     if probe_side is None:
         return _empty_ann(vectors.sparkSession)
@@ -144,8 +150,22 @@ def _collect_centroids(v: DataFrame, centroid_stride: int, id_col: str) -> list:
     lengths = [len(r["cvec"]) for r in rows if r["cvec"] is not None]
     if not lengths:
         return []
-    maj_dim = max(set(lengths), key=lengths.count)
-    return [r for r in rows if r["cvec"] is not None and len(r["cvec"]) == maj_dim]
+    # deterministic tie-break: by count, then LARGER dimension — with
+    # max(set, key=count) alone a 50/50 malformed stride sample could
+    # arbitrarily pin the wrong dimension and silently NaN the whole
+    # corpus' cosines against wrong-dim centroids
+    maj_dim = max(set(lengths), key=lambda d: (lengths.count(d), d))
+    kept = [r for r in rows if r["cvec"] is not None and len(r["cvec"]) == maj_dim]
+    if 2 * len(kept) < len(rows):
+        # a majority-malformed stride sample means the table itself is
+        # suspect: fail loudly instead of building an index that ranks
+        # every good row NaN
+        raise ValueError(
+            f"ivf centroid sample: only {len(kept)}/{len(rows)} rows share "
+            f"the majority dimension {maj_dim} — input embeddings look "
+            "malformed; refusing to build a NaN index"
+        )
+    return kept
 
 
 def _ivf_quantizer(cent_rows: list, nprobe: int):
@@ -262,7 +282,13 @@ def _ivf_file_side(v: DataFrame, cent_cos, top_cents, id_col: str) -> DataFrame:
 
 
 def _ivf_probe_side(
-    spark, v: DataFrame, query_ids: list[int], cent_cos, top_cents, id_col: str
+    spark,
+    v: DataFrame,
+    query_ids: list[int],
+    cent_cos,
+    top_cents,
+    id_col: str,
+    dim: int,
 ):
     """Queries exploded to their top-nprobe centroids (the probe set).
 
@@ -276,20 +302,26 @@ def _ivf_probe_side(
     Because the literal frame has its OWN lineage (no shared expression
     ids with the file side), it can safely apply the SAME pandas UDF and
     the SAME top_cents expression — identical arithmetic on both sides
-    by construction. Returns None when no query id exists in the table.
+    by construction. Returns None when no query id exists in the table,
+    or when every matching row is malformed (null vector / wrong
+    dimension vs the centroids): a dirty QUERY row must degrade to "no
+    results for that query", mirroring how dirty file-side rows degrade
+    to NaN cosines, never kill the whole batch driver-side.
     """
     probe_rows = (
         v.where(F.col(id_col).isin(query_ids))
         .select(F.col(id_col), F.col("vec"))
         .collect()
     )
-    if not probe_rows:
+    clean = [
+        (int(r[id_col]), [float(x) if x is not None else float("nan") for x in r["vec"]])
+        for r in probe_rows
+        if r["vec"] is not None and len(r["vec"]) == dim
+    ]
+    if not clean:
         return None
     return (
-        spark.createDataFrame(
-            [(int(r[id_col]), [float(x) for x in r["vec"]]) for r in probe_rows],
-            "query_id long, qvec array<double>",
-        )
+        spark.createDataFrame(clean, "query_id long, qvec array<double>")
         .withColumn("__ccos", cent_cos(F.col("qvec")))
         .withColumn("top_cents", top_cents)
         .select(
@@ -376,11 +408,19 @@ def ivf_serve(
     if not cent_rows or not queries:
         return _empty_ann(spark)
     cent_cos, top_cents = _ivf_quantizer(cent_rows, nprobe)
+    # same degrade-don't-crash rule as _ivf_probe_side: a null or
+    # wrong-dimension query vector is skipped (no results for that id),
+    # never a driver-side TypeError
+    dim = len(cent_rows[0]["cvec"])
+    clean_queries = [
+        (int(qid), [float(x) if x is not None else float("nan") for x in vec])
+        for qid, vec in queries
+        if vec is not None and len(vec) == dim
+    ]
+    if not clean_queries:
+        return _empty_ann(spark)
     probe_side = (
-        spark.createDataFrame(
-            [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
-            "query_id long, qvec array<double>",
-        )
+        spark.createDataFrame(clean_queries, "query_id long, qvec array<double>")
         .withColumn("__ccos", cent_cos(F.col("qvec")))
         .withColumn("top_cents", top_cents)
         .select(
