@@ -123,6 +123,14 @@ def main(argv=None) -> int:
         builder = builder.master(f"local[{args.cores}]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # reliable checkpoints by default: with a checkpoint dir configured,
+    # the dedup family's lineage-truncation points (LSH candidate pairs,
+    # CC pointer-jump rounds — dedup._materialize_then_unpersist) write
+    # durable files instead of executor-resident localCheckpoint blocks,
+    # which a lost executor on a real cluster cannot recompute. Living
+    # under --work-dir, they share the stage manifests' lifecycle: a
+    # completed run's files can be swept with the work dir.
+    spark.sparkContext.setCheckpointDir(os.path.join(args.work_dir, "checkpoints"))
 
     from timezone_boundary_builder_spark.operators.dedup import (
         connected_components,

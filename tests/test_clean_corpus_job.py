@@ -2,6 +2,7 @@
 quality + repetition gates, exact + near-dup dedup, token packing, with
 stage-manifest resume and per-stage row accounting."""
 
+import glob
 import json
 import os
 import subprocess
@@ -47,6 +48,14 @@ def test_clean_corpus_runs_resumes_and_accounts(spark, tmp_path):
     )
     assert s["quality"]["rows"] == 290  # matches the pipeline_clean oracle
     assert 0 < r1["kept_frac"] <= 1 and s["pack"]["batches"] >= 1
+
+    # reliable-checkpoint mode is the job default: the dedup stages'
+    # lineage truncation wrote DURABLE files under --work-dir (the
+    # localCheckpoint blocks a lost executor can't recompute are only
+    # the fallback when no dir is configured)
+    assert glob.glob(f"{work}/checkpoints/*/rdd-*/part-*"), (
+        "clean_corpus ran without reliable checkpoint files in the work dir"
+    )
 
     # cleaned corpus: unique doc ids, packing columns present
     cleaned = spark.read.parquet(f"{out}/cleaned")
@@ -182,3 +191,74 @@ def test_clean_corpus_hygiene_stages(spark, tmp_path):
         if name not in ("input", "pii")
     )
     assert r2["stages"]["pack"]["rows"] == s["pack"]["rows"]
+
+
+_CKPT_MODE_SCRIPT = r"""
+import glob
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from timezone_boundary_builder_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+
+mode, ckdir = sys.argv[1], sys.argv[2]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+sc = spark.sparkContext
+sc.setLogLevel("ERROR")
+if mode == "reliable":
+    sc.setCheckpointDir(ckdir)
+else:
+    assert not sc._jsc.sc().checkpointDir().isDefined()
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+sigs = minhash_signatures(docs, num_hashes=4, shingle_size=3)
+pairs = minhash_lsh_pairs(sigs, num_hashes=4, bands=2, materialize=True)
+rows = sorted(tuple(r) for r in pairs.collect())
+if mode == "reliable":
+    # durable files exist, and the persist that guarded the checkpoint
+    # write was released: nothing lingers in the block manager (the
+    # localCheckpoint fallback by contrast IS executor-resident blocks)
+    assert glob.glob(ckdir + "/*/rdd-*/part-*"), "no checkpoint files"
+    infos = sc._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [str(i) for i in infos]
+    # the iterative CC path (per-round truncation) also runs reliably
+    edges = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    assert connected_components(edges).count() == 40
+print(json.dumps(rows))
+"""
+
+
+def test_reliable_checkpoint_mode_equivalent_and_releases_blocks(tmp_path):
+    """The reliable-checkpoint branch of _materialize_then_unpersist
+    (used whenever a checkpoint dir is configured — clean_corpus's
+    default) produces the SAME candidate pairs as the localCheckpoint
+    fallback, writes durable checkpoint files, and frees its guard
+    persist. Two subprocesses because a context's checkpoint dir cannot
+    be unset once configured."""
+
+    def run(mode):
+        proc = subprocess.run(
+            [sys.executable, "-c", _CKPT_MODE_SCRIPT, mode, str(tmp_path / "ck")],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=420,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    local_rows = run("local")
+    reliable_rows = run("reliable")
+    assert reliable_rows == local_rows and len(local_rows) > 0
