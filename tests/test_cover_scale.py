@@ -1,0 +1,82 @@
+"""Dense-zone-world stress for the cover / CellMap / assignment path
+(round-4 verdict item 7).
+
+The real reference world is 419 zones; BENCH.md's open question was how
+the broadcast cover grows at 10^4-10^5 zones (cover size is proportional
+to total perimeter, not zone count). `dense_zone_world` tiles the globe
+with 10,000 jittered convex quads — a PERFECT tiling (shared lattice
+corners, no gaps/overlaps), so every sample point has a
+known-by-construction expected zone, independent of the engine's PIP.
+
+Asserts, in one Spark pass over the real operators
+(build_cell_covers -> collect_cell_map -> broadcast -> assign_tzid):
+- the broadcast CellMap stays under a stated byte bound (the 100 TB
+  design constraint: the map must fit comfortably in every executor),
+- a 20k-point deterministic sample assigns to exactly the expected zone
+  for every point (oracle = the tiling construction itself).
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from timezone_boundary_builder_spark.operators.cover import (
+    build_cell_covers,
+    collect_cell_map,
+)
+from timezone_boundary_builder_spark.operators.spatial_join import assign_tzid
+from timezone_boundary_builder_spark.sources.fixtures import (
+    dense_zone_world,
+    dense_world_points,
+)
+
+NX, NY = 100, 100  # 10,000 zones
+COVER_RES = 8  # 256x256 world grid: ~1.4 x 0.7 deg cells
+# stated bound: ~131k cover cells x ~13 B packed + 10k quad GeoJSON
+# strings (~1.6 MB) + bboxes; measured ~4.3 MB pickled. 16 MB leaves 3x
+# headroom and is far inside torch.broadcast comfort (executors hold one
+# copy per process, not per core).
+BROADCAST_BOUND_BYTES = 16 * 1024 * 1024
+
+
+@pytest.fixture(scope="module")
+def dense_cellmap(spark):
+    world = dense_zone_world(NX, NY)
+    zones = spark.createDataFrame(world)
+    covers = build_cell_covers(zones, max_res=COVER_RES)
+    cm = collect_cell_map(covers, zones)
+    return world, cm
+
+
+def test_dense_world_broadcast_size_bounded(spark, dense_cellmap):
+    world, cm = dense_cellmap
+    assert len(cm.tzids) == NX * NY
+    blob = pickle.dumps(cm, protocol=pickle.HIGHEST_PROTOCOL)
+    n_cells = len(cm.full_cells) + len(cm.bnd_cells)
+    # cover growth sanity: compact cover stays O(perimeter) — well under
+    # a flat res-8 rasterization of the globe (256*128 cells/zone world)
+    assert n_cells < 40 * NX * NY, n_cells
+    assert len(blob) < BROADCAST_BOUND_BYTES, f"{len(blob)} bytes"
+
+
+def test_dense_world_assignment_matches_construction(spark, dense_cellmap):
+    world, cm = dense_cellmap
+    pts = dense_world_points(world, NX, NY, n=20_000)
+    bc = spark.sparkContext.broadcast(cm)
+    df = spark.createDataFrame(pts)
+    out = assign_tzid(df, bc, ocean_bands=[]).join(
+        df.select("url", "expect_tzid"), "url"
+    )
+    mism = out.where(F.col("tzid") != F.col("expect_tzid"))
+    bad = mism.limit(5).collect()
+    assert not bad, bad
+    # interior points resolve via the index: full-cell hits answer with
+    # ZERO exact PIP work; the rest go through the boundary-cell PIP path
+    methods = dict(
+        out.groupBy("method").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert set(methods) <= {"cell", "pip"}, methods
+    assert methods.get("cell", 0) > 0, methods
+    bc.destroy()

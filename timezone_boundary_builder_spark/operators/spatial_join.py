@@ -209,17 +209,31 @@ def _assign_codes_block(
             final[miss_idx[knn_ok]] = best_z[knn_ok]
             sub_method[miss_idx[knn_ok]] = M_KNN
             ocean_idx = miss_idx[~knn_ok]
-            sub_method[ocean_idx] = M_OCEAN
-            # ocean rows: code = n_zones + band index (by longitude)
-            band = np.clip(
-                np.searchsorted(band_edges, hl[ocean_idx], side="right") - 1,
-                0,
-                n_bands - 1,
-            )
-            final[ocean_idx] = n_zones + band
+            if n_bands:
+                sub_method[ocean_idx] = M_OCEAN
+                # ocean rows: code = n_zones + band index (by longitude)
+                band = np.clip(
+                    np.searchsorted(band_edges, hl[ocean_idx], side="right") - 1,
+                    0,
+                    n_bands - 1,
+                )
+                final[ocean_idx] = n_zones + band
+            else:
+                # no ocean table configured (pure-land worlds): a miss is
+                # an honest no-assignment, never a clip into the last zone
+                sub_method[ocean_idx] = M_NONE
+                final[ocean_idx] = -1
         code[has] = final.astype(np.int32)
         method[has] = sub_method
     return code, method
+
+
+def _band_edges(ocean_bands: list[dict]) -> np.ndarray:
+    """Longitude band edges for the ocean table; empty table -> empty
+    edges (a legal configuration for pure-land worlds)."""
+    if not ocean_bands:
+        return np.zeros(0, dtype=np.float64)
+    return np.array([b["left"] for b in ocean_bands] + [ocean_bands[-1]["right"]])
 
 
 def make_assign_fn(
@@ -230,7 +244,7 @@ def make_assign_fn(
 ):
     """Returns a mapInPandas function closing over the broadcast CellMap and
     the (tiny) ocean band table."""
-    band_edges = np.array([b["left"] for b in ocean_bands] + [ocean_bands[-1]["right"]])
+    band_edges = _band_edges(ocean_bands)
     band_tzids = [b["tzid"] for b in ocean_bands]
     method_arr = np.asarray(METHOD_NAMES, dtype=object)
 
@@ -318,7 +332,7 @@ def assign_tzid_udf_packed(
     import pyspark.sql.functions as F
     from pyspark.sql.functions import pandas_udf
 
-    band_edges = np.array([b["left"] for b in ocean_bands] + [ocean_bands[-1]["right"]])
+    band_edges = _band_edges(ocean_bands)
     band_tzids = [b["tzid"] for b in ocean_bands]
     n_bands = len(band_tzids)
 
@@ -370,7 +384,7 @@ def assign_tzid_udf(
     import pyspark.sql.functions as F
     from pyspark.sql.functions import pandas_udf
 
-    band_edges = np.array([b["left"] for b in ocean_bands] + [ocean_bands[-1]["right"]])
+    band_edges = _band_edges(ocean_bands)
     band_tzids = [b["tzid"] for b in ocean_bands]
     n_bands = len(band_tzids)
 

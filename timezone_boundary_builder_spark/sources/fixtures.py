@@ -524,3 +524,99 @@ def local_cellmap(max_res: int = 7):
     from ..operators.cover import cellmap_from_zones_pdf
 
     return cellmap_from_zones_pdf(local_zones(), max_res=max_res)
+
+
+def dense_zone_world(nx: int = 100, ny: int = 100, seed: int = 11) -> pd.DataFrame:
+    """A synthetic dense zone world: nx*ny quadrilateral zones tiling
+    [-180,180]x[-90,90] as a jittered lattice (shared corners => a
+    PERFECT tiling, no gaps or overlaps by construction). Deterministic
+    (seeded), pure numpy, convexity-asserted — the 10^4+-zone stress
+    input for the cover/CellMap scale path (the real reference world is
+    419 zones; BENCH.md's open question was cover growth at 10^5-ish
+    perimeter, which this world emulates with ~40x the zone count and
+    ~25x the total perimeter).
+
+    Columns: tzid, geometry (GeoJSON Polygon string), min_x/min_y/
+    max_x/max_y — the exact shape collect_cell_map consumes.
+    """
+    rng = np.random.default_rng(seed)
+    dx, dy = 360.0 / nx, 180.0 / ny
+    # lattice points with jitter < 0.25*spacing; world border pinned so
+    # the tiling exactly covers the rectangle
+    gx = -180.0 + dx * np.arange(nx + 1)[None, :] * np.ones((ny + 1, 1))
+    gy = -90.0 + dy * np.arange(ny + 1)[:, None] * np.ones((1, nx + 1))
+    jx = (rng.random((ny + 1, nx + 1)) - 0.5) * (0.5 * dx)
+    jy = (rng.random((ny + 1, nx + 1)) - 0.5) * (0.5 * dy)
+    jx[:, 0] = jx[:, -1] = 0.0
+    jy[0, :] = jy[-1, :] = 0.0
+    # snap to the 1e-6 grid the engine's packed coordinate codec uses, so
+    # corner coordinates round-trip bit-exactly through GeoJSON
+    px = np.round((gx + jx) * 1e6) / 1e6
+    py = np.round((gy + jy) * 1e6) / 1e6
+    rows = []
+    for j in range(ny):
+        for i in range(nx):
+            xs = np.array([px[j, i], px[j, i + 1], px[j + 1, i + 1], px[j + 1, i]])
+            ys = np.array([py[j, i], py[j, i + 1], py[j + 1, i + 1], py[j + 1, i]])
+            # convexity: all corner cross products strictly one sign (the
+            # jitter bound guarantees it; assert so a future bound change
+            # fails loudly instead of silently breaking the test oracle)
+            ex, ey = np.roll(xs, -1) - xs, np.roll(ys, -1) - ys
+            cr = ex * np.roll(ey, -1) - ey * np.roll(ex, -1)
+            assert (cr > 0).all() or (cr < 0).all(), (i, j)
+            ring = [[float(x), float(y)] for x, y in zip(xs, ys)]
+            ring.append(ring[0])
+            rows.append(
+                {
+                    "tzid": f"Dense/Z{j:03d}_{i:03d}",
+                    "geometry": json.dumps(
+                        {"type": "Polygon", "coordinates": [ring]}
+                    ),
+                    "min_x": float(xs.min()),
+                    "min_y": float(ys.min()),
+                    "max_x": float(xs.max()),
+                    "max_y": float(ys.max()),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def dense_world_points(
+    world: pd.DataFrame, nx: int, ny: int, n: int, seed: int = 13
+) -> pd.DataFrame:
+    """Deterministic sample points strictly interior to known zones of a
+    dense_zone_world: point k lives in lattice cell (i,j) at bilinear
+    coordinates (u,v) in [0.25,0.75]^2 of the cell's four corners — for a
+    convex quad the bilinear patch IS the quad, so the expected tzid is
+    known by construction (no PIP needed to label the sample).
+
+    Columns: url (synthetic key), lon, lat, expect_tzid.
+    """
+    rng = np.random.default_rng(seed)
+    ii = rng.integers(0, nx, size=n)
+    jj = rng.integers(0, ny, size=n)
+    u = 0.25 + 0.5 * rng.random(n)
+    v = 0.25 + 0.5 * rng.random(n)
+    # corner coordinates come from each quad's own ring (row-major order
+    # j * nx + i), so the sample stays valid even if the frame is re-sorted
+    geo = world["geometry"].to_numpy()
+    lon = np.empty(n)
+    lat = np.empty(n)
+    for k in range(n):
+        ring = json.loads(geo[jj[k] * nx + ii[k]])["coordinates"][0]
+        (x0, y0), (x1, y1), (x2, y2), (x3, y3) = ring[0], ring[1], ring[2], ring[3]
+        uu, vv = u[k], v[k]
+        lon[k] = (1 - uu) * (1 - vv) * x0 + uu * (1 - vv) * x1 + uu * vv * x2 + (1 - uu) * vv * x3
+        lat[k] = (1 - uu) * (1 - vv) * y0 + uu * (1 - vv) * y1 + uu * vv * y2 + (1 - uu) * vv * y3
+    # snap to the engine's 1e-6 coordinate grid (packed codec)
+    lon = np.round(lon * 1e6) / 1e6
+    lat = np.round(lat * 1e6) / 1e6
+    expect = world["tzid"].to_numpy()[jj * nx + ii]
+    return pd.DataFrame(
+        {
+            "url": [f"https://dense.example/{k}" for k in range(n)],
+            "lon": lon,
+            "lat": lat,
+            "expect_tzid": expect,
+        }
+    )
