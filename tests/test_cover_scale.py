@@ -61,6 +61,25 @@ def test_dense_world_broadcast_size_bounded(spark, dense_cellmap):
     assert len(blob) < BROADCAST_BOUND_BYTES, f"{len(blob)} bytes"
 
 
+def test_pair_pip_path_equals_per_zone_path(dense_cellmap, monkeypatch):
+    """The pair-vectorized PIP (dense regime) and the per-zone batch PIP
+    must agree bit-for-bit — including uniform random points that land
+    arbitrarily close to zone edges (same strict inequalities, same
+    even-odd arithmetic, elementwise)."""
+    from timezone_boundary_builder_spark.operators import spatial_join as sj
+
+    _, cm = dense_cellmap
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 50_000)
+    lat = rng.uniform(-90, 90, 50_000)
+    be = sj._band_edges([])
+    code_pair, m_pair = sj.assign_codes(cm, be, 0, lon, lat, 1852.0)
+    monkeypatch.setattr(sj, "PAIR_PIP_MIN_ZONES", 10**9)  # force per-zone loop
+    code_loop, m_loop = sj.assign_codes(cm, be, 0, lon, lat, 1852.0)
+    np.testing.assert_array_equal(code_pair, code_loop)
+    np.testing.assert_array_equal(m_pair, m_loop)
+
+
 def test_dense_world_assignment_matches_construction(spark, dense_cellmap):
     world, cm = dense_cellmap
     pts = dense_world_points(world, NX, NY, n=20_000)

@@ -53,6 +53,17 @@ METHOD_NAMES = ["cell", "pip", "knn", "ocean", "none"]
 # resource that caps scaling)
 ASSIGN_CHUNK = 65536
 
+# pair-vectorized PIP regime bounds (stage 2 of _assign_codes_block):
+# above PAIR_PIP_MIN_ZONES distinct candidate zones per chunk the
+# one-numpy-call-per-zone loop is overhead-bound; the pair path only
+# wins while zones are edge-light (quads/boxes — real-config zones with
+# hundreds of edges keep the contiguous per-zone batch)
+PAIR_PIP_MIN_ZONES = 256
+PAIR_PIP_MAX_EDGES = 64
+# (pair, edge) expansion rows per slice: bounds the temporaries of one
+# slice to ~256 MB regardless of how many candidates a chunk carries
+PAIR_PIP_EDGE_CHUNK = 4_000_000
+
 
 def assign_codes(
     cm,
@@ -137,13 +148,61 @@ def _assign_codes_block(
             pair_pt = pair_pt[o]
             pair_z = pair_z[o]
             zvals, zstarts = np.unique(pair_z, return_index=True)
-            zends = np.append(zstarts[1:], len(pair_z))
-            for z, s0, s1 in zip(zvals, zstarts, zends):
-                idxs = pair_pt[s0:s1]
-                x1, y1, x2, y2 = edges[int(z)]
-                inside = points_in_edges(hl[idxs], ha[idxs], x1, y1, x2, y2)
-                win = idxs[inside]
-                pip_best[win] = np.minimum(pip_best[win], z)
+            ex1, ey1, ex2, ey2, eoff = cm.edge_csr()
+            avg_edges = (
+                float((eoff[zvals + 1] - eoff[zvals]).mean()) if len(zvals) else 0.0
+            )
+            if len(zvals) > PAIR_PIP_MIN_ZONES and avg_edges <= PAIR_PIP_MAX_EDGES:
+                # pair-vectorized PIP (dense-world regime): with 10^4+
+                # candidate zones per chunk and only a handful of points
+                # per zone, one points_in_edges call per zone is pure
+                # numpy-call overhead (measured 0.5M pts/s at 10k zones
+                # vs 14M at 419). Expand (point, zone) pairs to (point,
+                # edge) rows against the flat CSR edge soup and ray-cast
+                # every pair in ONE expression — identical even-odd
+                # arithmetic to _crossings, elementwise, so results are
+                # bit-identical. Zones with big edge arrays (the real
+                # 419-zone world) keep the per-zone batch path: its
+                # contiguous edge reuse beats the gather.
+                ecnt_all = eoff[pair_z + 1] - eoff[pair_z]
+                nzm = ecnt_all > 0
+                ppt, pz, pec = pair_pt[nzm], pair_z[nzm], ecnt_all[nzm]
+                if len(ppt):
+                    cum = np.cumsum(pec)
+                    # slice pairs so one slice's (pair, edge) expansion
+                    # stays inside the PIP chunk budget
+                    cuts = np.searchsorted(
+                        cum, np.arange(PAIR_PIP_EDGE_CHUNK, int(cum[-1]), PAIR_PIP_EDGE_CHUNK)
+                    )
+                    bounds = [0, *[int(c) + 1 for c in cuts], len(ppt)]
+                    for a, b in zip(bounds[:-1], bounds[1:]):
+                        if a >= b:
+                            continue
+                        sec = pec[a:b]
+                        tot = int(sec.sum())
+                        sstart = np.cumsum(sec) - sec
+                        eidx = np.repeat(eoff[pz[a:b]], sec) + (
+                            np.arange(tot, dtype=np.int64) - np.repeat(sstart, sec)
+                        )
+                        pxe = np.repeat(hl[ppt[a:b]], sec)
+                        pye = np.repeat(ha[ppt[a:b]], sec)
+                        y1g, y2g = ey1[eidx], ey2[eidx]
+                        straddle = (y1g > pye) != (y2g > pye)
+                        x1g = ex1[eidx]
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            xint = x1g + (pye - y1g) * (ex2[eidx] - x1g) / (y2g - y1g)
+                        hit = straddle & (pxe < xint)
+                        cross = np.add.reduceat(hit.astype(np.int64), sstart)
+                        inside = (cross & 1).astype(bool)
+                        np.minimum.at(pip_best, ppt[a:b][inside], pz[a:b][inside])
+            else:
+                zends = np.append(zstarts[1:], len(pair_z))
+                for z, s0, s1 in zip(zvals, zstarts, zends):
+                    idxs = pair_pt[s0:s1]
+                    x1, y1, x2, y2 = edges[int(z)]
+                    inside = points_in_edges(hl[idxs], ha[idxs], x1, y1, x2, y2)
+                    win = idxs[inside]
+                    pip_best[win] = np.minimum(pip_best[win], z)
         pip_hit = pip_best < BIG
         use_pip = pip_hit & (pip_best < np.where(assigned < 0, BIG, assigned))
         final = np.where(use_pip, pip_best, assigned).astype(np.int64)
@@ -315,6 +374,18 @@ def pack_coords_col():
     return (F.shiftleft(lon_u, 32) + lat_u).alias("xy")
 
 
+def _string_array_expr(vals: list[str]):
+    """A literal string array as ONE F.expr — per-element F.lit chains
+    cost a py4j round trip each at plan-build time (measured ~10 s of
+    pure driver latency for a 10,000-tzid world, dwarfing the job)."""
+    import pyspark.sql.functions as F
+
+    quoted = ",".join(
+        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'" for v in vals
+    )
+    return F.expr(f"array({quoted})")
+
+
 def assign_tzid_udf_packed(
     pages_with_xy: DataFrame,
     cellmap_bc,
@@ -349,7 +420,7 @@ def assign_tzid_udf_packed(
         code, method = assign_codes(cm, band_edges, n_bands, lon, lat, knn_max_m)
         return pd.DataFrame({"code": code, "m": method})
 
-    tz_lits = F.array(*[F.lit(t) for t in list(cellmap_bc.value.tzids) + band_tzids])
+    tz_lits = _string_array_expr(list(cellmap_bc.value.tzids) + band_tzids)
     m_lits = F.array(*[F.lit(m) for m in METHOD_NAMES])
     out = pages_with_xy.withColumn("__a", _codes(F.col("xy")))
     passthrough = [c for c in pages_with_xy.columns if c != "xy"]
@@ -401,9 +472,7 @@ def assign_tzid_udf(
         )
         return pd.DataFrame({"code": code, "m": method})
 
-    tz_lits = F.array(
-        *[F.lit(t) for t in list(cellmap_bc.value.tzids) + band_tzids]
-    )
+    tz_lits = _string_array_expr(list(cellmap_bc.value.tzids) + band_tzids)
     m_lits = F.array(*[F.lit(m) for m in METHOD_NAMES])
     out = pages_with_coords.withColumn("__a", _codes(F.col("lon"), F.col("lat")))
     cols = ["url"] + (["lon", "lat"] if keep_coords else [])
