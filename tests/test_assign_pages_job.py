@@ -9,25 +9,17 @@ import sys
 
 import pytest
 
+from tests._jobrunner import run_job
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(pages_root, work, out, extra=()):
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "jobs", "assign_pages.py"),
-            "--pages-root", pages_root,
-            "--work-dir", work,
-            "--out-dir", out,
-            "--cores", "8",
-            *extra,
-        ],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
+    proc = run_job(
+        "assign_pages.py",
+        ["--pages-root", pages_root, "--work-dir", work, "--out-dir", out,
+         "--cores", "8", *extra],
         timeout=420,
-        env={**os.environ, "PYTHONPATH": REPO},
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     return json.loads(proc.stdout.strip().splitlines()[-1])

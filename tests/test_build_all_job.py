@@ -3,38 +3,43 @@ pipeline (spark-submit shape) and resumes from stage manifests."""
 
 import json
 import os
-import subprocess
-import sys
+
+import pytest
+
+from tests._jobrunner import run_job
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(work, out, *extra):
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "jobs", "build_all.py"),
-            "--work-dir",
-            work,
-            "--out-dir",
-            out,
-            "--cores",
-            "8",
-            *extra,
-        ],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
+    proc = run_job(
+        "build_all.py",
+        ["--work-dir", work, "--out-dir", out, "--cores", "8", *extra],
         timeout=420,
-        env={**os.environ, "PYTHONPATH": REPO},
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
-def test_build_all_runs_and_resumes(tmp_path):
-    work = str(tmp_path / "work")
-    out = str(tmp_path / "dist")
-    r1 = _run(work, out)
+
+@pytest.fixture(scope="module")
+def first_build(tmp_path_factory):
+    """One shared fixture-world DAG run: three tests assert different
+    aspects of the SAME first build (stage rows, assemble stage, release
+    baseline), so running it three times bought nothing but wall clock."""
+    base = tmp_path_factory.mktemp("build_all_shared")
+    work, out = str(base / "work"), str(base / "dist")
+    return _run(work, out), work, out
+
+
+@pytest.fixture(scope="module")
+def resumed_build(first_build):
+    """The resume run over the shared first build (manifest hits)."""
+    _, work, out = first_build
+    return _run(work, out), work, out
+
+
+def test_build_all_runs_and_resumes(first_build, resumed_build):
+    r1, work, out = first_build
     assert r1["stages"]["zones"] == {"cached": False, "rows": 8}
     assert r1["stages"]["outputs"]["comprehensive-with-oceans.geojson"] == 12
     # hasAlikeInNow: Etc/GMT+9 merged into Foxtrot's group -> skipped
@@ -42,7 +47,7 @@ def test_build_all_runs_and_resumes(tmp_path):
     assert r1["stages"]["outputs"]["combined-osm-zones.geojson"] == 8
     assert os.path.exists(os.path.join(out, "timezone-names-with-oceans-now.json"))
     # second run: every checkpointed stage must be a manifest hit
-    r2 = _run(work, out)
+    r2, _, _ = resumed_build
     for stage in ("zones", "oceans", "derived_1970", "derived_now"):
         assert r2["stages"][stage]["cached"] is True, (stage, r2)
     assert os.path.exists(os.path.join(out, "timezone-names.json"))
@@ -58,11 +63,10 @@ def test_build_all_runs_and_resumes(tmp_path):
     assert "zones_config.json" in names and "stage-manifest.json" in names
 
 
-def test_build_all_flags_and_release_analysis(tmp_path):
+def test_build_all_flags_and_release_analysis(tmp_path, first_build):
     """Reference CLI parity: --skip_1970_zones / --skip_zip / a release
     diff vs a prior run's artifacts (analyzeChangesFromLastRelease)."""
-    base_work, base_out = str(tmp_path / "bw"), str(tmp_path / "bo")
-    _run(base_work, base_out)
+    _, _, base_out = first_build
     r = _run(
         str(tmp_path / "w3"),
         str(tmp_path / "d3"),
@@ -89,10 +93,8 @@ def test_build_all_flags_and_release_analysis(tmp_path):
     )
 
 
-def test_build_all_assemble_stage_resumes(tmp_path):
-    work = str(tmp_path / "w2")
-    out = str(tmp_path / "d2")
-    r1 = _run(work, out)
+def test_build_all_assemble_stage_resumes(first_build, resumed_build):
+    r1, _, _ = first_build
     assert r1["stages"]["assemble"] == {"cached": False, "rows": 7}
-    r2 = _run(work, out)
+    r2, _, _ = resumed_build
     assert r2["stages"]["assemble"]["cached"] is True

@@ -16,32 +16,19 @@ plus the TZif transition tables:
 
 import json
 import os
-import subprocess
-import sys
 import zipfile
+
+from tests._jobrunner import run_job
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(work, out, *extra):
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "jobs", "build_all.py"),
-            "--work-dir",
-            work,
-            "--out-dir",
-            out,
-            "--cores",
-            "8",
-            "--real-config",
-            *extra,
-        ],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
+    proc = run_job(
+        "build_all.py",
+        ["--work-dir", work, "--out-dir", out, "--cores", "8",
+         "--real-config", *extra],
         timeout=560,
-        env={**os.environ, "PYTHONPATH": REPO},
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     return json.loads(proc.stdout.strip().splitlines()[-1])
@@ -120,23 +107,16 @@ def test_real_config_full_dag(tmp_path):
     pdf = synthetic_pages(n=400, seed=11).drop(columns=["kind"])
     pt.commit_append(pages_root, spark.createDataFrame(pdf))
 
-    ar = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "jobs", "assign_pages.py"),
-            "--pages-root", pages_root,
-            "--work-dir", str(tmp_path / "aw"),
-            "--out-dir", str(tmp_path / "ao"),
-            "--cores", "8",
-            "--zones-parquet", os.path.join(out, "comprehensive.parquet"),
-            "--ocean-bands", "real",
-            "--cover-res", "8",
-        ],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
+    ar = run_job(
+        "assign_pages.py",
+        ["--pages-root", pages_root,
+         "--work-dir", str(tmp_path / "aw"),
+         "--out-dir", str(tmp_path / "ao"),
+         "--cores", "8",
+         "--zones-parquet", os.path.join(out, "comprehensive.parquet"),
+         "--ocean-bands", "real",
+         "--cover-res", "8"],
         timeout=560,
-        env={**os.environ, "PYTHONPATH": REPO},
     )
     assert ar.returncode == 0, ar.stderr[-3000:]
     res = json.loads(ar.stdout.strip().splitlines()[-1])

@@ -5,29 +5,19 @@ stage-manifest resume and per-stage row accounting."""
 import glob
 import json
 import os
-import subprocess
-import sys
+
+from tests._jobrunner import run_code, run_job
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOCS = "/root/testdata/sf0.01/documents.parquet"
 
 
 def _run(work, out, extra=()):
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "jobs", "clean_corpus.py"),
-            "--docs-parquet", DOCS,
-            "--work-dir", work,
-            "--out-dir", out,
-            "--cores", "8",
-            *extra,
-        ],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
+    proc = run_job(
+        "clean_corpus.py",
+        ["--docs-parquet", DOCS, "--work-dir", work, "--out-dir", out,
+         "--cores", "8", *extra],
         timeout=420,
-        env={**os.environ, "PYTHONPATH": REPO},
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     return json.loads(proc.stdout.strip().splitlines()[-1])
@@ -97,9 +87,6 @@ def test_clean_corpus_from_pages_table(spark, tmp_path):
     """Crawl-table mode: the cleaning pipeline reads a snapshot-pinned
     Iceberg-lite pages scan (url as doc id); an append invalidates the
     stage fingerprints (new snapshot), an unchanged table resumes."""
-    import subprocess
-    import sys
-
     from timezone_boundary_builder_spark.sources import pages as pt
     from timezone_boundary_builder_spark.sources.fixtures import synthetic_pages
 
@@ -109,22 +96,12 @@ def test_clean_corpus_from_pages_table(spark, tmp_path):
     work, out = str(tmp_path / "w"), str(tmp_path / "o")
 
     def run():
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(REPO, "jobs", "clean_corpus.py"),
-                "--pages-root", root,
-                "--work-dir", work,
-                "--out-dir", out,
-                "--cores", "8",
-                "--min-words", "5",
-                "--min-stopword-ratio", "0.0",
-            ],
-            cwd=REPO,
-            capture_output=True,
-            text=True,
+        proc = run_job(
+            "clean_corpus.py",
+            ["--pages-root", root, "--work-dir", work, "--out-dir", out,
+             "--cores", "8", "--min-words", "5",
+             "--min-stopword-ratio", "0.0"],
             timeout=420,
-            env={**os.environ, "PYTHONPATH": REPO},
         )
         assert proc.returncode == 0, proc.stderr[-3000:]
         return json.loads(proc.stdout.strip().splitlines()[-1])
@@ -236,6 +213,7 @@ if mode == "reliable":
     )
     assert connected_components(edges).count() == 40
 print(json.dumps(rows))
+spark.stop()  # the job-runner interpreter is shared; never leak a session
 """
 
 
@@ -244,17 +222,12 @@ def test_reliable_checkpoint_mode_equivalent_and_releases_blocks(tmp_path):
     (used whenever a checkpoint dir is configured — clean_corpus's
     default) produces the SAME candidate pairs as the localCheckpoint
     fallback, writes durable checkpoint files, and frees its guard
-    persist. Two subprocesses because a context's checkpoint dir cannot
-    be unset once configured."""
+    persist. Two isolated script runs (via the persistent job-runner)
+    because a context's checkpoint dir cannot be unset once configured."""
 
     def run(mode):
-        proc = subprocess.run(
-            [sys.executable, "-c", _CKPT_MODE_SCRIPT, mode, str(tmp_path / "ck")],
-            cwd=REPO,
-            capture_output=True,
-            text=True,
-            timeout=420,
-            env={**os.environ, "PYTHONPATH": REPO},
+        proc = run_code(
+            _CKPT_MODE_SCRIPT, [mode, str(tmp_path / "ck")], timeout=420
         )
         assert proc.returncode == 0, proc.stderr[-3000:]
         return json.loads(proc.stdout.strip().splitlines()[-1])

@@ -8,21 +8,14 @@ from-scratch recompute exactly."""
 
 import json
 import os
-import subprocess
-import sys
+
+from tests._jobrunner import run_job
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _job(script, *args):
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "jobs", script), *args],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=420,
-        env={**os.environ, "PYTHONPATH": REPO},
-    )
+    proc = run_job(script, list(args), timeout=420)
     assert proc.returncode == 0, proc.stderr[-3000:]
     return json.loads(proc.stdout.strip().splitlines()[-1])
 

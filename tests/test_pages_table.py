@@ -397,29 +397,18 @@ def test_maintain_pages_job(spark, tmp_path, pages_pdf):
     """The spark-submit maintenance surface: compact + expire in one
     invocation, JSON status line, table readable and row-conserving."""
     import json
-    import subprocess
-    import sys
 
-    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from tests._jobrunner import run_job
+
     root = str(tmp_path / "tbl")
     df = spark.createDataFrame(pages_pdf)
     pg.commit_append(root, df.limit(150))
     pg.commit_append(root, df.offset(150))
-    proc = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "jobs", "maintain_pages.py"),
-            "--pages-root", root,
-            "--compact", "--expire",
-            "--keep-last", "1",
-            "--orphan-ttl-sec", "0",
-            "--cores", "8",
-        ],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
+    proc = run_job(
+        "maintain_pages.py",
+        ["--pages-root", root, "--compact", "--expire",
+         "--keep-last", "1", "--orphan-ttl-sec", "0", "--cores", "8"],
         timeout=420,
-        env={**os.environ, "PYTHONPATH": REPO},
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
