@@ -509,11 +509,36 @@ def main() -> None:
                 "dense_points": dense_points,
                 f"pages_per_sec_dense10k_local{CPUS}": round(thr_dense),
             }
+        # Part A cost at the real config shape (best of 2, same rationale)
+        dt_parta = min(run_parta_real_config(spark) for _ in range(2))
+        log(f"Part A real-config build+validate: {dt_parta:.2f}s")
+    finally:
+        spark.stop()
+    # --- query suite at the driver-standard parallelism -----------------
+    probes.append(host_probe())
+    log(f"  host probe before query suite: {probes[-1]}s")
+    spark = make_spark(CPUS)
+    try:
+        queries = timed_queries(spark)
+    finally:
+        spark.stop()
+    probes.append(host_probe())
+    log(f"  host probe at end: {probes[-1]}s")
+    # --- order-of-magnitude soak: LAST, in its own session ------------
+    # The soak is the heap-churn leg (3x 640M-point runs + LSH/CC); when
+    # it ran BEFORE Part A and the query suite, their numbers inherited
+    # its JVM residue (Part A read 22.6s vs 12.9s, the first suite
+    # queries 2-3x slow on a probe-quiet host). Nothing timed runs after
+    # it, so the shared-JVM ordering rule is satisfied by construction.
+    spark = make_spark(CPUS)
+    try:
+        run_assignment(spark, 2_000_000, cellmap=cm419)  # warmup
         # --- order-of-magnitude soak (round-4 verdict item 4): 10x the
         # sf0.1-scale 64M-point workload through the identical hot path
         # on the identical config, one real datapoint behind the 100x
-        # claims. Workers are fully warm from the 419 leg, so the 64M
-        # comparator and the 640M run differ ONLY in row count; a
+        # claims. Workers are fully warm from this session's warmup run,
+        # so the 64M comparator and the 640M run differ ONLY in row
+        # count; a
         # throughput ratio near 1.0 = no memory/spill cliff in the 10x
         # window. BENCH_SF1_POINTS=0 skips (quick health-check runs).
         sf1_points = int(os.environ.get("BENCH_SF1_POINTS", "640000000"))
@@ -625,21 +650,9 @@ def main() -> None:
                 f"  soak peak heap {soak['jvm_peak_heap_mb']}MB, "
                 f"spill mem/disk {spill_mem}/{spill_disk}B"
             )
-        # Part A cost at the real config shape (best of 2, same rationale)
-        dt_parta = min(run_parta_real_config(spark) for _ in range(2))
-        log(f"Part A real-config build+validate: {dt_parta:.2f}s")
     finally:
         spark.stop()
-    # --- query suite at the driver-standard parallelism -----------------
-    probes.append(host_probe())
-    log(f"  host probe before query suite: {probes[-1]}s")
-    spark = make_spark(CPUS)
-    try:
-        queries = timed_queries(spark)
-    finally:
-        spark.stop()
-    probes.append(host_probe())
-    log(f"  host probe at end: {probes[-1]}s")
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
