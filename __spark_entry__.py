@@ -1324,16 +1324,33 @@ def _q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # deterministic per-input path, OVERWRITTEN by each build: a fresh
-    # mkdtemp per invocation would leave a full inverted-file copy of
-    # the embeddings table in /tmp on every driver sample / oracle run.
-    # Keyed by PID as well as input: two concurrent sessions on the same
-    # sf_dir (driver run + pytest, parallel workers) must never share a
-    # build dir — one's overwrite would race the other's serve scan.
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"ann_ivf_served_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
-    )
+    # deterministic per-(input, process) path, OVERWRITTEN by each build
+    # within a process: a fresh mkdtemp per invocation would leave a full
+    # inverted-file copy of the embeddings table in /tmp on every driver
+    # sample / oracle run. Keyed by PID as well as input: two concurrent
+    # sessions on the same sf_dir (driver run + pytest, parallel workers)
+    # must never share a build dir — one's overwrite would race the
+    # other's serve scan. PID keying alone would just move the leak
+    # across processes, so this process registers an atexit cleanup of
+    # its own dir AND sweeps siblings whose owning process is gone.
+    base = tempfile.gettempdir()
+    stem = f"ann_ivf_served_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_"
+    path = os.path.join(base, f"{stem}{os.getpid()}")
+    if path not in _IVF_SERVED_DIRS:
+        import atexit
+        import shutil
+
+        _IVF_SERVED_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        for name in os.listdir(base):  # heal leaks from killed processes
+            if name.startswith("ann_ivf_served_") and name != os.path.basename(path):
+                try:
+                    owner = int(name.rsplit("_", 1)[-1])
+                    os.kill(owner, 0)  # raises if the owner is gone
+                except (ValueError, ProcessLookupError):
+                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+                except PermissionError:
+                    pass  # owner alive under another uid: leave it
     ivf_build(emb, path, centroid_stride=IVF_STRIDE)
     qvecs = [
         (int(r["vec_id"]), list(r["embedding"]))
@@ -1465,6 +1482,8 @@ def _q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_multimodal.py::test_ann_recall_floor_on_clustered_fixture)."""
     return _recall_frame(spark, _clustered_emb(spark, sf_dir), CLUSTER_QUERY_IDS)
 
+
+_IVF_SERVED_DIRS: set[str] = set()  # one atexit cleanup per process dir
 
 NEARDUP_THRESHOLD, NEARDUP_PLANES, NEARDUP_BANDS, NEARDUP_SEED = 0.4, 8, 2, 7
 

@@ -115,7 +115,7 @@ class _JobRunner:
                 tail = open(self.log_path, "rb").read()[-3000:].decode(errors="replace")
                 raise RuntimeError(f"job-runner child died; log tail:\n{tail}")
             if time.monotonic() > deadline:
-                raise TimeoutError(f"job {script} {args} exceeded {timeout}s")
+                raise TimeoutError(f"job request {payload} exceeded {timeout}s")
             time.sleep(0.02)
         r = json.load(open(resp))
         return SimpleNamespace(

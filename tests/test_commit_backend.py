@@ -249,3 +249,43 @@ def test_snapshot_json_never_torn(tmp_path, monkeypatch):
     stop.set()
     t.join()
     assert errors == []
+
+
+def test_orphaned_claim_heals_and_timeout_stays_reachable(tmp_path, monkeypatch):
+    """A stealer that died between creating its claim file and removing
+    it must not wedge the lock forever: the claim outlives the orphan
+    TTL, a later waiter removes it, re-claims, steals the stale lock and
+    commits. Also regression-guards the loop shape: while the claim was
+    still blocking steals, the waiter must SLEEP toward the deadline,
+    never hot-spin past it."""
+    import timezone_boundary_builder_spark.sources.commit_backend as cb
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "metadata"))
+    monkeypatch.setattr(pg, "STALE_LOCK_TTL_SEC", 0.3)
+    monkeypatch.setattr(pg, "LOCK_WAIT_SEC", 5.0)
+    monkeypatch.setattr(cb, "ORPHAN_CLAIM_TTL_SEC", 0.5)
+    lock = os.path.join(root, "metadata", "current.lock")
+    _plant_lock(lock, "dead-writer", age_sec=120.0)  # stale from the start
+    claim = f"{lock}.claim-dead-writer"
+    _plant_lock(claim, "", age_sec=0.0)  # orphan claim: fresh now, ages out
+    sid = pg._publish_snapshot(root, _manifest(0), None, op="append")
+    assert pg.current_snapshot_id(root) == sid
+    assert not os.path.exists(lock) and not os.path.exists(claim)
+
+
+def test_steal_binds_to_observed_instance_not_path(tmp_path):
+    """Token-then-age TOCTOU (round-5 review): steal_stale called with a
+    token observed BEFORE another waiter stole-and-replaced the lock
+    must refuse (ABA restore), never destroy the new owner's fresh
+    lock."""
+    b = LocalFSBackend()
+    lock = str(tmp_path / "current.lock")
+    _plant_lock(lock, "old-token", age_sec=120.0)
+    # waiter C wins the steal and acquires a fresh lock
+    assert b.steal_stale(lock, "old-token") is True
+    assert b.create_exclusive(lock, "fresh-token") is True
+    # waiter B, acting on its STALE observation of "old-token", must not
+    # remove C's live lock
+    assert b.steal_stale(lock, "old-token") is False
+    assert b.read_token(lock) == "fresh-token"

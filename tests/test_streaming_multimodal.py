@@ -441,6 +441,69 @@ def test_ivf_serve_null_query_vector_degrades(spark, tmp_path):
     assert ivf_serve(spark, path, [(3, None)], k=3, nprobe=2).count() == 0
 
 
+def test_ivf_mostly_null_stride_sample_still_builds(spark):
+    """Null vectors on the centroid stride are ordinary dirty rows (they
+    degrade row-wise); only DISAGREEING dimensions among real vectors
+    make the table suspect. A stride sample that is 60% null but
+    dimensionally consistent among survivors must build a working index,
+    not raise (round-5 review: the guard denominator counted nulls)."""
+    from timezone_boundary_builder_spark.operators.similarity import ivf_ann
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(60)]
+    for vid in (0, 10, 20, 30):  # 4 of 6 stride-10 rows null
+        rows[vid] = (vid, None)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_ann(df, [3, 7], k=3, centroid_stride=10, nprobe=2).toPandas()
+    assert set(out.query_id) == {3, 7} and len(out) == 6
+
+
+def test_ivf_nan_element_query_vector_degrades(spark, tmp_path):
+    """A right-length query vector containing a null/NaN element must be
+    SKIPPED ('no results for that id'), not NaN-poisoned: NaN cosines
+    sort first under desc ordering and would return k arbitrary
+    neighbors at ranks 1..k (round-5 review)."""
+    from timezone_boundary_builder_spark.operators.similarity import (
+        ivf_build,
+        ivf_serve,
+    )
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    ivf_build(df, path, centroid_stride=10)
+    dirty = [3.0, None, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    out = ivf_serve(spark, path, [(7, dirty), (9, [float("nan")] * 8)], k=3, nprobe=2)
+    assert out.count() == 0
+    # a clean query alongside dirty ones still answers in full
+    out2 = ivf_serve(
+        spark, path, [(7, dirty), (5, [float(5 + j) for j in range(8)])], k=3, nprobe=2
+    ).toPandas()
+    assert set(out2.query_id) == {5} and len(out2) == 3
+    assert not out2.cosine.isna().any()
+
+
+def test_ivf_served_dir_sweeps_dead_process_leftovers(spark):
+    """The per-process inverted-file build dir registers its own atexit
+    cleanup AND sweeps siblings whose owning PID is gone — PID keying
+    alone would just move the /tmp leak across processes (round-5
+    review). A planted dir owned by a dead PID disappears on the next
+    build; the live process's own dir survives."""
+    import os
+    import tempfile
+
+    base = tempfile.gettempdir()
+    dead = os.path.join(base, "ann_ivf_served_deadbeef0000_999999999")
+    os.makedirs(dead, exist_ok=True)
+    entry._q_ann_ivf_served(spark, "/root/testdata/sf0.001").count()
+    assert not os.path.exists(dead)
+    own = [
+        n
+        for n in os.listdir(base)
+        if n.startswith("ann_ivf_served_") and n.endswith(f"_{os.getpid()}")
+    ]
+    assert own  # this process's dir exists until atexit
+
+
 def test_ann_recall_floor_on_clustered_fixture(spark):
     """Index-quality GATE (round-4 verdict item 6): on the planted-cluster
     fixture (scaled clones of three base vectors — cosine-identical

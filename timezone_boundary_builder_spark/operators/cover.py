@@ -338,6 +338,17 @@ class CellMap:
             self._edge_cache = cache
         return self._edge_cache
 
+    def zone_edge_counts(self) -> np.ndarray:
+        """Per-zone edge counts (int64) — the regime test for the
+        pair-vectorized PIP path needs only these, never the flat soup,
+        so the per-zone branch must not pay edge_csr's full duplication
+        of the edge cache."""
+        if getattr(self, "_edge_count_cache", None) is None:
+            self._edge_count_cache = np.array(
+                [len(e[0]) for e in self.zone_edges()], dtype=np.int64
+            )
+        return self._edge_count_cache
+
     def edge_csr(self):
         """zone_edges flattened to one CSR edge soup (x1, y1, x2, y2,
         offsets): the pair-vectorized PIP path indexes edges of many

@@ -138,6 +138,25 @@ def _empty_ann(spark) -> DataFrame:
     )
 
 
+def _clean_qvec(vec, dim: int):
+    """Driver-side query-vector guard: None / wrong dimension / any
+    non-finite or null element -> None (skip the query: "no results for
+    that id"). Mapping a null ELEMENT to NaN instead would poison the
+    cosine, and NaN sorts FIRST under desc ordering — the query would
+    return k arbitrary neighbors ranked above every real score."""
+    if vec is None or len(vec) != dim:
+        return None
+    out = []
+    for x in vec:
+        if x is None:
+            return None
+        fx = float(x)
+        if fx != fx or fx in (float("inf"), float("-inf")):
+            return None
+        out.append(fx)
+    return out
+
+
 def _collect_centroids(v: DataFrame, centroid_stride: int, id_col: str) -> list:
     cents = v.where(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("centroid_id"), F.col("vec").alias("cvec")
@@ -156,7 +175,12 @@ def _collect_centroids(v: DataFrame, centroid_stride: int, id_col: str) -> list:
     # corpus' cosines against wrong-dim centroids
     maj_dim = max(set(lengths), key=lambda d: (lengths.count(d), d))
     kept = [r for r in rows if r["cvec"] is not None and len(r["cvec"]) == maj_dim]
-    if 2 * len(kept) < len(rows):
+    # the suspicion test is over NON-NULL rows only: null vectors are
+    # ordinary dirty-corpus rows that degrade row-wise (the documented
+    # contract); only DISAGREEING dimensions among real vectors mean the
+    # table itself can't be trusted. A mostly-null stride sample with
+    # consistent survivors still builds a working index.
+    if 2 * len(kept) < len(lengths):
         # a majority-malformed stride sample means the table itself is
         # suspect: fail loudly instead of building an index that ranks
         # every good row NaN
@@ -314,9 +338,10 @@ def _ivf_probe_side(
         .collect()
     )
     clean = [
-        (int(r[id_col]), [float(x) if x is not None else float("nan") for x in r["vec"]])
+        (int(r[id_col]), qv)
         for r in probe_rows
-        if r["vec"] is not None and len(r["vec"]) == dim
+        for qv in [_clean_qvec(r["vec"], dim)]
+        if qv is not None
     ]
     if not clean:
         return None
@@ -413,9 +438,10 @@ def ivf_serve(
     # never a driver-side TypeError
     dim = len(cent_rows[0]["cvec"])
     clean_queries = [
-        (int(qid), [float(x) if x is not None else float("nan") for x in vec])
+        (int(qid), qv)
         for qid, vec in queries
-        if vec is not None and len(vec) == dim
+        for qv in [_clean_qvec(vec, dim)]
+        if qv is not None
     ]
     if not clean_queries:
         return _empty_ann(spark)

@@ -148,10 +148,8 @@ def _assign_codes_block(
             pair_pt = pair_pt[o]
             pair_z = pair_z[o]
             zvals, zstarts = np.unique(pair_z, return_index=True)
-            ex1, ey1, ex2, ey2, eoff = cm.edge_csr()
-            avg_edges = (
-                float((eoff[zvals + 1] - eoff[zvals]).mean()) if len(zvals) else 0.0
-            )
+            ecounts = cm.zone_edge_counts()
+            avg_edges = float(ecounts[zvals].mean()) if len(zvals) else 0.0
             if len(zvals) > PAIR_PIP_MIN_ZONES and avg_edges <= PAIR_PIP_MAX_EDGES:
                 # pair-vectorized PIP (dense-world regime): with 10^4+
                 # candidate zones per chunk and only a handful of points
@@ -164,6 +162,7 @@ def _assign_codes_block(
                 # bit-identical. Zones with big edge arrays (the real
                 # 419-zone world) keep the per-zone batch path: its
                 # contiguous edge reuse beats the gather.
+                ex1, ey1, ex2, ey2, eoff = cm.edge_csr()
                 ecnt_all = eoff[pair_z + 1] - eoff[pair_z]
                 nzm = ecnt_all > 0
                 ppt, pz, pec = pair_pt[nzm], pair_z[nzm], ecnt_all[nzm]

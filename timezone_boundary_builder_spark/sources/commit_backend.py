@@ -49,6 +49,11 @@ import os
 import time
 
 
+# a steal claim outliving this is a crashed stealer (live claims exist
+# for the rename+verify+remove window, i.e. milliseconds)
+ORPHAN_CLAIM_TTL_SEC = 60.0
+
+
 class StealRestoreError(RuntimeError):
     """steal_stale renamed a fresh lock away (ABA interleave) and could
     not restore it because a third writer already re-acquired the path.
@@ -121,6 +126,19 @@ class LocalFSBackend(CommitBackend):
             fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
         except FileExistsError:
+            # a live stealer holds the claim for microseconds (rename +
+            # verify + remove); a claim this old is a stealer that died
+            # between creating it and its finally-remove. Without healing
+            # it, THIS token's instance can never be stolen and every
+            # waiter times out forever. Removing it re-opens O_EXCL to
+            # exactly one new claimant; racing the owner's own remove is
+            # benign (FileNotFoundError ignored). S3 mapping: a lifecycle
+            # TTL on claim objects, or DELETE + conditional re-PUT.
+            try:
+                if time.time() - os.path.getmtime(claim) > ORPHAN_CLAIM_TTL_SEC:
+                    os.remove(claim)
+            except FileNotFoundError:
+                pass
             return False
         try:
             grave = f"{path}.stale-{observed_token or 'empty'}"

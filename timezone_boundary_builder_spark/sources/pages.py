@@ -279,17 +279,24 @@ def _publish_snapshot(
     token = uuid.uuid4().hex
     deadline = time.time() + LOCK_WAIT_SEC
     while not backend.create_exclusive(lock, token):
+        # token BEFORE age: the steal decision must bind to one observed
+        # instance. With age-first, a stale instance could be stolen and
+        # replaced between the two reads, and steal_stale would then be
+        # called with the FRESH lock's token — verifying cleanly against
+        # the new owner and destroying a live lock (two writers in the
+        # critical section). Token-first, the dangerous interleave makes
+        # age read young (no steal) or trips steal_stale's ABA restore.
+        observed = backend.read_token(lock)
         age = backend.age_sec(lock)
-        if age is None:
-            continue  # holder released between create and stat — re-create
-        if age > STALE_LOCK_TTL_SEC:
-            observed = backend.read_token(lock)
-            if observed is not None:
-                try:
-                    backend.steal_stale(lock, observed)
-                except commit_backend.StealRestoreError:
-                    pass  # exclusion in doubt: fall through to re-poll
-            continue
+        if observed is not None and age is not None and age > STALE_LOCK_TTL_SEC:
+            try:
+                if backend.steal_stale(lock, observed):
+                    continue  # freed: retry create immediately
+            except commit_backend.StealRestoreError:
+                pass  # exclusion in doubt: fall through to re-poll
+        # deadline + sleep on EVERY non-winning iteration — a lock that
+        # stays stale-looking while steals keep losing (e.g. an orphaned
+        # claim) must end in TimeoutError, never a hot spin
         if time.time() > deadline:
             raise TimeoutError(f"could not acquire {lock}")
         time.sleep(0.05)
