@@ -255,7 +255,7 @@ def _load_cellmap(spark, args):
     `spark-submit --py-files engine.zip` invocation only the package is
     on sys.path."""
     from timezone_boundary_builder_spark.operators.cover import (
-        DEFAULT_COVER_RES,
+        auto_cover_res,
         cellmap_from_zones_pdf,
     )
     from timezone_boundary_builder_spark.sources.fixtures import (
@@ -273,7 +273,12 @@ def _load_cellmap(spark, args):
     zdf = spark.read.parquet(args.zones_parquet)
     bbox_cols = [c for c in ("min_x", "min_y", "max_x", "max_y") if c in zdf.columns]
     zp = zdf.select("tzid", "geometry", *bbox_cols).toPandas()
-    return cellmap_from_zones_pdf(zp, max_res=args.cover_res or DEFAULT_COVER_RES)
+    # served zone artifacts have unknown zone-size distributions ahead of
+    # time, so the cover resolution adapts to them (auto_cover_res: the
+    # median zone bbox spans ~3 cells/axis); an explicit --cover-res pins
+    # it, and the chosen value lands in the run report either way
+    res = args.cover_res or auto_cover_res(zp)
+    return cellmap_from_zones_pdf(zp, max_res=res)
 
 
 def _run_incremental(spark, args, sid, t0) -> int:

@@ -99,3 +99,43 @@ def test_dense_world_assignment_matches_construction(spark, dense_cellmap):
     assert set(methods) <= {"cell", "pip"}, methods
     assert methods.get("cell", 0) > 0, methods
     bc.destroy()
+
+
+def test_auto_cover_res_tracks_zone_density():
+    """auto_cover_res adapts the cover resolution to the zone-size
+    distribution: coarse for the 8-zone fixture world (~30-40 deg
+    zones), fine for the 10k dense world (~3.6x1.8 deg quads), clamped
+    at both ends, and DEFAULT on degenerate inputs. Resolution only
+    moves work between the cell and pip stages (assignments invariant),
+    so the heuristic is a pure performance knob."""
+    import pandas as pd
+
+    from timezone_boundary_builder_spark.operators.cover import (
+        DEFAULT_COVER_RES,
+        auto_cover_res,
+    )
+    from timezone_boundary_builder_spark.sources.fixtures import local_zones
+
+    dense = dense_zone_world(NX, NY)
+    # jitter widens the median quad bbox past the 3.6x1.8 lattice pitch,
+    # so 8 or 9 are both faithful picks for this world
+    assert auto_cover_res(dense) in (8, 9)
+    fixture = local_zones()
+    assert 5 <= auto_cover_res(fixture) <= 7
+    # clamps: planet-sized zones floor at min_res, micro-zones cap at 11
+    import json as _json
+
+    def one_zone(w, h):
+        ring = [[0, 0], [w, 0], [w, h], [0, h], [0, 0]]
+        return pd.DataFrame(
+            {
+                "tzid": ["Z"],
+                "geometry": [_json.dumps({"type": "Polygon", "coordinates": [ring]})],
+            }
+        )
+
+    assert auto_cover_res(one_zone(360, 180)) == 4
+    assert auto_cover_res(one_zone(0.001, 0.001)) == 11
+    # degenerate: empty frame -> library default
+    empty = pd.DataFrame({"tzid": [], "geometry": []})
+    assert auto_cover_res(empty) == DEFAULT_COVER_RES

@@ -74,6 +74,50 @@ def build_cell_covers(zones: DataFrame, max_res: int = DEFAULT_COVER_RES) -> Dat
     return src.repartition(n).mapInPandas(_cover_batches, COVER_SCHEMA)
 
 
+def auto_cover_res(
+    zones_pdf: pd.DataFrame,
+    cells_per_axis: float = 3.0,
+    min_res: int = 4,
+    max_res: int = 11,
+) -> int:
+    """Pick the cover resolution from the zone-size distribution.
+
+    A fixed max_res is wrong at scale: the synthetic 8-zone world wants
+    res ~6-7, the 419-zone world res ~8-9, and a 10^4-zone dense world
+    res 9+ — with cells much bigger than a typical zone, almost every
+    point lands in a boundary cell and stage 2 (exact PIP) does the
+    work the index should. Rule: the MEDIAN zone bbox should span
+    ~`cells_per_axis` cells on each axis, so typical interiors compact
+    into FULL cells (immediate index hits). Clamped: finer than res 11
+    inflates the broadcast (cover cells grow with perimeter/cell_size)
+    for no hit-rate gain, and coarser than 4 degenerates to a global
+    scan. Assignments are resolution-INVARIANT (resolution only moves
+    work between the cell and pip stages), so this is purely a
+    performance knob — mechanically safe to auto-pick.
+    """
+    if "min_x" in zones_pdf.columns:
+        w = (zones_pdf["max_x"] - zones_pdf["min_x"]).to_numpy(dtype=np.float64)
+        h = (zones_pdf["max_y"] - zones_pdf["min_y"]).to_numpy(dtype=np.float64)
+    else:
+        ws, hs = [], []
+        for gj in zones_pdf["geometry"]:
+            g = from_geojson(gj)
+            if len(g.coords) == 0:
+                continue
+            xs, ys = g.coords[:, 0], g.coords[:, 1]
+            ws.append(float(xs.max() - xs.min()))
+            hs.append(float(ys.max() - ys.min()))
+        w, h = np.array(ws), np.array(hs)
+    ok = np.isfinite(w) & np.isfinite(h) & (w > 0) & (h > 0)
+    if not ok.any():
+        return DEFAULT_COVER_RES
+    med_w = float(np.median(w[ok]))
+    med_h = float(np.median(h[ok]))
+    r_w = int(np.ceil(np.log2(360.0 * cells_per_axis / med_w)))
+    r_h = int(np.ceil(np.log2(180.0 * cells_per_axis / med_h)))
+    return int(np.clip(max(r_w, r_h), min_res, max_res))
+
+
 def cellmap_from_zones_pdf(
     zones_pdf: pd.DataFrame, max_res: int = DEFAULT_COVER_RES
 ) -> "CellMap":
