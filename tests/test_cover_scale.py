@@ -80,6 +80,45 @@ def test_pair_pip_path_equals_per_zone_path(dense_cellmap, monkeypatch):
     np.testing.assert_array_equal(m_pair, m_loop)
 
 
+def test_knn_pair_path_equals_per_zone_path_on_holey_world():
+    """kNN fallback in the dense regime: punch every 9th quad out of the
+    tiling so ~11% of points MISS and fall through to the kNN path, then
+    assert the pair-vectorized distance path and the per-zone loop agree
+    on every assignment and method (knn within 1852 m of a hole edge,
+    none deeper in). Distances between distinct zones differ by far more
+    than the 1e-9 m tie window here, where the two winner rules provably
+    coincide."""
+    from timezone_boundary_builder_spark.operators import spatial_join as sj
+    from timezone_boundary_builder_spark.operators.cover import (
+        cellmap_from_zones_pdf,
+    )
+
+    world = dense_zone_world(NX, NY)
+    kept = world.iloc[[i for i in range(len(world)) if i % 9 != 0]].reset_index(
+        drop=True
+    )
+    cm = cellmap_from_zones_pdf(kept, max_res=8)
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-180, 180, 60_000)
+    lat = rng.uniform(-90, 90, 60_000)
+    be = sj._band_edges([])
+    code_pair, m_pair = sj.assign_codes(cm, be, 0, lon, lat, 1852.0)
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(sj, "PAIR_PIP_MIN_ZONES", 10**9)  # force per-zone loops
+        code_loop, m_loop = sj.assign_codes(cm, be, 0, lon, lat, 1852.0)
+    finally:
+        mp.undo()
+    np.testing.assert_array_equal(code_pair, code_loop)
+    np.testing.assert_array_equal(m_pair, m_loop)
+    counts = dict(zip(*np.unique(m_pair, return_counts=True)))
+    # all four land outcomes actually exercised: cell, pip, knn, none
+    assert counts.get(sj.M_KNN, 0) > 200, counts
+    assert counts.get(sj.M_NONE, 0) > 1000, counts
+
+
 def test_dense_world_assignment_matches_construction(spark, dense_cellmap):
     world, cm = dense_cellmap
     pts = dense_world_points(world, NX, NY, n=20_000)

@@ -65,6 +65,99 @@ PAIR_PIP_MAX_EDGES = 64
 PAIR_PIP_EDGE_CHUNK = 4_000_000
 
 
+def _pair_edge_d2(pxe, pye, ax, ay, bx, by):
+    """Squared equirectangular point-to-segment distance per (pair, edge)
+    row — the identical elementwise arithmetic of
+    kernels.min_distance_edges_m, flattened (same values, so the pair
+    path and the per-zone path agree to float noise)."""
+    plam = np.radians(pxe)
+    pphi = np.radians(pye)
+    cosphi = np.cos(pphi)
+    axp = (np.radians(ax) - plam) * cosphi
+    ayp = np.radians(ay) - pphi
+    bxp = (np.radians(bx) - plam) * cosphi
+    byp = np.radians(by) - pphi
+    dx = bxp - axp
+    dy = byp - ayp
+    seg_len2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -(axp * dx + ayp * dy) / seg_len2
+    t = np.clip(np.nan_to_num(t, nan=0.0), 0.0, 1.0)
+    cx = axp + t * dx
+    cy = ayp + t * dy
+    return cx * cx + cy * cy
+
+
+def _knn_pairs_vectorized(cm, ml, ma, pair_pt, pair_z, seam, knn_best_d, knn_best_z):
+    """Pair-vectorized kNN fallback (dense regime, mirrors the PIP pair
+    path): (point, zone) candidates expand to (pair, edge) rows against
+    the flat CSR edge soup, one distance expression, reduceat-min per
+    pair — replacing one numpy call per candidate zone, which at 10^4
+    edge-light zones capped the miss path at ~0.09M pts/s single-core.
+
+    Winner rule per point is the ORACLE rule (smallest zone index within
+    1e-9 m of the true minimum — tests/test_interval_probe.py and the
+    geo_knn_assign SQL oracle use exactly this), which agrees with the
+    per-zone loop whenever zone distances are separated by more than
+    float noise. Mutates knn_best_d / knn_best_z in place.
+    """
+    from ..geom.kernels import EARTH_RADIUS_M
+
+    ex1, ey1, ex2, ey2, eoff = cm.edge_csr()
+    pecnt = eoff[pair_z + 1] - eoff[pair_z]
+    nzm = pecnt > 0
+    ppt, pz, pec = pair_pt[nzm], pair_z[nzm], pecnt[nzm]
+    if not len(ppt):
+        return
+    d_pair = np.empty(len(ppt))
+    cum = np.cumsum(pec)
+    cuts = np.searchsorted(
+        cum, np.arange(PAIR_PIP_EDGE_CHUNK, int(cum[-1]), PAIR_PIP_EDGE_CHUNK)
+    )
+    bounds = [0, *[int(c) + 1 for c in cuts], len(ppt)]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if a >= b:
+            continue
+        sec = pec[a:b]
+        tot = int(sec.sum())
+        sstart = np.cumsum(sec) - sec
+        eidx = np.repeat(eoff[pz[a:b]], sec) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(sstart, sec)
+        )
+        pxe = np.repeat(ml[ppt[a:b]], sec)
+        pye = np.repeat(ma[ppt[a:b]], sec)
+        d2 = _pair_edge_d2(pxe, pye, ex1[eidx], ey1[eidx], ex2[eidx], ey2[eidx])
+        d = np.sqrt(np.minimum.reduceat(d2, sstart)) * EARTH_RADIUS_M
+        sw = seam[ppt[a:b]]
+        if sw.any():
+            # antimeridian second pass, on the seam-point pairs only —
+            # same lon+-360 shift and min-fold as the per-zone loop
+            swe = np.repeat(sw, sec)
+            pxw = pxe[swe]
+            d2w = _pair_edge_d2(
+                pxw - np.sign(pxw) * 360.0,
+                pye[swe],
+                ex1[eidx[swe]],
+                ey1[eidx[swe]],
+                ex2[eidx[swe]],
+                ey2[eidx[swe]],
+            )
+            sec_w = sec[sw]
+            dw = (
+                np.sqrt(np.minimum.reduceat(d2w, np.cumsum(sec_w) - sec_w))
+                * EARTH_RADIUS_M
+            )
+            d[sw] = np.minimum(d[sw], dw)
+        d_pair[a:b] = d
+    np.minimum.at(knn_best_d, ppt, d_pair)
+    big = np.iinfo(np.int64).max
+    cand_z = np.full(len(knn_best_d), big, dtype=np.int64)
+    win = d_pair <= knn_best_d[ppt] + 1e-9
+    np.minimum.at(cand_z, ppt[win], pz[win])
+    got = cand_z < big
+    knn_best_z[got] = cand_z[got]
+
+
 def assign_codes(
     cm,
     band_edges: np.ndarray,
@@ -248,20 +341,35 @@ def _assign_codes_block(
                 seam = (180.0 - np.abs(ml)) * np.cos(np.radians(ma)) * m_per_deg <= (
                     knn_max_m * 1.05
                 )
-                for z, s0, s1 in zip(zvals, zstarts, zends):
-                    sel = pair_pt[s0:s1]
-                    x1, y1, x2, y2 = edges[int(z)]
-                    d = min_distance_edges_m(ml[sel], ma[sel], x1, y1, x2, y2)
-                    sw = seam[sel]
-                    if sw.any():
-                        mlw = ml[sel][sw]
-                        dw = min_distance_edges_m(
-                            mlw - np.sign(mlw) * 360.0, ma[sel][sw], x1, y1, x2, y2
-                        )
-                        d[sw] = np.minimum(d[sw], dw)
-                    better = d < best_d[sel] - 1e-9
-                    best_d[sel[better]] = d[better]
-                    best_z[sel[better]] = z
+                ecounts = cm.zone_edge_counts()
+                avg_e = float(ecounts[zvals].mean()) if len(zvals) else 0.0
+                if len(zvals) > PAIR_PIP_MIN_ZONES and avg_e <= PAIR_PIP_MAX_EDGES:
+                    # dense regime: same overhead wall as stage-2 PIP
+                    # (measured 0.09M pts/s single-core at 10^4 zones
+                    # through the per-zone loop below) — pair-vectorize
+                    _knn_pairs_vectorized(
+                        cm, ml, ma, pair_pt, pair_z, seam, best_d, best_z
+                    )
+                else:
+                    for z, s0, s1 in zip(zvals, zstarts, zends):
+                        sel = pair_pt[s0:s1]
+                        x1, y1, x2, y2 = edges[int(z)]
+                        d = min_distance_edges_m(ml[sel], ma[sel], x1, y1, x2, y2)
+                        sw = seam[sel]
+                        if sw.any():
+                            mlw = ml[sel][sw]
+                            dw = min_distance_edges_m(
+                                mlw - np.sign(mlw) * 360.0,
+                                ma[sel][sw],
+                                x1,
+                                y1,
+                                x2,
+                                y2,
+                            )
+                            d[sw] = np.minimum(d[sw], dw)
+                        better = d < best_d[sel] - 1e-9
+                        best_d[sel[better]] = d[better]
+                        best_z[sel[better]] = z
             knn_ok = best_d <= knn_max_m
             miss_idx = np.nonzero(miss)[0]
             final[miss_idx[knn_ok]] = best_z[knn_ok]
