@@ -103,7 +103,7 @@ def main(argv=None) -> int:
                     "--incremental (deltas are whole manifest entries)")
         return _run_incremental(spark, args, sid, t0)
 
-    cm = _load_cellmap(spark, args)
+    cm, cover_res = _load_cellmap(spark, args)
     zones_fp = fingerprint("zones", *cm.tzids, *[g for g in cm.geojson])
     # every input that changes the OUTPUT is in the key: the band table
     # decides ocean tzids and the cover resolution decides the
@@ -119,7 +119,7 @@ def main(argv=None) -> int:
         str(args.ts_day_max),
         zones_fp,
         json.dumps(_ocean_bands(args)),
-        str(args.cover_res),
+        str(cover_res),
     )
 
     manifest = StageManifest(args.work_dir)
@@ -222,6 +222,7 @@ def main(argv=None) -> int:
             {
                 "snapshot": sid,
                 "cached": cached,
+                "cover_res": cover_res,
                 "rows": int(h_out["n"]),
                 "methods": methods,
                 "text_invariant_ok": text_ok,
@@ -255,6 +256,7 @@ def _load_cellmap(spark, args):
     `spark-submit --py-files engine.zip` invocation only the package is
     on sys.path."""
     from timezone_boundary_builder_spark.operators.cover import (
+        DEFAULT_COVER_RES,
         auto_cover_res,
         cellmap_from_zones_pdf,
     )
@@ -265,20 +267,28 @@ def _load_cellmap(spark, args):
 
     if not args.zones_parquet:
         if args.cover_res is None:
-            return local_cellmap()
+            return local_cellmap(), DEFAULT_COVER_RES
         # honor --cover-res on the fixture world too: the flag is in the
         # stage fingerprint, so it must also change the artifact (the
         # cell-vs-pip method mix), not just bust the cache
-        return cellmap_from_zones_pdf(local_zones(), max_res=args.cover_res)
+        return cellmap_from_zones_pdf(local_zones(), max_res=args.cover_res), args.cover_res
     zdf = spark.read.parquet(args.zones_parquet)
-    bbox_cols = [c for c in ("min_x", "min_y", "max_x", "max_y") if c in zdf.columns]
+    # bboxes are for auto_cover_res + CellMap zone_bbox; require the full
+    # quartet or none (a partial set would KeyError downstream), deriving
+    # from geometry when absent
+    quartet = ("min_x", "min_y", "max_x", "max_y")
+    bbox_cols = list(quartet) if all(c in zdf.columns for c in quartet) else []
     zp = zdf.select("tzid", "geometry", *bbox_cols).toPandas()
     # served zone artifacts have unknown zone-size distributions ahead of
     # time, so the cover resolution adapts to them (auto_cover_res: the
     # median zone bbox spans ~3 cells/axis); an explicit --cover-res pins
-    # it, and the chosen value lands in the run report either way
+    # it. The EFFECTIVE res is returned so the stage fingerprint and the
+    # run report carry what actually built the cover — auto's pick
+    # depends on artifact columns outside the tzid+geometry fingerprint,
+    # so fingerprinting the flag alone would replay a stale cached stage
+    # when the artifact's bbox columns change.
     res = args.cover_res or auto_cover_res(zp)
-    return cellmap_from_zones_pdf(zp, max_res=res)
+    return cellmap_from_zones_pdf(zp, max_res=res), res
 
 
 def _run_incremental(spark, args, sid, t0) -> int:
@@ -326,7 +336,7 @@ def _run_incremental(spark, args, sid, t0) -> int:
     if delta:
         from timezone_boundary_builder_spark.plans.lineage import lineage_table
 
-        cm = _load_cellmap(spark, args)
+        cm, _ = _load_cellmap(spark, args)
         bc = spark.sparkContext.broadcast(cm)
         scan = spark.read.schema(PAGES_SCHEMA).parquet(*[e["path"] for e in delta])
         pts = with_coordinates(scan).select("url", "warc_ts", pack_coords_col())

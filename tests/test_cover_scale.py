@@ -73,6 +73,10 @@ def test_pair_pip_path_equals_per_zone_path(dense_cellmap, monkeypatch):
     lon = rng.uniform(-180, 180, 50_000)
     lat = rng.uniform(-90, 90, 50_000)
     be = sj._band_edges([])
+    # tiny slice budget: many (pair, edge) slices per chunk, so the
+    # cuts/bounds/offset arithmetic of _iter_pair_slices is actually
+    # exercised (at the default 4M budget this workload fits one slice)
+    monkeypatch.setattr(sj, "PAIR_PIP_EDGE_CHUNK", 10_000)
     code_pair, m_pair = sj.assign_codes(cm, be, 0, lon, lat, 1852.0)
     monkeypatch.setattr(sj, "PAIR_PIP_MIN_ZONES", 10**9)  # force per-zone loop
     code_loop, m_loop = sj.assign_codes(cm, be, 0, lon, lat, 1852.0)
@@ -80,7 +84,7 @@ def test_pair_pip_path_equals_per_zone_path(dense_cellmap, monkeypatch):
     np.testing.assert_array_equal(m_pair, m_loop)
 
 
-def test_knn_pair_path_equals_per_zone_path_on_holey_world():
+def test_knn_pair_path_equals_per_zone_path_on_holey_world(monkeypatch):
     """kNN fallback in the dense regime: punch every 9th quad out of the
     tiling so ~11% of points MISS and fall through to the kNN path, then
     assert the pair-vectorized distance path and the per-zone loop agree
@@ -102,15 +106,10 @@ def test_knn_pair_path_equals_per_zone_path_on_holey_world():
     lon = rng.uniform(-180, 180, 60_000)
     lat = rng.uniform(-90, 90, 60_000)
     be = sj._band_edges([])
+    monkeypatch.setattr(sj, "PAIR_PIP_EDGE_CHUNK", 10_000)  # force slicing
     code_pair, m_pair = sj.assign_codes(cm, be, 0, lon, lat, 1852.0)
-    import pytest as _pytest
-
-    mp = _pytest.MonkeyPatch()
-    try:
-        mp.setattr(sj, "PAIR_PIP_MIN_ZONES", 10**9)  # force per-zone loops
-        code_loop, m_loop = sj.assign_codes(cm, be, 0, lon, lat, 1852.0)
-    finally:
-        mp.undo()
+    monkeypatch.setattr(sj, "PAIR_PIP_MIN_ZONES", 10**9)  # force per-zone loops
+    code_loop, m_loop = sj.assign_codes(cm, be, 0, lon, lat, 1852.0)
     np.testing.assert_array_equal(code_pair, code_loop)
     np.testing.assert_array_equal(m_pair, m_loop)
     counts = dict(zip(*np.unique(m_pair, return_counts=True)))
@@ -175,6 +174,20 @@ def test_auto_cover_res_tracks_zone_density():
 
     assert auto_cover_res(one_zone(360, 180)) == 4
     assert auto_cover_res(one_zone(0.001, 0.001)) == 11
+    # bimodal guard: micro-zone MEDIAN wants the cap, but the total
+    # (perimeter-driven) cover estimate coarsens it — the budget wins
+    bimodal = pd.concat(
+        [dense_zone_world(100, 100), one_zone(340, 170)], ignore_index=True
+    )
+    fine = auto_cover_res(bimodal)
+    assert auto_cover_res(bimodal, max_cells=2_000) < fine
+    # a PARTIAL bbox column set must re-derive, not KeyError
+    partial = dense_zone_world(10, 10).drop(columns=["max_x", "max_y"])
+    assert auto_cover_res(partial) == auto_cover_res(
+        dense_zone_world(10, 10).drop(
+            columns=["min_x", "min_y", "max_x", "max_y"]
+        )
+    )
     # degenerate: empty frame -> library default
     empty = pd.DataFrame({"tzid": [], "geometry": []})
     assert auto_cover_res(empty) == DEFAULT_COVER_RES

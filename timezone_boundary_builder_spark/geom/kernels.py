@@ -179,6 +179,31 @@ def points_in_edges(
     return (parity & 1).astype(bool)
 
 
+def pair_edge_d2(pxe, pye, ax, ay, bx, by):
+    """Squared equirectangular point-to-segment distance, elementwise
+    (broadcast-compatible). OP-FOR-OP the same arithmetic as
+    min_distance_edges_m's loop body — the spatial join's pair-vectorized
+    kNN path relies on the two producing bit-identical values, so any
+    precision change here must land in both (and the pair-vs-loop
+    equality tests in tests/test_cover_scale.py will catch a drift)."""
+    plam = np.radians(pxe)
+    pphi = np.radians(pye)
+    cosphi = np.cos(pphi)
+    axp = (np.radians(ax) - plam) * cosphi
+    ayp = np.radians(ay) - pphi
+    bxp = (np.radians(bx) - plam) * cosphi
+    byp = np.radians(by) - pphi
+    dx = bxp - axp
+    dy = byp - ayp
+    seg_len2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -(axp * dx + ayp * dy) / seg_len2
+    t = np.clip(np.nan_to_num(t, nan=0.0), 0.0, 1.0)
+    cx = axp + t * dx
+    cy = ayp + t * dy
+    return cx * cx + cy * cy
+
+
 def min_distance_edges_m(
     px: np.ndarray, py: np.ndarray, ax: np.ndarray, ay: np.ndarray,
     bx: np.ndarray, by: np.ndarray,

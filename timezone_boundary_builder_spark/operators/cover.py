@@ -79,6 +79,7 @@ def auto_cover_res(
     cells_per_axis: float = 3.0,
     min_res: int = 4,
     max_res: int = 11,
+    max_cells: float = 2_000_000,
 ) -> int:
     """Pick the cover resolution from the zone-size distribution.
 
@@ -95,7 +96,7 @@ def auto_cover_res(
     work between the cell and pip stages), so this is purely a
     performance knob — mechanically safe to auto-pick.
     """
-    if "min_x" in zones_pdf.columns:
+    if all(c in zones_pdf.columns for c in ("min_x", "min_y", "max_x", "max_y")):
         w = (zones_pdf["max_x"] - zones_pdf["min_x"]).to_numpy(dtype=np.float64)
         h = (zones_pdf["max_y"] - zones_pdf["min_y"]).to_numpy(dtype=np.float64)
     else:
@@ -115,7 +116,16 @@ def auto_cover_res(
     med_h = float(np.median(h[ok]))
     r_w = int(np.ceil(np.log2(360.0 * cells_per_axis / med_w)))
     r_h = int(np.ceil(np.log2(180.0 * cells_per_axis / med_h)))
-    return int(np.clip(max(r_w, r_h), min_res, max_res))
+    res = int(np.clip(max(r_w, r_h), min_res, max_res))
+    # total-size guard for bimodal worlds: the median alone can drive res
+    # to the cap while a few continental zones dominate the TOTAL
+    # perimeter — boundary cells grow as perimeter/cell_size, so coarsen
+    # until the estimated cover (bbox-perimeter proxy) fits the
+    # broadcast budget instead of ballooning the driver-side build
+    perim_deg = float((2.0 * (w[ok] + h[ok])).sum())
+    while res > min_res and perim_deg / (360.0 / (1 << res)) > max_cells:
+        res -= 1
+    return res
 
 
 def cellmap_from_zones_pdf(
@@ -126,7 +136,13 @@ def cellmap_from_zones_pdf(
     zone artifact (a build_all product parquet, a prior release) can feed
     the serving layer directly."""
     zp = zones_pdf.sort_values("tzid").reset_index(drop=True)
-    if "min_x" not in zp.columns:
+    if not all(c in zp.columns for c in ("min_x", "min_y", "max_x", "max_y")):
+        # the full quartet or re-derive: a PARTIAL bbox column set
+        # (e.g. an artifact carrying min_* only) would KeyError inside
+        # CellMap otherwise
+        zp = zp.drop(
+            columns=[c for c in ("min_x", "min_y", "max_x", "max_y") if c in zp.columns]
+        )
         boxes = []
         for gj in zp["geometry"]:
             g = from_geojson(gj)

@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..geom.kernels import min_distance_edges_m, points_in_edges
+from ..geom.kernels import min_distance_edges_m, pair_edge_d2, points_in_edges
 
 KNN_MAX_METERS = 1852.0  # 1 nautical mile
 # candidate prefilter for kNN: inflate zone bboxes by ~2x the max distance
@@ -65,27 +65,26 @@ PAIR_PIP_MAX_EDGES = 64
 PAIR_PIP_EDGE_CHUNK = 4_000_000
 
 
-def _pair_edge_d2(pxe, pye, ax, ay, bx, by):
-    """Squared equirectangular point-to-segment distance per (pair, edge)
-    row — the identical elementwise arithmetic of
-    kernels.min_distance_edges_m, flattened (same values, so the pair
-    path and the per-zone path agree to float noise)."""
-    plam = np.radians(pxe)
-    pphi = np.radians(pye)
-    cosphi = np.cos(pphi)
-    axp = (np.radians(ax) - plam) * cosphi
-    ayp = np.radians(ay) - pphi
-    bxp = (np.radians(bx) - plam) * cosphi
-    byp = np.radians(by) - pphi
-    dx = bxp - axp
-    dy = byp - ayp
-    seg_len2 = dx * dx + dy * dy
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = -(axp * dx + ayp * dy) / seg_len2
-    t = np.clip(np.nan_to_num(t, nan=0.0), 0.0, 1.0)
-    cx = axp + t * dx
-    cy = ayp + t * dy
-    return cx * cx + cy * cy
+def _iter_pair_slices(eoff, pz, pec):
+    """Slice a (pair, edge) CSR expansion into <=PAIR_PIP_EDGE_CHUNK-row
+    pieces; yields (sl, sec, sstart, eidx) per slice. Shared by the
+    pair-vectorized PIP and kNN paths — the cuts/bounds/offset arithmetic
+    is subtle enough that two copies WOULD drift."""
+    cum = np.cumsum(pec)
+    cuts = np.searchsorted(
+        cum, np.arange(PAIR_PIP_EDGE_CHUNK, int(cum[-1]), PAIR_PIP_EDGE_CHUNK)
+    )
+    bounds = [0, *[int(c) + 1 for c in cuts], len(pec)]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if a >= b:
+            continue
+        sec = pec[a:b]
+        tot = int(sec.sum())
+        sstart = np.cumsum(sec) - sec
+        eidx = np.repeat(eoff[pz[a:b]], sec) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(sstart, sec)
+        )
+        yield slice(a, b), sec, sstart, eidx
 
 
 def _knn_pairs_vectorized(cm, ml, ma, pair_pt, pair_z, seam, knn_best_d, knn_best_z):
@@ -110,31 +109,18 @@ def _knn_pairs_vectorized(cm, ml, ma, pair_pt, pair_z, seam, knn_best_d, knn_bes
     if not len(ppt):
         return
     d_pair = np.empty(len(ppt))
-    cum = np.cumsum(pec)
-    cuts = np.searchsorted(
-        cum, np.arange(PAIR_PIP_EDGE_CHUNK, int(cum[-1]), PAIR_PIP_EDGE_CHUNK)
-    )
-    bounds = [0, *[int(c) + 1 for c in cuts], len(ppt)]
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        if a >= b:
-            continue
-        sec = pec[a:b]
-        tot = int(sec.sum())
-        sstart = np.cumsum(sec) - sec
-        eidx = np.repeat(eoff[pz[a:b]], sec) + (
-            np.arange(tot, dtype=np.int64) - np.repeat(sstart, sec)
-        )
-        pxe = np.repeat(ml[ppt[a:b]], sec)
-        pye = np.repeat(ma[ppt[a:b]], sec)
-        d2 = _pair_edge_d2(pxe, pye, ex1[eidx], ey1[eidx], ex2[eidx], ey2[eidx])
+    for sl, sec, sstart, eidx in _iter_pair_slices(eoff, pz, pec):
+        pxe = np.repeat(ml[ppt[sl]], sec)
+        pye = np.repeat(ma[ppt[sl]], sec)
+        d2 = pair_edge_d2(pxe, pye, ex1[eidx], ey1[eidx], ex2[eidx], ey2[eidx])
         d = np.sqrt(np.minimum.reduceat(d2, sstart)) * EARTH_RADIUS_M
-        sw = seam[ppt[a:b]]
+        sw = seam[ppt[sl]]
         if sw.any():
             # antimeridian second pass, on the seam-point pairs only —
             # same lon+-360 shift and min-fold as the per-zone loop
             swe = np.repeat(sw, sec)
             pxw = pxe[swe]
-            d2w = _pair_edge_d2(
+            d2w = pair_edge_d2(
                 pxw - np.sign(pxw) * 360.0,
                 pye[swe],
                 ex1[eidx[swe]],
@@ -148,7 +134,7 @@ def _knn_pairs_vectorized(cm, ml, ma, pair_pt, pair_z, seam, knn_best_d, knn_bes
                 * EARTH_RADIUS_M
             )
             d[sw] = np.minimum(d[sw], dw)
-        d_pair[a:b] = d
+        d_pair[sl] = d
     np.minimum.at(knn_best_d, ppt, d_pair)
     big = np.iinfo(np.int64).max
     cand_z = np.full(len(knn_best_d), big, dtype=np.int64)
@@ -260,24 +246,9 @@ def _assign_codes_block(
                 nzm = ecnt_all > 0
                 ppt, pz, pec = pair_pt[nzm], pair_z[nzm], ecnt_all[nzm]
                 if len(ppt):
-                    cum = np.cumsum(pec)
-                    # slice pairs so one slice's (pair, edge) expansion
-                    # stays inside the PIP chunk budget
-                    cuts = np.searchsorted(
-                        cum, np.arange(PAIR_PIP_EDGE_CHUNK, int(cum[-1]), PAIR_PIP_EDGE_CHUNK)
-                    )
-                    bounds = [0, *[int(c) + 1 for c in cuts], len(ppt)]
-                    for a, b in zip(bounds[:-1], bounds[1:]):
-                        if a >= b:
-                            continue
-                        sec = pec[a:b]
-                        tot = int(sec.sum())
-                        sstart = np.cumsum(sec) - sec
-                        eidx = np.repeat(eoff[pz[a:b]], sec) + (
-                            np.arange(tot, dtype=np.int64) - np.repeat(sstart, sec)
-                        )
-                        pxe = np.repeat(hl[ppt[a:b]], sec)
-                        pye = np.repeat(ha[ppt[a:b]], sec)
+                    for sl, sec, sstart, eidx in _iter_pair_slices(eoff, pz, pec):
+                        pxe = np.repeat(hl[ppt[sl]], sec)
+                        pye = np.repeat(ha[ppt[sl]], sec)
                         y1g, y2g = ey1[eidx], ey2[eidx]
                         straddle = (y1g > pye) != (y2g > pye)
                         x1g = ex1[eidx]
@@ -286,7 +257,7 @@ def _assign_codes_block(
                         hit = straddle & (pxe < xint)
                         cross = np.add.reduceat(hit.astype(np.int64), sstart)
                         inside = (cross & 1).astype(bool)
-                        np.minimum.at(pip_best, ppt[a:b][inside], pz[a:b][inside])
+                        np.minimum.at(pip_best, ppt[sl][inside], pz[sl][inside])
             else:
                 zends = np.append(zstarts[1:], len(pair_z))
                 for z, s0, s1 in zip(zvals, zstarts, zends):
