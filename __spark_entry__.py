@@ -1927,12 +1927,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_real_config_build": _q_geo_real_config_build,
         "geo_manifest_resume": _q_geo_manifest_resume,
         "geo_lineage_conservation": _q_geo_lineage_conservation,
-        "geo_zone_filter_prune": _q_geo_zone_filter_prune,
-        # trailing 18: operator source untouched in round 5, at least
+        # trailing 19: operator source untouched in round 5, at least
         # double-green in prior driver rounds (mechanized by
         # tests/test_entry_oracle.py::
         # test_trailing_queries_are_multi_green_in_prior_rounds), each
         # gated by a checked same-file sibling in the head --
+        # geo_zone_filter_prune (green r02+r04) by geo_zone_build +
+        # geo_real_config_build (zone_build.py, head);
         # dedup_exact / dedup_simhash / dedup_ngram_jaccard /
         # dedup_embed_cosine by dedup_lsh_pairs + dedup_clusters +
         # dedup_minhash (dedup.py, head) and pipeline_clean which runs
@@ -1952,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The in-repo pytest oracle mirror (tests/test_entry_oracle.py)
         # runs ALL entries every session. Union over rounds => every
         # key driver-verified.
+        "geo_zone_filter_prune": _q_geo_zone_filter_prune,
         "dedup_exact": _q_dedup_exact,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
