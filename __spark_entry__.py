@@ -1339,16 +1339,28 @@ def _q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path not in _IVF_SERVED_DIRS:
         import atexit
         import shutil
+        import time
 
         _IVF_SERVED_DIRS.add(path)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         for name in os.listdir(base):  # heal leaks from killed processes
             if name.startswith("ann_ivf_served_") and name != os.path.basename(path):
+                sib = os.path.join(base, name)
+                try:
+                    # mtime-age floor (round-5 ADVICE): a dir touched in
+                    # the last few minutes may belong to a live process
+                    # the PID test can't vouch for (old-format name, or a
+                    # recycled PID) — only sweep candidates that have
+                    # also sat untouched past the floor
+                    if time.time() - os.path.getmtime(sib) < 600.0:
+                        continue
+                except OSError:
+                    continue
                 try:
                     owner = int(name.rsplit("_", 1)[-1])
                     os.kill(owner, 0)  # raises if the owner is gone
                 except (ValueError, ProcessLookupError):
-                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+                    shutil.rmtree(sib, ignore_errors=True)
                 except PermissionError:
                     pass  # owner alive under another uid: leave it
     ivf_build(emb, path, centroid_stride=IVF_STRIDE)

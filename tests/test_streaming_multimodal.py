@@ -487,15 +487,27 @@ def test_ivf_served_dir_sweeps_dead_process_leftovers(spark):
     cleanup AND sweeps siblings whose owning PID is gone — PID keying
     alone would just move the /tmp leak across processes (round-5
     review). A planted dir owned by a dead PID disappears on the next
-    build; the live process's own dir survives."""
+    build ONLY once it has sat untouched past the mtime-age floor
+    (round-5 ADVICE: a recently-touched dir may belong to a live process
+    the PID test can't vouch for — recycled PID or old-format name);
+    the live process's own dir survives."""
     import os
     import tempfile
+    import time
 
     base = tempfile.gettempdir()
     dead = os.path.join(base, "ann_ivf_served_deadbeef0000_999999999")
+    fresh = os.path.join(base, "ann_ivf_served_cafecafe0000_999999998")
     os.makedirs(dead, exist_ok=True)
+    os.makedirs(fresh, exist_ok=True)
+    old = time.time() - 3600.0
+    os.utime(dead, (old, old))  # past the floor: sweepable
+    # `fresh` keeps its just-created mtime: must be LEFT ALONE even
+    # though its owning PID is equally dead
     entry._q_ann_ivf_served(spark, "/root/testdata/sf0.001").count()
     assert not os.path.exists(dead)
+    assert os.path.exists(fresh)
+    os.rmdir(fresh)
     own = [
         n
         for n in os.listdir(base)

@@ -122,8 +122,17 @@ def auto_cover_res(
     # perimeter — boundary cells grow as perimeter/cell_size, so coarsen
     # until the estimated cover (bbox-perimeter proxy) fits the
     # broadcast budget instead of ballooning the driver-side build
-    perim_deg = float((2.0 * (w[ok] + h[ok])).sum())
-    while res > min_res and perim_deg / (360.0 / (1 << res)) > max_cells:
+    # per-axis cell sizes (round-5 ADVICE): a cell is 360/2^res wide but
+    # only 180/2^res tall, so horizontal edge length divides by the cell
+    # WIDTH and vertical edge length by the cell HEIGHT — folding both
+    # through the width undercounted lat-dominated perimeters up to 2x
+    sum_w = float(w[ok].sum())
+    sum_h = float(h[ok].sum())
+
+    def _est_cells(r: int) -> float:
+        return 2.0 * (sum_w / (360.0 / (1 << r)) + sum_h / (180.0 / (1 << r)))
+
+    while res > min_res and _est_cells(res) > max_cells:
         res -= 1
     return res
 

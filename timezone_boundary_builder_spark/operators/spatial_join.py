@@ -87,6 +87,25 @@ def _iter_pair_slices(eoff, pz, pec):
         yield slice(a, b), sec, sstart, eidx
 
 
+def _fold_knn_winners(pair_pt, pair_z, d_pair, best_d, best_z):
+    """ONE winner rule for both kNN candidate paths: the assigned zone is
+    the smallest zone index within 1e-9 m of the global minimum distance
+    — exactly the geo_knn_assign SQL oracle and test_interval_probe rule.
+    The per-zone loop used to keep a running-min chain ("first zone not
+    beaten by >1e-9"), which can pick a DIFFERENT zone than this rule
+    when several zones tie within chained sub-nanometer gaps (round-5
+    ADVICE) — so whether a chunk crossed PAIR_PIP_MIN_ZONES could flip
+    the answer. Both regimes now fold through here; mutates
+    best_d / best_z in place."""
+    np.minimum.at(best_d, pair_pt, d_pair)
+    big = np.iinfo(np.int64).max
+    cand_z = np.full(len(best_d), big, dtype=np.int64)
+    win = d_pair <= best_d[pair_pt] + 1e-9
+    np.minimum.at(cand_z, pair_pt[win], pair_z[win])
+    got = cand_z < big
+    best_z[got] = cand_z[got]
+
+
 def _knn_pairs_vectorized(cm, ml, ma, pair_pt, pair_z, seam, knn_best_d, knn_best_z):
     """Pair-vectorized kNN fallback (dense regime, mirrors the PIP pair
     path): (point, zone) candidates expand to (pair, edge) rows against
@@ -94,11 +113,8 @@ def _knn_pairs_vectorized(cm, ml, ma, pair_pt, pair_z, seam, knn_best_d, knn_bes
     pair — replacing one numpy call per candidate zone, which at 10^4
     edge-light zones capped the miss path at ~0.09M pts/s single-core.
 
-    Winner rule per point is the ORACLE rule (smallest zone index within
-    1e-9 m of the true minimum — tests/test_interval_probe.py and the
-    geo_knn_assign SQL oracle use exactly this), which agrees with the
-    per-zone loop whenever zone distances are separated by more than
-    float noise. Mutates knn_best_d / knn_best_z in place.
+    Winner rule: _fold_knn_winners (shared with the per-zone loop).
+    Mutates knn_best_d / knn_best_z in place.
     """
     from ..geom.kernels import EARTH_RADIUS_M
 
@@ -135,13 +151,7 @@ def _knn_pairs_vectorized(cm, ml, ma, pair_pt, pair_z, seam, knn_best_d, knn_bes
             )
             d[sw] = np.minimum(d[sw], dw)
         d_pair[sl] = d
-    np.minimum.at(knn_best_d, ppt, d_pair)
-    big = np.iinfo(np.int64).max
-    cand_z = np.full(len(knn_best_d), big, dtype=np.int64)
-    win = d_pair <= knn_best_d[ppt] + 1e-9
-    np.minimum.at(cand_z, ppt[win], pz[win])
-    got = cand_z < big
-    knn_best_z[got] = cand_z[got]
+    _fold_knn_winners(ppt, pz, d_pair, knn_best_d, knn_best_z)
 
 
 def assign_codes(
@@ -295,8 +305,8 @@ def _assign_codes_block(
                 pair_z = pair_z[o]
                 zvals, zstarts = np.unique(pair_z, return_index=True)
                 zends = np.append(zstarts[1:], len(pair_z))
-                # ascending z: strictly-better distance wins, ties keep the
-                # earlier (smaller-tzid) zone — identical to the old rule.
+                # winner = smallest zone index within 1e-9 m of the global
+                # min distance (_fold_knn_winners — one rule, both paths).
                 # Points metrically close to the antimeridian also get a
                 # lon+-360-shifted distance pass: the planar distance kernel
                 # does not wrap, so land just across the seam would
@@ -322,6 +332,12 @@ def _assign_codes_block(
                         cm, ml, ma, pair_pt, pair_z, seam, best_d, best_z
                     )
                 else:
+                    # per-zone distance kernel, but the WINNER is picked
+                    # by the shared _fold_knn_winners rule afterwards —
+                    # the old running-min chain ("strictly better by
+                    # >1e-9 wins") could disagree with the pair path on
+                    # chained sub-nanometer ties (round-5 ADVICE)
+                    d_pair = np.empty(len(pair_pt))
                     for z, s0, s1 in zip(zvals, zstarts, zends):
                         sel = pair_pt[s0:s1]
                         x1, y1, x2, y2 = edges[int(z)]
@@ -338,9 +354,8 @@ def _assign_codes_block(
                                 y2,
                             )
                             d[sw] = np.minimum(d[sw], dw)
-                        better = d < best_d[sel] - 1e-9
-                        best_d[sel[better]] = d[better]
-                        best_z[sel[better]] = z
+                        d_pair[s0:s1] = d
+                    _fold_knn_winners(pair_pt, pair_z, d_pair, best_d, best_z)
             knn_ok = best_d <= knn_max_m
             miss_idx = np.nonzero(miss)[0]
             final[miss_idx[knn_ok]] = best_z[knn_ok]

@@ -32,11 +32,17 @@ released and a fresh one acquired between the caller's read and the
 rename — the fresh lock is restored with link(2), which fails rather
 than clobber if a third writer acquired meanwhile).
 
-Residual window, stated honestly: pure POSIX has no compare-and-delete,
+Residual windows, stated honestly: pure POSIX has no compare-and-delete,
 so between the claim and the rename a release+reacquire can slip in; the
-verify+restore shrinks the damage to a microsecond link(2) race that
-raises loudly (``StealRestoreError``) instead of silently admitting two
-writers. The S3 backend has NO such window — `DELETE If-Match` is the
+verify+restore shrinks the damage to a microsecond link(2) race whose
+failure raises ``StealRestoreError`` — which FLAGS the bad interleave at
+the stealer so its caller retries from a clean read, but does not undo
+an admission that already happened on the displaced writers' side; a
+stealer crashing between rename and restore likewise strands the
+displaced fresh lock until its TTL. release()'s read-token-then-remove
+pair is similarly non-atomic (see its comment). These are properties of
+POSIX, not of the protocol: the S3 backend has NO such window — `DELETE
+If-Match` is the
 atomic conditional delete this interface is shaped around; HDFS gets the
 same via namenode-atomic rename. The single-winner property is tested
 against the INTERFACE (fault-injecting shim, duplicate stealers, delayed
