@@ -2,9 +2,19 @@
 proven against the CommitBackend INTERFACE (fault-injecting shims,
 barrier-raced duplicate stealers, delayed swaps) rather than against
 filesystem timing — the round-4 verdict's object-store-honesty item.
-The same properties hold for the documented S3 (`If-Match` conditional
-ops) and HDFS (atomic rename) mappings because each shim fault models
-the interleaving those stores would have to survive.
+
+Every contract test is parameterized over TWO backends (round-5 verdict
+item 5): LocalFSBackend (O_EXCL + claim files + rename) and
+MemoryConditionalPutBackend (server-side-atomic conditional put/delete
+— the documented S3 mapping as an executable contract). The same
+properties holding over both is the evidence that the protocol rests on
+the interface, not on POSIX timing; a future real S3Backend drops into
+the suite as a third parameter with zero new test logic. The two tests
+that are NOT parameterized exercise LocalFS-only mechanisms (the ABA
+restore window and the orphaned claim file) — the conditional-delete
+backend has neither, by construction: its steal is one atomic
+compare-and-delete, so the interleaves those tests inject cannot be
+scheduled against it.
 
 No Spark session needed: the protocol is pure metadata."""
 
@@ -19,23 +29,39 @@ from timezone_boundary_builder_spark.sources import pages as pg
 from timezone_boundary_builder_spark.sources.commit_backend import (
     CommitBackend,
     LocalFSBackend,
+    MemoryConditionalPutBackend,
     StealRestoreError,
 )
 
 
-def _plant_lock(path: str, token: str, age_sec: float = 120.0) -> None:
+def _make_backend(kind: str) -> CommitBackend:
+    return LocalFSBackend() if kind == "localfs" else MemoryConditionalPutBackend()
+
+
+def _plant(be: CommitBackend, path: str, token: str, age_sec: float = 120.0) -> None:
+    """Plant a pre-existing lock instance with a backdated age — a file
+    with shifted mtime on the FS backend, a backdated put_time entry in
+    the conditional store."""
+    if isinstance(be, MemoryConditionalPutBackend):
+        with be._mu:
+            be._objs[path] = (token, time.time() - age_sec)
+        return
     with open(path, "w") as f:
         f.write(token)
     old = time.time() - age_sec
     os.utime(path, (old, old))
 
 
-def test_duplicate_stealers_single_winner(tmp_path):
+@pytest.fixture(params=["localfs", "memory"])
+def be(request):
+    return _make_backend(request.param)
+
+
+def test_duplicate_stealers_single_winner(be, tmp_path):
     """N concurrent steal_stale calls on the SAME observed stale lock:
     exactly one wins; the lock instance is gone; no claim litter."""
-    be = LocalFSBackend()
     lock = str(tmp_path / "current.lock")
-    _plant_lock(lock, "deadbeef")
+    _plant(be, lock, "deadbeef")
     n = 8
     barrier = threading.Barrier(n)
     results = [None] * n
@@ -50,15 +76,14 @@ def test_duplicate_stealers_single_winner(tmp_path):
     for t in threads:
         t.join()
     assert results.count(True) == 1
-    assert not os.path.exists(lock)
+    assert be.read_token(lock) is None
     assert [p for p in os.listdir(tmp_path) if "claim" in p] == []
 
 
-def test_steal_never_removes_fresh_lock(tmp_path):
+def test_steal_never_removes_fresh_lock(be, tmp_path):
     """A stealer acting on a STALE observation must not delete the fresh
-    lock that replaced it (the ABA interleave): verify-and-restore puts
-    the fresh instance back, byte-identical, and reports no win."""
-    be = LocalFSBackend()
+    lock that replaced it (the ABA interleave): the fresh instance
+    survives, byte-identical, and the stale steal reports no win."""
     lock = str(tmp_path / "current.lock")
     # stealer observed token A long ago; meanwhile A released and B
     # acquired a fresh lock
@@ -67,14 +92,13 @@ def test_steal_never_removes_fresh_lock(tmp_path):
     assert be.read_token(lock) == "tokenB"
 
 
-def test_release_is_token_checked(tmp_path):
+def test_release_is_token_checked(be, tmp_path):
     """A writer whose lock was stolen (it stalled past the TTL) must not
     remove the stealer's fresh lock on release — the round-4 ADVICE bug
     where the finally-block os.remove re-admitted a third writer."""
-    be = LocalFSBackend()
     lock = str(tmp_path / "current.lock")
     # writer A holds, goes stale, stealer removes and writer B acquires
-    _plant_lock(lock, "tokenA")
+    _plant(be, lock, "tokenA")
     assert be.steal_stale(lock, "tokenA") is True
     assert be.create_exclusive(lock, "tokenB")
     # A's deferred release fires now: must be a no-op
@@ -85,10 +109,30 @@ def test_release_is_token_checked(tmp_path):
     assert be.read_token(lock) is None
 
 
+def test_steal_binds_to_observed_instance_not_path(be, tmp_path):
+    """Token-then-age TOCTOU (round-5 review): steal_stale called with a
+    token observed BEFORE another waiter stole-and-replaced the lock
+    must refuse (ABA restore / failed If-Match), never destroy the new
+    owner's fresh lock."""
+    lock = str(tmp_path / "current.lock")
+    _plant(be, lock, "old-token", age_sec=120.0)
+    # waiter C wins the steal and acquires a fresh lock
+    assert be.steal_stale(lock, "old-token") is True
+    assert be.create_exclusive(lock, "fresh-token") is True
+    # waiter B, acting on its STALE observation of "old-token", must not
+    # remove C's live lock
+    assert be.steal_stale(lock, "old-token") is False
+    assert be.read_token(lock) == "fresh-token"
+
+
 def test_restore_race_raises_loudly(tmp_path):
-    """If a third writer re-acquires the path before the ABA restore can
-    link the displaced fresh lock back, the steal must raise (mutual
-    exclusion in doubt) — never silently leave two admitted writers."""
+    """LocalFS-only: if a third writer re-acquires the path before the
+    ABA restore can link the displaced fresh lock back, the steal must
+    raise (mutual exclusion in doubt) — flagging the interleave at the
+    stealer, never silently swallowing it. The conditional-delete
+    backend has no such window to inject: its steal is one atomic
+    compare-and-delete, so a fresh lock is never displaced at all (the
+    same schedule reduces to test_steal_never_removes_fresh_lock)."""
 
     class ThirdWriterShim(LocalFSBackend):
         # inject the worst interleave: after this stealer renames the
@@ -109,35 +153,52 @@ def test_restore_race_raises_loudly(tmp_path):
     assert LocalFSBackend().read_token(lock) == "third"
 
 
-class DelayedSwapShim(LocalFSBackend):
+class DelayedSwapShim(CommitBackend):
     """Fault injection: every atomic_swap (snapshot json + current
     pointer publish) sleeps first, widening the critical section so
-    concurrent publishers genuinely overlap."""
+    concurrent publishers genuinely overlap. Wraps EITHER backend —
+    lock primitives delegate untouched."""
 
-    def __init__(self, delay=0.05):
+    def __init__(self, inner: CommitBackend, delay=0.05):
+        self.inner = inner
         self.delay = delay
         self.swaps = 0
+
+    def create_exclusive(self, path, token):
+        return self.inner.create_exclusive(path, token)
+
+    def read_token(self, path):
+        return self.inner.read_token(path)
+
+    def age_sec(self, path):
+        return self.inner.age_sec(path)
+
+    def steal_stale(self, path, observed_token):
+        return self.inner.steal_stale(path, observed_token)
+
+    def release(self, path, token):
+        return self.inner.release(path, token)
 
     def atomic_swap(self, tmp_path, dst_path):
         time.sleep(self.delay)
         self.swaps += 1
-        super().atomic_swap(tmp_path, dst_path)
+        self.inner.atomic_swap(tmp_path, dst_path)
 
 
 def _manifest(n):
     return [{"path": f"data/b{n}/f.parquet", "rows": 1, "ts_day": "~null"}]
 
 
-def test_publish_cas_single_winner_under_delayed_swap(tmp_path, monkeypatch):
+def test_publish_cas_single_winner_under_delayed_swap(be, tmp_path, monkeypatch):
     """Two publishers built on the same parent race through a backend
     whose swaps are delayed: exactly one commits, the loser gets
     ConflictError (never a silent last-writer-win), and the published
     chain is consistent."""
     root = str(tmp_path)
     os.makedirs(os.path.join(root, "metadata"))
+    monkeypatch.setattr(pg, "BACKEND", DelayedSwapShim(be, delay=0.0))
     base = pg._publish_snapshot(root, _manifest(0), None, op="append")
-    shim = DelayedSwapShim(delay=0.05)
-    monkeypatch.setattr(pg, "BACKEND", shim)
+    monkeypatch.setattr(pg, "BACKEND", DelayedSwapShim(be, delay=0.05))
     outcomes = []
     barrier = threading.Barrier(2)
 
@@ -160,14 +221,14 @@ def test_publish_cas_single_winner_under_delayed_swap(tmp_path, monkeypatch):
     assert pg.read_snapshot(root)["parent"] == base
 
 
-def test_optimistic_retry_keeps_every_batch_under_contention(tmp_path, monkeypatch):
+def test_optimistic_retry_keeps_every_batch_under_contention(be, tmp_path, monkeypatch):
     """Four writers follow commit_append's optimistic loop (re-merge on
     ConflictError) through the delayed-swap shim: every batch survives
     into the final manifest — the no-lost-commit property the CAS
     exists for, held against the interface."""
     root = str(tmp_path)
     os.makedirs(os.path.join(root, "metadata"))
-    monkeypatch.setattr(pg, "BACKEND", DelayedSwapShim(delay=0.02))
+    monkeypatch.setattr(pg, "BACKEND", DelayedSwapShim(be, delay=0.02))
     n = 4
 
     def appender(i):
@@ -202,32 +263,32 @@ def test_optimistic_retry_keeps_every_batch_under_contention(tmp_path, monkeypat
     assert seen == n
 
 
-def test_timeout_waits_out_an_orphan_lock(tmp_path, monkeypatch):
+def test_timeout_waits_out_an_orphan_lock(be, tmp_path, monkeypatch):
     """Crash recovery (round-4 ADVICE): an orphan lock younger than the
     TTL must NOT fail the publish — with LOCK_WAIT_SEC > the TTL the
     waiter outlives it, steals, and commits. Timed with shrunken knobs."""
     root = str(tmp_path)
     os.makedirs(os.path.join(root, "metadata"))
+    monkeypatch.setattr(pg, "BACKEND", be)
     monkeypatch.setattr(pg, "STALE_LOCK_TTL_SEC", 0.4)
     monkeypatch.setattr(pg, "LOCK_WAIT_SEC", 2.0)
     lock = os.path.join(root, "metadata", "current.lock")
-    with open(lock, "w") as f:
-        f.write("crashed-writer")  # fresh orphan: age 0 < TTL
+    _plant(be, lock, "crashed-writer", age_sec=0.0)  # fresh orphan: age 0 < TTL
     t0 = time.time()
     sid = pg._publish_snapshot(root, _manifest(0), None, op="append")
     waited = time.time() - t0
     assert pg.current_snapshot_id(root) == sid
     assert waited >= 0.3  # actually waited out the TTL, didn't steal early
-    assert not os.path.exists(lock)
+    assert be.read_token(lock) is None
 
 
-def test_snapshot_json_never_torn(tmp_path, monkeypatch):
+def test_snapshot_json_never_torn(be, tmp_path, monkeypatch):
     """atomic_swap contract: a reader polling `current` + snap files
     while a delayed-swap publisher runs never observes a torn JSON or a
     dangling pointer."""
     root = str(tmp_path)
     os.makedirs(os.path.join(root, "metadata"))
-    monkeypatch.setattr(pg, "BACKEND", DelayedSwapShim(delay=0.03))
+    monkeypatch.setattr(pg, "BACKEND", DelayedSwapShim(be, delay=0.03))
     errors = []
     stop = threading.Event()
 
@@ -252,40 +313,27 @@ def test_snapshot_json_never_torn(tmp_path, monkeypatch):
 
 
 def test_orphaned_claim_heals_and_timeout_stays_reachable(tmp_path, monkeypatch):
-    """A stealer that died between creating its claim file and removing
-    it must not wedge the lock forever: the claim outlives the orphan
-    TTL, a later waiter removes it, re-claims, steals the stale lock and
-    commits. Also regression-guards the loop shape: while the claim was
-    still blocking steals, the waiter must SLEEP toward the deadline,
-    never hot-spin past it."""
+    """LocalFS-only (claim files are its steal mechanism; the
+    conditional-delete backend has no claims to orphan): a stealer that
+    died between creating its claim file and removing it must not wedge
+    the lock forever: the claim outlives the orphan TTL, a later waiter
+    removes it, re-claims, steals the stale lock and commits. Also
+    regression-guards the loop shape: while the claim was still blocking
+    steals, the waiter must SLEEP toward the deadline, never hot-spin
+    past it."""
     import timezone_boundary_builder_spark.sources.commit_backend as cb
 
+    be = LocalFSBackend()
     root = str(tmp_path)
     os.makedirs(os.path.join(root, "metadata"))
+    monkeypatch.setattr(pg, "BACKEND", be)
     monkeypatch.setattr(pg, "STALE_LOCK_TTL_SEC", 0.3)
     monkeypatch.setattr(pg, "LOCK_WAIT_SEC", 5.0)
     monkeypatch.setattr(cb, "ORPHAN_CLAIM_TTL_SEC", 0.5)
     lock = os.path.join(root, "metadata", "current.lock")
-    _plant_lock(lock, "dead-writer", age_sec=120.0)  # stale from the start
+    _plant(be, lock, "dead-writer", age_sec=120.0)  # stale from the start
     claim = f"{lock}.claim-dead-writer"
-    _plant_lock(claim, "", age_sec=0.0)  # orphan claim: fresh now, ages out
+    _plant(be, claim, "", age_sec=0.0)  # orphan claim: fresh now, ages out
     sid = pg._publish_snapshot(root, _manifest(0), None, op="append")
     assert pg.current_snapshot_id(root) == sid
     assert not os.path.exists(lock) and not os.path.exists(claim)
-
-
-def test_steal_binds_to_observed_instance_not_path(tmp_path):
-    """Token-then-age TOCTOU (round-5 review): steal_stale called with a
-    token observed BEFORE another waiter stole-and-replaced the lock
-    must refuse (ABA restore), never destroy the new owner's fresh
-    lock."""
-    b = LocalFSBackend()
-    lock = str(tmp_path / "current.lock")
-    _plant_lock(lock, "old-token", age_sec=120.0)
-    # waiter C wins the steal and acquires a fresh lock
-    assert b.steal_stale(lock, "old-token") is True
-    assert b.create_exclusive(lock, "fresh-token") is True
-    # waiter B, acting on its STALE observation of "old-token", must not
-    # remove C's live lock
-    assert b.steal_stale(lock, "old-token") is False
-    assert b.read_token(lock) == "fresh-token"

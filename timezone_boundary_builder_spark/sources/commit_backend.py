@@ -52,6 +52,7 @@ swaps) in tests/test_commit_backend.py, not against filesystem timing.
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 
@@ -189,6 +190,72 @@ class LocalFSBackend(CommitBackend):
         except FileNotFoundError:
             return False
         return True
+
+    def atomic_swap(self, tmp_path: str, dst_path: str) -> None:
+        os.replace(tmp_path, dst_path)
+
+
+class MemoryConditionalPutBackend(CommitBackend):
+    """The S3 column of the mapping table, as an executable contract:
+    a simulated object store whose conditional operations are
+    server-side atomic. Lock objects live in one mutex-guarded dict;
+    every conditional op evaluates its condition AND applies its effect
+    under the mutex — exactly the atomicity S3 gives `PUT
+    If-None-Match: *` (create_exclusive) and `DELETE If-Match`
+    (steal_stale / release). The condition keys on the object's content
+    token, which matches S3 where the ETag of a simple PUT is the MD5
+    of the body: conditioning on the observed token IS conditioning on
+    the etag of the observed instance.
+
+    Consequences the property suite verifies against BOTH backends
+    (tests/test_commit_backend.py parameterizes every contract test):
+    steal_stale and release are each ONE compare-and-delete, so this
+    backend has no claim file, no graveyard, no restore window and no
+    ``StealRestoreError`` path — the POSIX residual windows documented
+    above simply do not exist here. A future real S3Backend drops into
+    the same suite with zero new test logic.
+
+    atomic_swap stays on the filesystem: snapshot JSON bodies are
+    written by the publisher as real files and read back by pollers,
+    and a single-key PUT's old-or-new visibility is what os.replace
+    provides locally — only the LOCK primitives, where POSIX and the
+    conditional store genuinely differ, are modeled in memory."""
+
+    def __init__(self) -> None:
+        self._mu = threading.Lock()
+        # path -> (token, put_time); the token doubles as the etag
+        self._objs: dict[str, tuple[str, float]] = {}
+
+    def create_exclusive(self, path: str, token: str) -> bool:
+        with self._mu:  # PUT If-None-Match: *
+            if path in self._objs:
+                return False
+            self._objs[path] = (token, time.time())
+            return True
+
+    def read_token(self, path: str) -> str | None:
+        with self._mu:
+            o = self._objs.get(path)
+            return None if o is None else o[0]
+
+    def age_sec(self, path: str) -> float | None:
+        with self._mu:
+            o = self._objs.get(path)
+            return None if o is None else time.time() - o[1]
+
+    def _conditional_delete(self, path: str, token: str) -> bool:
+        with self._mu:  # DELETE If-Match: <etag of the observed instance>
+            o = self._objs.get(path)
+            if o is None or o[0] != token:
+                return False
+            del self._objs[path]
+            return True
+
+    def steal_stale(self, path: str, observed_token: str) -> bool:
+        return self._conditional_delete(path, observed_token)
+
+    def release(self, path: str, token: str) -> bool:
+        return self._conditional_delete(path, token)
 
     def atomic_swap(self, tmp_path: str, dst_path: str) -> None:
         os.replace(tmp_path, dst_path)
