@@ -1876,95 +1876,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest oracle mirror (tests/test_entry_oracle.py runs ALL entries
     # every session). Union over rounds => every key driver-verified.
     return {
-        # new in round 5 — the gated index-quality fixture (recall floor
-        # asserted in pytest, measured 1.0 on planted clusters)
+        # single-green so far (new in round 5): must stay in the head
+        # until it holds two green driver rows
         "ann_recall_clustered": _q_ann_recall_clustered,
-        # operator files changed in round 5: similarity.py (dirty-query
-        # degrade + centroid majority guard) -> every ann_* query;
-        # pages.py (CommitBackend extraction) -> pages_maintenance
-        "ann_recall": _q_ann_recall,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "ann_ivf_served": _q_ann_ivf_served,
-        "pages_maintenance": _q_pages_maintenance,
-        # single-green r04 queries: too young to trail (the invariant
-        # below requires two prior green driver rows)
-        "multimodal_decode": _q_multimodal_decode,
-        "pipeline_gopher": _q_pipeline_gopher,
-        "geo_tiles_skew": _q_geo_tiles_skew,
-        "decontaminate": _q_decontaminate,
-        "pii_redact": _q_pii_redact,
-        "mix_sources": _q_mix_sources,
-        # the 17 queries that trailed in round 4 (multi-green r01-r03,
-        # operators untouched then): ALL rotated back into the sample
-        # this round per the round-4 verdict, so no query's last driver
-        # verification is ever more than two rounds old
-        "rel_pricing_summary": _q_rel_pricing_summary,
-        "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
-        "rel_customer_order_stats": _q_rel_customer_order_stats,
-        "events_sessions": _q_events_sessions,
-        "events_windowed": _q_events_windowed,
-        "geo_lint_config": _q_geo_lint_config,
-        "geo_zone_build": _q_geo_zone_build,
-        "geo_validate_overlaps": _q_geo_validate_overlaps,
-        "geo_ocean_zones": _q_geo_ocean_zones,
-        "geo_tz_groups": _q_geo_tz_groups,
-        "geo_derived_1970": _q_geo_derived_1970,
-        "dedup_url": _q_dedup_url,
-        "geo_cell_covers": _q_geo_cell_covers,
-        "geo_ring_assembly": _q_geo_ring_assembly,
-        "geo_source_union": _q_geo_source_union,
-        "geocode_extract": _q_geocode_extract,
-        "geo_release_diff": _q_geo_release_diff,
-        # multi-green queries staying in the sample as file-level gates
-        # for this round's tail (same-source-file siblings)
-        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_minhash": _q_dedup_minhash,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_repetition": _q_text_repetition,
-        "pipeline_clean": _q_pipeline_clean,
-        "sample_stratified": _q_sample_stratified,
-        "sample_hash_fraction": _q_sample_hash_fraction,
-        "geo_tiles_raster": _q_geo_tiles_raster,
-        "geo_tzid_counts": _q_geo_tzid_counts,
-        "geo_osm_zones": _q_geo_osm_zones,
-        "rel_shipping_priority": _q_rel_shipping_priority,
-        "geo_combined_outputs": _q_geo_combined_outputs,
+        # operator files changed in round 6: spatial_join.py (unified
+        # kNN winner rule across the loop and pair paths) -> every
+        # assignment-path query; cover.py (per-axis auto_cover_res
+        # estimate) -> geo_cell_covers; commit_backend.py (conditional-
+        # put backend) -> pages_maintenance; the _q_ann_ivf_served
+        # query function itself changed (mtime-age floor on the sweep)
         "geo_pip_assign": _q_geo_pip_assign,
         "geo_knn_assign": _q_geo_knn_assign,
-        "geo_tz_real_groups": _q_geo_tz_real_groups,
-        "geo_derived_now_oceans": _q_geo_derived_now_oceans,
-        "geo_real_config_build": _q_geo_real_config_build,
-        "geo_manifest_resume": _q_geo_manifest_resume,
-        "geo_lineage_conservation": _q_geo_lineage_conservation,
-        # trailing 19: operator source untouched in round 5, at least
-        # double-green in prior driver rounds (mechanized by
-        # tests/test_entry_oracle.py::
-        # test_trailing_queries_are_multi_green_in_prior_rounds), each
-        # gated by a checked same-file sibling in the head --
-        # geo_zone_filter_prune (green r02+r04) by geo_zone_build +
-        # geo_real_config_build (zone_build.py, head);
-        # dedup_exact / dedup_simhash / dedup_ngram_jaccard /
-        # dedup_embed_cosine by dedup_lsh_pairs + dedup_clusters +
-        # dedup_minhash (dedup.py, head) and pipeline_clean which runs
-        # the exact+verify stages;
-        # text_quality / text_tokens / text_langid by text_repetition +
-        # text_fingerprint (text.py, head) and pipeline_clean /
-        # pipeline_gopher which run the same gates;
-        # multimodal_meta / frames / resize by multimodal_decode
-        # (multimodal.py, head -- the decode chain includes resize and
-        # meta extraction);
-        # geo_tiles_summary / serve / vector_area / pyramid and
-        # tiles_page_counts by geo_tiles_skew + geo_tiles_raster
-        # (tiles.py, head);
-        # geo_zone_lookup by geo_combined_outputs (outputs.py, head);
-        # pack_batches by sample_stratified + sample_hash_fraction +
-        # mix_sources (sampling.py, head).
-        # The in-repo pytest oracle mirror (tests/test_entry_oracle.py)
-        # runs ALL entries every session. Union over rounds => every
-        # key driver-verified.
+        "geo_tzid_counts": _q_geo_tzid_counts,
+        "geo_cell_covers": _q_geo_cell_covers,
+        "pages_maintenance": _q_pages_maintenance,
+        "ann_ivf_served": _q_ann_ivf_served,
+        # the 18 queries that trailed in rounds 4-5 (multi-green
+        # r01-r04, operators untouched since): ALL rotated back into the
+        # sample this round per the round-5 verdict item 3, so no
+        # query's last driver verification is ever more than two rounds
+        # old
         "geo_zone_filter_prune": _q_geo_zone_filter_prune,
         "dedup_exact": _q_dedup_exact,
         "dedup_simhash": _q_dedup_simhash,
@@ -1983,6 +1914,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_page_counts": _q_tiles_page_counts,
         "geo_zone_lookup": _q_geo_zone_lookup,
         "pack_batches": _q_pack_batches,
+        # multi-green queries staying in the sample as file-level gates
+        # for this round's tail (same-source-file siblings)
+        "pii_redact": _q_pii_redact,
+        "mix_sources": _q_mix_sources,
+        "rel_shipping_priority": _q_rel_shipping_priority,
+        "events_sessions": _q_events_sessions,
+        "geo_lint_config": _q_geo_lint_config,
+        "geo_zone_build": _q_geo_zone_build,
+        "geo_validate_overlaps": _q_geo_validate_overlaps,
+        "geo_ocean_zones": _q_geo_ocean_zones,
+        "dedup_url": _q_dedup_url,
+        "geo_ring_assembly": _q_geo_ring_assembly,
+        "geo_source_union": _q_geo_source_union,
+        "geocode_extract": _q_geocode_extract,
+        "geo_release_diff": _q_geo_release_diff,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "pipeline_clean": _q_pipeline_clean,
+        "sample_stratified": _q_sample_stratified,
+        "sample_hash_fraction": _q_sample_hash_fraction,
+        "geo_osm_zones": _q_geo_osm_zones,
+        "geo_combined_outputs": _q_geo_combined_outputs,
+        "geo_tz_real_groups": _q_geo_tz_real_groups,
+        "geo_derived_now_oceans": _q_geo_derived_now_oceans,
+        "geo_real_config_build": _q_geo_real_config_build,
+        "geo_manifest_resume": _q_geo_manifest_resume,
+        "geo_lineage_conservation": _q_geo_lineage_conservation,
+        # trailing 18: operator source untouched in round 6, at least
+        # double-green in prior driver rounds (mechanized by
+        # tests/test_entry_oracle.py::
+        # test_trailing_queries_are_multi_green_in_prior_rounds), each
+        # gated by a checked same-file sibling in the head --
+        # ann_recall / ann_cosine_topk / ann_lsh / ann_ivf
+        # (similarity.py) by ann_recall_clustered + ann_ivf_served
+        # (head);
+        # rel_pricing_summary / rel_top_customer_per_nation /
+        # rel_customer_order_stats (entry-file SQL over the sf tables)
+        # by rel_shipping_priority (head);
+        # events_windowed (assign_stream.py) by events_sessions (head);
+        # geo_tz_groups (tz_fingerprint.py) by geo_tz_real_groups
+        # (head); geo_derived_1970 (derived.py) by
+        # geo_derived_now_oceans (head);
+        # multimodal_decode (multimodal.py + png.py) by multimodal_meta
+        # / frames / resize (head);
+        # pipeline_gopher / text_fingerprint / text_repetition (text.py)
+        # by text_quality + text_tokens + text_langid + pii_redact
+        # (head);
+        # geo_tiles_skew / geo_tiles_raster (tiles.py) by
+        # geo_tiles_summary / serve / vector_area / pyramid +
+        # tiles_page_counts (head);
+        # decontaminate / dedup_minhash (dedup.py) by dedup_exact /
+        # simhash / ngram_jaccard / embed_cosine + dedup_lsh_pairs +
+        # dedup_clusters (head).
+        # The in-repo pytest oracle mirror (tests/test_entry_oracle.py)
+        # runs ALL entries every session. Union over rounds => every
+        # key driver-verified.
+        "ann_recall": _q_ann_recall,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
+        "rel_customer_order_stats": _q_rel_customer_order_stats,
+        "events_windowed": _q_events_windowed,
+        "geo_tz_groups": _q_geo_tz_groups,
+        "geo_derived_1970": _q_geo_derived_1970,
+        "multimodal_decode": _q_multimodal_decode,
+        "pipeline_gopher": _q_pipeline_gopher,
+        "geo_tiles_skew": _q_geo_tiles_skew,
+        "decontaminate": _q_decontaminate,
+        "dedup_minhash": _q_dedup_minhash,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
+        "geo_tiles_raster": _q_geo_tiles_raster,
     }
 
 
