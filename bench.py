@@ -331,7 +331,60 @@ def run_parta_real_config(spark: SparkSession) -> float:
     return dt
 
 
-def timed_queries(spark: SparkSession) -> dict[str, float]:
+def banded_leg(
+    label: str,
+    run_once,
+    points: int,
+    floor_rate: float,
+    base_trials: int = 3,
+    max_extra: int = 4,
+) -> tuple[float, dict]:
+    """Probe-gated below-band auto-retry, generalized from the 419 leg
+    to EVERY band-tracked leg (round-5 verdict item 1: the recorded
+    driver JSON closed with the dense leg at 4.0M pages/s vs its own
+    10.4M band — the same host-throttle-closing-below-band pattern the
+    419 leg had in round 4, but with no retry mechanism to prove it).
+
+    Protocol: a host probe immediately before every trial, base_trials
+    trials always, then extra trials while the best rate sits below the
+    leg's quiet floor. The returned record carries every trial's seconds
+    AND its probe, so a recorded value below the band is self-evidently
+    either a throttled window (dirty probes on every trial, `in_band`
+    false) or a real regression (quiet probes, still slow) — never an
+    unexplained number."""
+    ts: list[float] = []
+    leg_probes: list[float] = []
+
+    def one() -> None:
+        leg_probes.append(host_probe())
+        ts.append(run_once())
+        log(
+            f"  {label} trial {len(ts)}: {ts[-1]:.2f}s "
+            f"({points / ts[-1] / 1e6:.2f}M/s, probe {leg_probes[-1]}s)"
+        )
+
+    for _ in range(base_trials):
+        one()
+    extra = 0
+    while points / min(ts) < floor_rate and extra < max_extra:
+        log(
+            f"  {label} below quiet floor "
+            f"({points / min(ts) / 1e6:.2f}M < {floor_rate / 1e6:.2f}M/s) "
+            "— extra trial"
+        )
+        one()
+        extra += 1
+    rec = {
+        f"{label}_trial_sec": [round(t, 3) for t in ts],
+        f"{label}_trial_probes_sec": leg_probes,
+        f"{label}_extra_trials": extra,
+        f"{label}_quiet_floor": floor_rate,
+        f"{label}_in_band": bool(points / min(ts) >= floor_rate),
+    }
+    return min(ts), rec
+
+
+def timed_queries(spark: SparkSession) -> tuple[dict[str, float], dict[str, list]]:
     import __spark_entry__ as entry
 
     names = [
@@ -367,13 +420,22 @@ def timed_queries(spark: SparkSession) -> dict[str, float]:
         "rel_customer_order_stats",
     ]
     qs = entry.queries()
-    out = {}
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        out[name] = round(time.perf_counter() - t0, 3)
-        log(f"  {name}: {out[name]}s")
-    return out
+    # two FULL passes, best-of-2 per query (round-5 verdict item 2): the
+    # r04->r05 per-query drift on untouched files (+47% dedup_minhash,
+    # +43% text_langid) was unfalsifiable from single samples. Whole-list
+    # passes rather than back-to-back repeats: a host-throttle stretch
+    # is minutes-long and contiguous, so the two samples of one query
+    # land in different windows and best-of-2 rejects the dirty one;
+    # back-to-back repeats would both sit inside the same stretch.
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for pass_i in (1, 2):
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            log(f"  {name} (pass {pass_i}): {samples[name][-1]}s")
+    out = {name: min(s) for name, s in samples.items()}
+    return out, samples
 
 
 def main() -> None:
@@ -438,25 +500,20 @@ def main() -> None:
             f"(4-proc contended: {mp_probe}s)"
         )
         run_assignment(spark, 2_000_000, cellmap=cm419)  # warmup
-        # best of 3: measured on this VM, the first timed run after the
-        # broadcast/JIT warmup still reads ~20-30% low (10.99 -> 13.26 ->
-        # 13.56M pts/s in one session) — the leg needs fully-warm workers
-        dt419 = min(
-            run_assignment(spark, pts_419, cellmap=cm419) for _ in range(3)
+        # best of >=3 via the shared probe-gated band protocol: the
+        # first timed run after the broadcast/JIT warmup still reads
+        # ~20-30% low on this VM (10.99 -> 13.26 -> 13.56M pts/s in one
+        # session), and a steal burst can cap individual runs — extra
+        # trials fire while the best sits under the quiet floor (~13M
+        # here; override via BENCH_419_QUIET_FLOOR on other hosts).
+        dt419, rec419 = banded_leg(
+            "419",
+            lambda: run_assignment(spark, pts_419, cellmap=cm419),
+            pts_419,
+            float(os.environ.get("BENCH_419_QUIET_FLOOR", "13000000")),
+            max_extra=int(os.environ.get("BENCH_419_EXTRA_TRIALS", "4")),
         )
-        # same noise-guard protocol as the scaling pairs: when the leg
-        # reads below the quiet-window floor (~13M on this VM — override
-        # via BENCH_419_QUIET_FLOOR on other hosts), sample extra trials —
-        # a brief steal burst caps individual runs. Trials taken are
-        # recorded in the output JSON so the selection is visible.
-        quiet_floor = float(os.environ.get("BENCH_419_QUIET_FLOOR", "13000000"))
-        trials_419 = 3
-        for _ in range(int(os.environ.get("BENCH_419_EXTRA_TRIALS", "4"))):
-            if pts_419 / dt419 >= quiet_floor:
-                break
-            log("  419-zone leg below quiet floor — extra trial")
-            dt419 = min(dt419, run_assignment(spark, pts_419, cellmap=cm419))
-            trials_419 += 1
+        trials_419 = len(rec419["419_trial_sec"])
         thr_419 = pts_419 / dt419
         log(f"419-zone world: {dt419:.2f}s -> {thr_419:,.0f} pages/sec")
         # --- dense-world leg (round-4 verdict item 7): the cover /
@@ -471,6 +528,7 @@ def main() -> None:
             import pickle
 
             from timezone_boundary_builder_spark.operators.cover import (
+                auto_cover_res,
                 build_cell_covers,
                 collect_cell_map,
             )
@@ -480,27 +538,37 @@ def main() -> None:
 
             t0 = time.perf_counter()
             world = dense_zone_world(100, 100)
+            # the resolution is AUTO-PICKED (round-5 verdict item 4):
+            # the serving path (assign_pages --zones-parquet) already
+            # routes through auto_cover_res, so the bench leg measuring
+            # "dense world at scale" must earn its band through the same
+            # heuristic, not a hand-pinned res — the chosen res is
+            # recorded in the JSON
+            dense_res = auto_cover_res(world)
             zones_df = spark.createDataFrame(world)
             cm10k = collect_cell_map(
-                build_cell_covers(zones_df, max_res=9), zones_df
+                build_cell_covers(zones_df, max_res=dense_res), zones_df
             )
             dense_build_s = time.perf_counter() - t0
             dense_bytes = len(pickle.dumps(cm10k, protocol=pickle.HIGHEST_PROTOCOL))
-            probes.append(host_probe())
-            log(f"  host probe before dense leg: {probes[-1]}s")
             run_assignment(spark, 2_000_000, cellmap=cm10k)  # warmup
-            dt_dense = min(
-                run_assignment(spark, dense_points, cellmap=cm10k)
-                for _ in range(3)
+            dt_dense, rec_dense = banded_leg(
+                "dense",
+                lambda: run_assignment(spark, dense_points, cellmap=cm10k),
+                dense_points,
+                float(os.environ.get("BENCH_DENSE_QUIET_FLOOR", "9500000")),
+                max_extra=int(os.environ.get("BENCH_DENSE_EXTRA_TRIALS", "4")),
             )
             thr_dense = dense_points / dt_dense
             log(
-                f"dense world {len(cm10k.tzids)} zones: cover build "
-                f"{dense_build_s:.2f}s, broadcast {dense_bytes / 1e6:.1f} MB, "
+                f"dense world {len(cm10k.tzids)} zones: auto res {dense_res}, "
+                f"cover build {dense_build_s:.2f}s, "
+                f"broadcast {dense_bytes / 1e6:.1f} MB, "
                 f"assign {dt_dense:.2f}s -> {thr_dense:,.0f} pages/sec"
             )
             dense = {
                 "dense_zones": len(cm10k.tzids),
+                "dense_cover_res": dense_res,
                 "dense_cover_cells": int(
                     len(cm10k.full_cells) + len(cm10k.bnd_cells)
                 ),
@@ -508,6 +576,7 @@ def main() -> None:
                 "dense_broadcast_bytes": dense_bytes,
                 "dense_points": dense_points,
                 f"pages_per_sec_dense10k_local{CPUS}": round(thr_dense),
+                **rec_dense,
             }
         # Part A cost at the real config shape (best of 2, same rationale)
         dt_parta = min(run_parta_real_config(spark) for _ in range(2))
@@ -519,7 +588,7 @@ def main() -> None:
     log(f"  host probe before query suite: {probes[-1]}s")
     spark = make_spark(CPUS)
     try:
-        queries = timed_queries(spark)
+        queries, query_samples = timed_queries(spark)
     finally:
         spark.stop()
     probes.append(host_probe())
@@ -566,10 +635,16 @@ def main() -> None:
             trials_sf1 = 0
             # at least 2 pairs always (round-4 verdict item 5: one
             # 640M-point trial is one sample on a noisy host — the band
-            # needs error bars), more while the ratio is under 0.8
+            # needs error bars), more while the ratio is under 0.8 OR
+            # the absolute sf1 rate sits below its quiet floor (round-5
+            # verdict item 1: every band-tracked leg gets the probe-
+            # gated retry, not just the 419 leg)
+            sf1_floor = float(
+                os.environ.get("BENCH_SF1_QUIET_FLOOR", "26000000")
+            )
             min_pairs = max(1, int(os.environ.get("BENCH_SF1_MIN_PAIRS", "2")))
             max_pairs = max(
-                min_pairs, 1 + int(os.environ.get("BENCH_SF1_EXTRA_TRIALS", "2"))
+                min_pairs, 2 + int(os.environ.get("BENCH_SF1_EXTRA_TRIALS", "2"))
             )
             for _ in range(max_pairs):
                 trials_sf1 += 1
@@ -586,10 +661,17 @@ def main() -> None:
                 agg = (sf1_points * len(sf1_ts) / sum(sf1_ts)) / (
                     SCALE_POINTS * len(base_ts) / sum(base_ts)
                 )
-                if trials_sf1 >= min_pairs and agg >= 0.8:
+                if (
+                    trials_sf1 >= min_pairs
+                    and agg >= 0.8
+                    and sf1_points / min(sf1_ts) >= sf1_floor
+                ):
                     break
                 if trials_sf1 >= min_pairs:
-                    log("  sf1/base aggregate ratio below 0.8 — extra soak pair")
+                    log(
+                        "  sf1 leg below target (agg ratio or quiet floor)"
+                        " — extra soak pair"
+                    )
             thr_base = SCALE_POINTS / min(base_ts)
             thr_sf1 = sf1_points / min(sf1_ts)
             agg_base = SCALE_POINTS * len(base_ts) / sum(base_ts)
@@ -626,6 +708,8 @@ def main() -> None:
                 "sf1_sec": [round(t, 3) for t in sf1_ts],
                 "sf1_pair_probes_sec": sf1_pair_probes,
                 "trials_sf1_pairs": trials_sf1,
+                "sf1_quiet_floor": sf1_floor,
+                "sf1_in_band": bool(thr_sf1 >= sf1_floor),
                 "lsh_docs": list(lsh_n),
                 "lsh_sec": [round(r[0], 3) for r in lsh],
                 "lsh_pairs": [r[1] for r in lsh],
@@ -650,6 +734,61 @@ def main() -> None:
                 f"  soak peak heap {soak['jvm_peak_heap_mb']}MB, "
                 f"spill mem/disk {spill_mem}/{spill_disk}B"
             )
+        # --- 10^5-zone frontier datapoint (round-5 verdict item 6): one
+        # more decade on the zone-count curve, measured rather than
+        # extrapolated. ~10^5 jittered quads through the SAME
+        # auto_cover_res -> map-only cover -> driver CellMap -> broadcast
+        # -> assign path as production, at reduced point count (the leg
+        # exists to measure cover growth + broadcast size + that the
+        # assignment path still moves, not peak throughput). Runs inside
+        # the soak session because nothing timed follows it in this
+        # process. BENCH_XL_GRID=0 skips.
+        xl_grid = int(os.environ.get("BENCH_XL_GRID", "316"))
+        xl: dict[str, object] = {}
+        if xl_grid > 0:
+            import pickle
+
+            from timezone_boundary_builder_spark.operators.cover import (
+                auto_cover_res,
+                build_cell_covers,
+                collect_cell_map,
+            )
+            from timezone_boundary_builder_spark.sources.fixtures import (
+                dense_zone_world,
+            )
+
+            t0 = time.perf_counter()
+            xl_world = dense_zone_world(xl_grid, xl_grid)
+            xl_res = auto_cover_res(xl_world)
+            xl_zones_df = spark.createDataFrame(xl_world)
+            cm_xl = collect_cell_map(
+                build_cell_covers(xl_zones_df, max_res=xl_res), xl_zones_df
+            )
+            xl_build_s = time.perf_counter() - t0
+            xl_bytes = len(pickle.dumps(cm_xl, protocol=pickle.HIGHEST_PROTOCOL))
+            xl_points = int(os.environ.get("BENCH_XL_POINTS", "4000000"))
+            probes.append(host_probe())
+            log(f"  host probe before xl leg: {probes[-1]}s")
+            run_assignment(spark, 1_000_000, cellmap=cm_xl)  # warmup
+            dt_xl = min(
+                run_assignment(spark, xl_points, cellmap=cm_xl) for _ in range(2)
+            )
+            thr_xl = xl_points / dt_xl
+            log(
+                f"xl world {len(cm_xl.tzids)} zones: auto res {xl_res}, "
+                f"cover build {xl_build_s:.2f}s, "
+                f"broadcast {xl_bytes / 1e6:.1f} MB, "
+                f"assign {dt_xl:.2f}s -> {thr_xl:,.0f} pages/sec"
+            )
+            xl = {
+                "xl_zones": len(cm_xl.tzids),
+                "xl_cover_res": xl_res,
+                "xl_cover_cells": int(len(cm_xl.full_cells) + len(cm_xl.bnd_cells)),
+                "xl_cover_build_sec": round(xl_build_s, 2),
+                "xl_broadcast_bytes": xl_bytes,
+                "xl_points": xl_points,
+                f"pages_per_sec_xl_local{CPUS}": round(thr_xl),
+            }
     finally:
         spark.stop()
 
@@ -661,6 +800,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                # both raw samples per query (two full passes; `queries`
+                # is the per-query best-of-2) — regressions and host
+                # windows are now distinguishable per query
+                "queries_samples": query_samples,
                 "sf": SF_DIR,
                 f"pages_per_sec_local{SCALE_N}": round(thr_n),
                 f"pages_per_sec_local{SCALE_4N}": round(thr_4n),
@@ -668,9 +811,11 @@ def main() -> None:
                 f"scaling_efficiency_{SCALE_N}_to_{SCALE_4N}": round(eff, 3),
                 f"pages_per_sec_419zones_local{CPUS}": round(thr_419),
                 "trials_419": trials_419,
+                **rec419,
                 "parta_real_config_sec": round(dt_parta, 3),
                 **dense,
                 **soak,
+                **xl,
                 # fixed-work single-process numpy probe (quiet host
                 # ~0.29s, throttled ~0.84s; see BENCH.md): one sample
                 # before each scaling pair, one before the query suite,
