@@ -384,6 +384,83 @@ def banded_leg(
     return min(ts), rec
 
 
+def build_cover_world(spark: SparkSession, grid: int, prefix: str):
+    """dense_zone_world(grid x grid) -> auto_cover_res -> map-only cover
+    -> driver CellMap, timed; returns (cellmap, record-dict). One build
+    sequence shared by the dense and xl legs — they differ only in grid
+    size and measurement protocol, and a fix to the build path must hit
+    both."""
+    import pickle
+
+    from timezone_boundary_builder_spark.operators.cover import (
+        auto_cover_res,
+        build_cell_covers,
+        collect_cell_map,
+    )
+    from timezone_boundary_builder_spark.sources.fixtures import dense_zone_world
+
+    t0 = time.perf_counter()
+    world = dense_zone_world(grid, grid)
+    # the resolution is AUTO-PICKED (round-5 verdict item 4): the
+    # serving path (assign_pages --zones-parquet) routes through
+    # auto_cover_res, so a leg measuring "dense world at scale" must
+    # earn its band through the same heuristic, not a hand-pinned res —
+    # the chosen res is recorded in the JSON
+    res = auto_cover_res(world)
+    zones_df = spark.createDataFrame(world)
+    cm = collect_cell_map(build_cell_covers(zones_df, max_res=res), zones_df)
+    build_s = time.perf_counter() - t0
+    nbytes = len(pickle.dumps(cm, protocol=pickle.HIGHEST_PROTOCOL))
+    rec = {
+        f"{prefix}_zones": len(cm.tzids),
+        f"{prefix}_cover_res": res,
+        f"{prefix}_cover_cells": int(len(cm.full_cells) + len(cm.bnd_cells)),
+        f"{prefix}_cover_build_sec": round(build_s, 2),
+        f"{prefix}_broadcast_bytes": nbytes,
+    }
+    return cm, rec
+
+
+def xl_leg() -> dict:
+    """10^5-zone frontier datapoint (round-5 verdict item 6): one more
+    decade on the zone-count curve, measured rather than extrapolated —
+    cover growth, broadcast size, and that the assignment path still
+    moves. Runs in its OWN process (main() spawns `bench.py --xl-leg`)
+    because the leg is timed and the shared-JVM ordering rule forbids
+    timing anything after the soak's heap churn: measured post-soak the
+    same leg reads up to 2-2.5x low even with quiet host probes."""
+    xl_grid = int(os.environ.get("BENCH_XL_GRID", "316"))
+    if xl_grid <= 0:
+        return {}
+    spark = make_spark(CPUS)
+    try:
+        cm_xl, rec = build_cover_world(spark, xl_grid, "xl")
+        xl_points = int(os.environ.get("BENCH_XL_POINTS", "4000000"))
+        probe = host_probe()
+        log(f"  host probe before xl leg: {probe}s")
+        run_assignment(spark, 1_000_000, cellmap=cm_xl)  # warmup
+        dt_xl = min(
+            run_assignment(spark, xl_points, cellmap=cm_xl) for _ in range(2)
+        )
+        thr_xl = xl_points / dt_xl
+        log(
+            f"xl world {rec['xl_zones']} zones: auto res {rec['xl_cover_res']}, "
+            f"cover build {rec['xl_cover_build_sec']}s, "
+            f"broadcast {rec['xl_broadcast_bytes'] / 1e6:.1f} MB, "
+            f"assign {dt_xl:.2f}s -> {thr_xl:,.0f} pages/sec"
+        )
+        rec.update(
+            {
+                "xl_points": xl_points,
+                "xl_probe_sec": probe,
+                f"pages_per_sec_xl_local{CPUS}": round(thr_xl),
+            }
+        )
+        return rec
+    finally:
+        spark.stop()
+
+
 def timed_queries(spark: SparkSession) -> tuple[dict[str, float], dict[str, list]]:
     import __spark_entry__ as entry
 
@@ -525,32 +602,7 @@ def main() -> None:
         dense_points = int(os.environ.get("BENCH_DENSE_POINTS", "16000000"))
         dense: dict[str, object] = {}
         if dense_points > 0:
-            import pickle
-
-            from timezone_boundary_builder_spark.operators.cover import (
-                auto_cover_res,
-                build_cell_covers,
-                collect_cell_map,
-            )
-            from timezone_boundary_builder_spark.sources.fixtures import (
-                dense_zone_world,
-            )
-
-            t0 = time.perf_counter()
-            world = dense_zone_world(100, 100)
-            # the resolution is AUTO-PICKED (round-5 verdict item 4):
-            # the serving path (assign_pages --zones-parquet) already
-            # routes through auto_cover_res, so the bench leg measuring
-            # "dense world at scale" must earn its band through the same
-            # heuristic, not a hand-pinned res — the chosen res is
-            # recorded in the JSON
-            dense_res = auto_cover_res(world)
-            zones_df = spark.createDataFrame(world)
-            cm10k = collect_cell_map(
-                build_cell_covers(zones_df, max_res=dense_res), zones_df
-            )
-            dense_build_s = time.perf_counter() - t0
-            dense_bytes = len(pickle.dumps(cm10k, protocol=pickle.HIGHEST_PROTOCOL))
+            cm10k, dense = build_cover_world(spark, 100, "dense")
             run_assignment(spark, 2_000_000, cellmap=cm10k)  # warmup
             dt_dense, rec_dense = banded_leg(
                 "dense",
@@ -561,23 +613,19 @@ def main() -> None:
             )
             thr_dense = dense_points / dt_dense
             log(
-                f"dense world {len(cm10k.tzids)} zones: auto res {dense_res}, "
-                f"cover build {dense_build_s:.2f}s, "
-                f"broadcast {dense_bytes / 1e6:.1f} MB, "
+                f"dense world {dense['dense_zones']} zones: "
+                f"auto res {dense['dense_cover_res']}, "
+                f"cover build {dense['dense_cover_build_sec']}s, "
+                f"broadcast {dense['dense_broadcast_bytes'] / 1e6:.1f} MB, "
                 f"assign {dt_dense:.2f}s -> {thr_dense:,.0f} pages/sec"
             )
-            dense = {
-                "dense_zones": len(cm10k.tzids),
-                "dense_cover_res": dense_res,
-                "dense_cover_cells": int(
-                    len(cm10k.full_cells) + len(cm10k.bnd_cells)
-                ),
-                "dense_cover_build_sec": round(dense_build_s, 2),
-                "dense_broadcast_bytes": dense_bytes,
-                "dense_points": dense_points,
-                f"pages_per_sec_dense10k_local{CPUS}": round(thr_dense),
-                **rec_dense,
-            }
+            dense.update(
+                {
+                    "dense_points": dense_points,
+                    f"pages_per_sec_dense10k_local{CPUS}": round(thr_dense),
+                    **rec_dense,
+                }
+            )
         # Part A cost at the real config shape (best of 2, same rationale)
         dt_parta = min(run_parta_real_config(spark) for _ in range(2))
         log(f"Part A real-config build+validate: {dt_parta:.2f}s")
@@ -734,71 +782,52 @@ def main() -> None:
                 f"  soak peak heap {soak['jvm_peak_heap_mb']}MB, "
                 f"spill mem/disk {spill_mem}/{spill_disk}B"
             )
-        # --- 10^5-zone frontier datapoint (round-5 verdict item 6): one
-        # more decade on the zone-count curve, measured rather than
-        # extrapolated. ~10^5 jittered quads through the SAME
-        # auto_cover_res -> map-only cover -> driver CellMap -> broadcast
-        # -> assign path as production, at reduced point count (the leg
-        # exists to measure cover growth + broadcast size + that the
-        # assignment path still moves, not peak throughput). Runs inside
-        # the soak session because nothing timed follows it in this
-        # process. BENCH_XL_GRID=0 skips.
-        xl_grid = int(os.environ.get("BENCH_XL_GRID", "316"))
-        xl: dict[str, object] = {}
-        if xl_grid > 0:
-            import pickle
-
-            from timezone_boundary_builder_spark.operators.cover import (
-                auto_cover_res,
-                build_cell_covers,
-                collect_cell_map,
-            )
-            from timezone_boundary_builder_spark.sources.fixtures import (
-                dense_zone_world,
-            )
-
-            t0 = time.perf_counter()
-            xl_world = dense_zone_world(xl_grid, xl_grid)
-            xl_res = auto_cover_res(xl_world)
-            xl_zones_df = spark.createDataFrame(xl_world)
-            cm_xl = collect_cell_map(
-                build_cell_covers(xl_zones_df, max_res=xl_res), xl_zones_df
-            )
-            xl_build_s = time.perf_counter() - t0
-            xl_bytes = len(pickle.dumps(cm_xl, protocol=pickle.HIGHEST_PROTOCOL))
-            xl_points = int(os.environ.get("BENCH_XL_POINTS", "4000000"))
-            probes.append(host_probe())
-            log(f"  host probe before xl leg: {probes[-1]}s")
-            run_assignment(spark, 1_000_000, cellmap=cm_xl)  # warmup
-            dt_xl = min(
-                run_assignment(spark, xl_points, cellmap=cm_xl) for _ in range(2)
-            )
-            thr_xl = xl_points / dt_xl
-            log(
-                f"xl world {len(cm_xl.tzids)} zones: auto res {xl_res}, "
-                f"cover build {xl_build_s:.2f}s, "
-                f"broadcast {xl_bytes / 1e6:.1f} MB, "
-                f"assign {dt_xl:.2f}s -> {thr_xl:,.0f} pages/sec"
-            )
-            xl = {
-                "xl_zones": len(cm_xl.tzids),
-                "xl_cover_res": xl_res,
-                "xl_cover_cells": int(len(cm_xl.full_cells) + len(cm_xl.bnd_cells)),
-                "xl_cover_build_sec": round(xl_build_s, 2),
-                "xl_broadcast_bytes": xl_bytes,
-                "xl_points": xl_points,
-                f"pages_per_sec_xl_local{CPUS}": round(thr_xl),
-            }
     finally:
         spark.stop()
 
-    total = round(sum(queries.values()), 3)
+    # --- 10^5-zone frontier leg: fresh PROCESS, not just fresh session.
+    # The leg is timed, and every in-JVM position is poisoned: after the
+    # soak it inherits 8 GB of heap churn, after the suite it inherits
+    # the suite residue that measured 2-2.5x low in round 3. A child
+    # process pays one JVM cold start (~9 s, untimed) for a clean heap
+    # by construction. BENCH_XL_GRID=0 skips.
+    xl: dict[str, object] = {}
+    if int(os.environ.get("BENCH_XL_GRID", "316")) > 0:
+        import subprocess
+        import sys
+
+        log("xl leg in a fresh process (clean-JVM rule for timed legs)")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--xl-leg"],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        xl = {"xl_error": f"subprocess rc={r.returncode}"}
+        if r.returncode == 0:
+            for ln in reversed(r.stdout.strip().splitlines()):
+                try:
+                    xl = json.loads(ln)
+                    break
+                except ValueError:
+                    continue
+
+    # headline `value` stays the SINGLE-PASS suite total (sum of each
+    # query's pass-1 sample — the same session position rounds 1-5
+    # timed), so the cross-round comparison the driver records is
+    # protocol-stable; pass 2 re-runs warm (driver-side lru caches, JIT,
+    # codegen reuse), so a best-of-2 total would read lower than every
+    # prior round without any engine change. The best-of-2 per-query
+    # map (`queries`) is the de-noised regression axis going forward,
+    # and both raw passes are in `queries_samples`.
+    first_pass = round(sum(s[0] for s in query_samples.values()), 3)
+    best2 = round(sum(queries.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline query suite wall time (sf table suite) + two-stage spatial join scaling",
-                "value": total,
+                "value": first_pass,
                 "unit": "sec",
+                "suite_best2_sec": best2,
                 "queries": queries,
                 # both raw samples per query (two full passes; `queries`
                 # is the per-query best-of-2) — regressions and host
@@ -834,4 +863,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--xl-leg" in sys.argv[1:]:
+        # child mode (spawned by main): run the frontier leg on a clean
+        # JVM and hand the record back as the last stdout line
+        print(json.dumps(xl_leg(), separators=(",", ":")))
+    else:
+        main()

@@ -155,9 +155,10 @@ def test_auto_cover_res_tracks_zone_density():
     from timezone_boundary_builder_spark.sources.fixtures import local_zones
 
     dense = dense_zone_world(NX, NY)
-    # jitter widens the median quad bbox past the 3.6x1.8 lattice pitch,
-    # so 8 or 9 are both faithful picks for this world
-    assert auto_cover_res(dense) in (8, 9)
+    # jitter widens the median quad bbox past the 3.6x1.8 lattice pitch;
+    # the 5-cells/axis target (measured: res 9 is ~12% faster than res 8
+    # on this world — see auto_cover_res docstring) must land on 9
+    assert auto_cover_res(dense) == 9
     fixture = local_zones()
     assert 5 <= auto_cover_res(fixture) <= 7
     # clamps: planet-sized zones floor at min_res, micro-zones cap at 11

@@ -500,14 +500,21 @@ def test_ivf_served_dir_sweeps_dead_process_leftovers(spark):
     fresh = os.path.join(base, "ann_ivf_served_cafecafe0000_999999998")
     os.makedirs(dead, exist_ok=True)
     os.makedirs(fresh, exist_ok=True)
-    old = time.time() - 3600.0
-    os.utime(dead, (old, old))  # past the floor: sweepable
-    # `fresh` keeps its just-created mtime: must be LEFT ALONE even
-    # though its owning PID is equally dead
-    entry._q_ann_ivf_served(spark, "/root/testdata/sf0.001").count()
-    assert not os.path.exists(dead)
-    assert os.path.exists(fresh)
-    os.rmdir(fresh)
+    try:
+        old = time.time() - 3600.0
+        os.utime(dead, (old, old))  # past the floor: sweepable
+        # `fresh` keeps its just-created mtime: must be LEFT ALONE even
+        # though its owning PID is equally dead
+        entry._q_ann_ivf_served(spark, "/root/testdata/sf0.001").count()
+        assert not os.path.exists(dead)
+        assert os.path.exists(fresh)
+    finally:
+        # planted dirs must not outlive a FAILED run: a leftover `fresh`
+        # is immune to the sweep for the next 600 s (mtime floor) and
+        # would make following runs order/timing dependent
+        for d in (dead, fresh):
+            if os.path.exists(d):
+                os.rmdir(d)
     own = [
         n
         for n in os.listdir(base)
