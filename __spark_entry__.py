@@ -273,6 +273,36 @@ def _q_geo_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_sharded_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-geometry-broadcast twin of geo_knn_assign: stage 1 probes a
+    SLIM index (intervals + kNN grid only — CellMap.slim()), and the
+    boundary/offshore residue resolves through the shard-cogrouped edge
+    join (operators/spatial_join_sharded.py) instead of broadcast ring
+    data. Same winner rules, same kernels, so the geo_knn_assign SQL
+    oracle applies verbatim — the driver value-checks that removing the
+    geometry broadcast changes nothing."""
+    from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
+        assign_tzid_sharded,
+        zone_edges_frame,
+    )
+
+    cm = _local_cellmap()
+    bc = spark.sparkContext.broadcast(cm.slim())
+    tz_bc = spark.sparkContext.broadcast(list(cm.tzids))
+    zones_df = spark.createDataFrame(_local_zones()[["tzid", "geometry"]])
+    edges = zone_edges_frame(zones_df, tz_bc, n_shards=8)
+    out = assign_tzid_sharded(
+        _points(spark, sf_dir), bc, edges, OCEAN_BANDS, n_shards=8
+    )
+    return out.select(
+        "url",
+        "tzid",
+        F.when(F.col("method").isin("cell", "pip"), F.lit("land"))
+        .otherwise(F.col("method"))
+        .alias("method_kind"),
+    )
+
+
 def _zones_spark(spark: SparkSession) -> DataFrame:
     zc = spark.createDataFrame(zones_config_pdf())
     src = spark.createDataFrame(sources_pdf())
@@ -1885,6 +1915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # estimate) -> geo_cell_covers; commit_backend.py (conditional-
         # put backend) -> pages_maintenance; the _q_ann_ivf_served
         # query function itself changed (mtime-age floor on the sweep)
+        # NEW in round 6: the sharded (no-geometry-broadcast) stage-2
+        # join, value-checked against the same SQL oracle as
+        # geo_knn_assign
+        "geo_sharded_assign": _q_geo_sharded_assign,
         "geo_pip_assign": _q_geo_pip_assign,
         "geo_knn_assign": _q_geo_knn_assign,
         "geo_tzid_counts": _q_geo_tzid_counts,
@@ -1933,7 +1967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "pipeline_clean": _q_pipeline_clean,
         "sample_stratified": _q_sample_stratified,
-        "sample_hash_fraction": _q_sample_hash_fraction,
         "geo_osm_zones": _q_geo_osm_zones,
         "geo_combined_outputs": _q_geo_combined_outputs,
         "geo_tz_real_groups": _q_geo_tz_real_groups,
@@ -1941,7 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_real_config_build": _q_geo_real_config_build,
         "geo_manifest_resume": _q_geo_manifest_resume,
         "geo_lineage_conservation": _q_geo_lineage_conservation,
-        # trailing 18: operator source untouched in round 6, at least
+        # trailing 19: operator source untouched in round 6, at least
         # double-green in prior driver rounds (mechanized by
         # tests/test_entry_oracle.py::
         # test_trailing_queries_are_multi_green_in_prior_rounds), each
@@ -1966,7 +1999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tiles_page_counts (head);
         # decontaminate / dedup_minhash (dedup.py) by dedup_exact /
         # simhash / ngram_jaccard / embed_cosine + dedup_lsh_pairs +
-        # dedup_clusters (head).
+        # dedup_clusters (head);
+        # sample_hash_fraction (sampling.py, green r04+r05, demoted to
+        # make room for geo_sharded_assign) by sample_stratified +
+        # mix_sources (head).
         # The in-repo pytest oracle mirror (tests/test_entry_oracle.py)
         # runs ALL entries every session. Union over rounds => every
         # key driver-verified.
@@ -1988,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
         "geo_tiles_raster": _q_geo_tiles_raster,
+        "sample_hash_fraction": _q_sample_hash_fraction,
     }
 
 
@@ -2351,6 +2388,9 @@ FROM pw JOIN pg ON pw.doc_id = pg.doc_id"""
         "text_repetition": repetition,
         "geo_pip_assign": _pip_assign_sql("SELECT url, lon, lat, tzid FROM assigned"),
         "geo_knn_assign": _knn_assign_sql(),
+        # the sharded join path implements identical semantics, so it is
+        # held to the identical oracle
+        "geo_sharded_assign": _knn_assign_sql(),
         "geo_tiles_serve": _pip_assign_sql("SELECT url, tzid FROM assigned"),
         "geo_tiles_vector_area": _zone_area_values_sql(),
         "geo_cell_covers": _cell_covers_values_sql(),

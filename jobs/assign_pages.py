@@ -61,6 +61,17 @@ def main(argv=None) -> int:
     p.add_argument("--zones-parquet", default=None)
     p.add_argument("--ocean-bands", choices=["fixture", "real"], default="fixture")
     p.add_argument("--cover-res", type=int, default=None)
+    p.add_argument(
+        "--stage2",
+        choices=["broadcast", "sharded"],
+        default="broadcast",
+        help="boundary-residue resolution: 'broadcast' ships zone "
+        "geometry inside the CellMap (shuffle-free hot path — the "
+        "default while the map fits executors); 'sharded' broadcasts "
+        "only the slim index and resolves boundary/offshore points "
+        "through a shard-cogrouped edge join (value-identical, "
+        "pytest-gated; removes the zone-count/ring-complexity ceiling)",
+    )
     args = p.parse_args(argv)
 
     from pyspark import SparkConf
@@ -95,6 +106,10 @@ def main(argv=None) -> int:
     sid = args.snapshot or pages_table.current_snapshot_id(args.pages_root)
 
     if args.incremental:
+        if args.stage2 != "broadcast":
+            # the delta path reuses the packed broadcast kernel; a
+            # silently-ignored flag would misreport the physical plan
+            p.error("--stage2 sharded is not supported with --incremental")
         if args.ts_day_min is not None or args.ts_day_max is not None:
             # the delta path scans whole manifest entries; silently
             # ignoring a range filter would assign out-of-range days
@@ -103,7 +118,7 @@ def main(argv=None) -> int:
                     "--incremental (deltas are whole manifest entries)")
         return _run_incremental(spark, args, sid, t0)
 
-    cm, cover_res = _load_cellmap(spark, args)
+    cm, cover_res, zones_pdf = _load_cellmap(spark, args)
     zones_fp = fingerprint("zones", *cm.tzids, *[g for g in cm.geojson])
     # every input that changes the OUTPUT is in the key: the band table
     # decides ocean tzids and the cover resolution decides the
@@ -120,10 +135,14 @@ def main(argv=None) -> int:
         zones_fp,
         json.dumps(_ocean_bands(args)),
         str(cover_res),
+        # the two stage-2 modes are value-identical (pytest-gated), but
+        # the physical mode is still in the key: a cached stage must
+        # never mask a parity break behind a replay
+        args.stage2,
     )
 
     manifest = StageManifest(args.work_dir)
-    bc = spark.sparkContext.broadcast(cm)
+    bc = spark.sparkContext.broadcast(cm.slim() if args.stage2 == "sharded" else cm)
 
     def compute():
         scan = pages_table.scan(
@@ -136,6 +155,22 @@ def main(argv=None) -> int:
         # warc_ts rides along: (url, warc_ts) is the row identity of a
         # crawl table (warc_ts exists to version url revisits), and the
         # invariant join below must not fan out on recrawled urls
+        if args.stage2 == "sharded":
+            from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
+                assign_tzid_sharded,
+                zone_edges_frame,
+            )
+
+            tz_bc = spark.sparkContext.broadcast(list(cm.tzids))
+            edges = zone_edges_frame(
+                spark.createDataFrame(zones_pdf[["tzid", "geometry"]]),
+                tz_bc,
+                n_shards=max(16, args.cores),
+            )
+            pts = with_coordinates(scan).select("url", "warc_ts", "lon", "lat")
+            return assign_tzid_sharded(
+                pts, bc, edges, _ocean_bands(args), n_shards=max(16, args.cores)
+            ).select("url", "warc_ts", "tzid", "method")
         pts = with_coordinates(scan).select("url", "warc_ts", pack_coords_col())
         return assign_tzid_udf_packed(pts, bc, _ocean_bands(args))
 
@@ -267,11 +302,15 @@ def _load_cellmap(spark, args):
 
     if not args.zones_parquet:
         if args.cover_res is None:
-            return local_cellmap(), DEFAULT_COVER_RES
+            return local_cellmap(), DEFAULT_COVER_RES, local_zones()
         # honor --cover-res on the fixture world too: the flag is in the
         # stage fingerprint, so it must also change the artifact (the
         # cell-vs-pip method mix), not just bust the cache
-        return cellmap_from_zones_pdf(local_zones(), max_res=args.cover_res), args.cover_res
+        return (
+            cellmap_from_zones_pdf(local_zones(), max_res=args.cover_res),
+            args.cover_res,
+            local_zones(),
+        )
     zdf = spark.read.parquet(args.zones_parquet)
     # bboxes are for auto_cover_res + CellMap zone_bbox; require the full
     # quartet or none (a partial set would KeyError downstream), deriving
@@ -288,7 +327,7 @@ def _load_cellmap(spark, args):
     # so fingerprinting the flag alone would replay a stale cached stage
     # when the artifact's bbox columns change.
     res = args.cover_res or auto_cover_res(zp)
-    return cellmap_from_zones_pdf(zp, max_res=res), res
+    return cellmap_from_zones_pdf(zp, max_res=res), res, zp
 
 
 def _run_incremental(spark, args, sid, t0) -> int:
@@ -336,7 +375,7 @@ def _run_incremental(spark, args, sid, t0) -> int:
     if delta:
         from timezone_boundary_builder_spark.plans.lineage import lineage_table
 
-        cm, _ = _load_cellmap(spark, args)
+        cm, _, _ = _load_cellmap(spark, args)
         bc = spark.sparkContext.broadcast(cm)
         scan = spark.read.schema(PAGES_SCHEMA).parquet(*[e["path"] for e in delta])
         pts = with_coordinates(scan).select("url", "warc_ts", pack_coords_col())

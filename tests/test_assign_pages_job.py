@@ -161,3 +161,28 @@ def test_assign_job_runs_with_package_only_syspath(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     r = json.loads(proc.stdout.strip().splitlines()[-1])
     assert r["rows"] == 120 and r["text_invariant_ok"] is True
+
+
+def test_assign_job_stage2_sharded_matches_broadcast(pages_root, tmp_path):
+    """--stage2 sharded (slim-index broadcast + shard-cogrouped edge
+    join) must publish EXACTLY the rows the broadcast path publishes —
+    same methods mix, same (url, warc_ts, tzid, method) set — on the
+    fixture world whose synthetic mix exercises cell/pip/knn/ocean/none.
+    The stage fingerprint carries the mode, so switching does not
+    replay the other mode's cached stage."""
+    import duckdb
+
+    wb, ob = str(tmp_path / "wb"), str(tmp_path / "ob")
+    ws, os_ = str(tmp_path / "ws"), str(tmp_path / "os")
+    rb = _run(pages_root, wb, ob)
+    rs = _run(pages_root, ws, os_, extra=("--stage2", "sharded"))
+    assert rs["rows"] == rb["rows"] == 600
+    assert rs["methods"] == rb["methods"]
+    assert rs["text_invariant_ok"] is True
+    only = duckdb.sql(
+        f"""SELECT count(*) FROM (
+          SELECT url, warc_ts, tzid, method FROM '{ob}/assigned_pages/*.parquet'
+          EXCEPT
+          SELECT url, warc_ts, tzid, method FROM '{os_}/assigned_pages/*.parquet')"""
+    ).fetchone()[0]
+    assert only == 0

@@ -385,6 +385,27 @@ class CellMap:
         )
         self.ivl_cand_tz = np.asarray(flat, dtype=np.int32)
 
+    def slim(self):
+        """Index-only copy for the sharded stage-2 path
+        (spatial_join_sharded): keeps the interval probe, kNN grid,
+        per-polygon boxes, bboxes and tzids; drops the zone geometries
+        and every lazy edge cache. On synthetic quad worlds the saving
+        is modest (geometry is 4 edges/zone), but for real-world zones
+        the geometry payload IS the broadcast — the real 419-zone
+        config is dominated by ring coordinates, not index arrays —
+        and its absence is what removes the zone-count ceiling: the
+        slim index grows only with the budget-capped cover and the
+        per-polygon box grid, never with ring complexity."""
+        import copy
+
+        s = copy.copy(self)
+        s.geojson = None
+        s._geom_cache = None
+        for attr in ("_edge_cache", "_edge_csr_cache", "_edge_count_cache"):
+            if hasattr(s, attr):
+                setattr(s, attr, None)
+        return s
+
     def probe(self, lon: np.ndarray, lat: np.ndarray):
         """Interval probe: returns (full_tz int32 [BIG = no full hit],
         seg int64) per point. Candidates for point i live at
