@@ -418,7 +418,7 @@ def build_cover_world(spark: SparkSession, grid: int, prefix: str):
         f"{prefix}_cover_build_sec": round(build_s, 2),
         f"{prefix}_broadcast_bytes": nbytes,
     }
-    return cm, rec
+    return cm, world, rec
 
 
 def xl_leg() -> dict:
@@ -434,7 +434,7 @@ def xl_leg() -> dict:
         return {}
     spark = make_spark(CPUS)
     try:
-        cm_xl, rec = build_cover_world(spark, xl_grid, "xl")
+        cm_xl, world_xl, rec = build_cover_world(spark, xl_grid, "xl")
         xl_points = int(os.environ.get("BENCH_XL_POINTS", "4000000"))
         probe = host_probe()
         log(f"  host probe before xl leg: {probe}s")
@@ -456,6 +456,53 @@ def xl_leg() -> dict:
                 f"pages_per_sec_xl_local{CPUS}": round(thr_xl),
             }
         )
+        if int(os.environ.get("BENCH_XL_SHARDED", "1")) > 0:
+            # the same frontier world through the no-geometry-broadcast
+            # stage 2 (operators/spatial_join_sharded.py): records the
+            # slim-index bytes (what the sharded mode actually ships to
+            # executors) and the warm assignment rate — the datapoint
+            # behind the claim that the broadcast ceiling has an
+            # implemented next gear, not just a design note
+            import pickle
+
+            from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
+                assign_tzid_sharded,
+                zone_edges_frame,
+            )
+            from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
+
+            slim = cm_xl.slim()
+            slim_bytes = len(pickle.dumps(slim, protocol=pickle.HIGHEST_PROTOCOL))
+            slim_bc = spark.sparkContext.broadcast(slim)
+            tz_bc = spark.sparkContext.broadcast(list(cm_xl.tzids))
+            edges = zone_edges_frame(
+                spark.createDataFrame(world_xl[["tzid", "geometry"]]),
+                tz_bc,
+                n_shards=256,
+            ).persist()
+            edges.count()  # materialize the edge frame outside the timed runs
+
+            def one_sharded() -> float:
+                pts = synthetic_points(spark, xl_points)
+                t0 = time.perf_counter()
+                out = assign_tzid_sharded(pts, slim_bc, edges, OCEAN_BANDS, n_shards=256)
+                assert out.agg(F.count("tzid")).collect()[0][0] > 0
+                return time.perf_counter() - t0
+
+            one_sharded()  # warmup
+            dt_sh = min(one_sharded() for _ in range(2))
+            thr_sh = xl_points / dt_sh
+            log(
+                f"xl sharded: slim index {slim_bytes / 1e6:.1f} MB "
+                f"(vs {rec['xl_broadcast_bytes'] / 1e6:.1f} full), "
+                f"assign {dt_sh:.2f}s -> {thr_sh:,.0f} pages/sec"
+            )
+            rec.update(
+                {
+                    "xl_slim_broadcast_bytes": slim_bytes,
+                    f"pages_per_sec_xl_sharded_local{CPUS}": round(thr_sh),
+                }
+            )
         return rec
     finally:
         spark.stop()
@@ -602,7 +649,7 @@ def main() -> None:
         dense_points = int(os.environ.get("BENCH_DENSE_POINTS", "16000000"))
         dense: dict[str, object] = {}
         if dense_points > 0:
-            cm10k, dense = build_cover_world(spark, 100, "dense")
+            cm10k, _, dense = build_cover_world(spark, 100, "dense")
             run_assignment(spark, 2_000_000, cellmap=cm10k)  # warmup
             dt_dense, rec_dense = banded_leg(
                 "dense",
