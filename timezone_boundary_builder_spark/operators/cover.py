@@ -401,10 +401,34 @@ class CellMap:
         s = copy.copy(self)
         s.geojson = None
         s._geom_cache = None
-        for attr in ("_edge_cache", "_edge_csr_cache", "_edge_count_cache"):
+        for attr in (
+            "_edge_cache",
+            "_edge_csr_cache",
+            "_edge_count_cache",
+            # derivable in one reduceat per process — keep it out of the
+            # shipped bytes
+            "_seg_min_cache",
+        ):
             if hasattr(s, attr):
                 setattr(s, attr, None)
         return s
+
+    def seg_min_candidates(self) -> np.ndarray:
+        """Per-interval-segment MIN candidate zone index (BIG for empty
+        segments), lazily built and cached per process. Lets the sharded
+        stage-1 decide `any candidate < full-hit zone` with one gather
+        instead of materializing the pair expansion twice (once to flag
+        residue, once to emit pairs)."""
+        if getattr(self, "_seg_min_cache", None) is None:
+            off = self.ivl_cand_off
+            seg_min = np.full(len(off) - 1, self._BIG, dtype=np.int64)
+            nonempty = off[1:] > off[:-1]
+            if nonempty.any():
+                seg_min[nonempty] = np.minimum.reduceat(
+                    self.ivl_cand_tz, off[:-1][nonempty]
+                )
+            self._seg_min_cache = seg_min
+        return self._seg_min_cache
 
     def probe(self, lon: np.ndarray, lat: np.ndarray):
         """Interval probe: returns (full_tz int32 [BIG = no full hit],

@@ -257,10 +257,19 @@ def _make_stage1_fn(slim_bc):
             code = np.full(len(pdf), -1, dtype=np.int32)
             kind = np.zeros(len(pdf), dtype=np.int8)
             if has.any():
-                apt, _, _, unresolved = _probe_residue(cm, lon[has], lat[has])
+                hl, ha = lon[has], lat[has]
+                full_tz, seg = cm.probe(hl, ha)
+                apt = np.where(full_tz == BIG, -1, full_tz).astype(np.int64)
+                # residue test WITHOUT the pair expansion (the pairs pass
+                # re-probes the residue and expands there): a point is
+                # residue iff it has no full hit, or some boundary
+                # candidate could beat the full hit — i.e. the segment's
+                # MIN candidate zone is smaller (the overlap rule's
+                # pre-filter, collapsed to one gather)
+                seg_min = cm.seg_min_candidates()[seg]
+                unresolved = (apt < 0) | (seg_min < apt)
                 code[has] = apt.astype(np.int32)
-                k = np.where(unresolved, K_POINT, K_FINAL).astype(np.int8)
-                kind[has] = k
+                kind[has] = np.where(unresolved, K_POINT, K_FINAL).astype(np.int8)
             yield pdf.assign(kind=kind, code=code)
 
     return _fn
