@@ -72,6 +72,18 @@ def main(argv=None) -> int:
         "through a shard-cogrouped edge join (value-identical, "
         "pytest-gated; removes the zone-count/ring-complexity ceiling)",
     )
+    p.add_argument(
+        "--sharded-stage1",
+        choices=["persist", "staging"],
+        default="persist",
+        help="with --stage2 sharded: keep the full-size stage-1 frame "
+        "as an executor-memory persist (default) or write it to a "
+        "durable staging parquet under --work-dir (the petabyte-scale "
+        "mode: executor storage never holds the input, and a lost "
+        "executor re-reads instead of recomputing the map pass). "
+        "Physical strategy only — results are identical, so the choice "
+        "is not part of the stage fingerprint",
+    )
     args = p.parse_args(argv)
 
     from pyspark import SparkConf
@@ -168,8 +180,18 @@ def main(argv=None) -> int:
                 n_shards=max(16, args.cores),
             )
             pts = with_coordinates(scan).select("url", "warc_ts", "lon", "lat")
+            staging = (
+                os.path.join(args.work_dir, "sharded_stage1")
+                if args.sharded_stage1 == "staging"
+                else None
+            )
             return assign_tzid_sharded(
-                pts, bc, edges, _ocean_bands(args), n_shards=max(16, args.cores)
+                pts,
+                bc,
+                edges,
+                _ocean_bands(args),
+                n_shards=max(16, args.cores),
+                stage1_path=staging,
             ).select("url", "warc_ts", "tzid", "method")
         pts = with_coordinates(scan).select("url", "warc_ts", pack_coords_col())
         return assign_tzid_udf_packed(pts, bc, _ocean_bands(args))

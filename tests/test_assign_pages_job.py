@@ -175,10 +175,21 @@ def test_assign_job_stage2_sharded_matches_broadcast(pages_root, tmp_path):
     wb, ob = str(tmp_path / "wb"), str(tmp_path / "ob")
     ws, os_ = str(tmp_path / "ws"), str(tmp_path / "os")
     rb = _run(pages_root, wb, ob)
-    rs = _run(pages_root, ws, os_, extra=("--stage2", "sharded"))
+    # staging mode: stage-1 goes to a durable parquet under work-dir
+    # instead of an executor persist — same rows, plus the staging
+    # artifact must exist (the petabyte-scale resumable path)
+    rs = _run(
+        pages_root,
+        ws,
+        os_,
+        extra=("--stage2", "sharded", "--sharded-stage1", "staging"),
+    )
     assert rs["rows"] == rb["rows"] == 600
     assert rs["methods"] == rb["methods"]
     assert rs["text_invariant_ok"] is True
+    import glob
+
+    assert glob.glob(f"{ws}/sharded_stage1/*.parquet")
     only = duckdb.sql(
         f"""SELECT count(*) FROM (
           SELECT url, warc_ts, tzid, method FROM '{ob}/assigned_pages/*.parquet'

@@ -38,7 +38,9 @@ def _points_pdf(n: int, seed: int, with_nan: bool = True) -> pd.DataFrame:
     )
 
 
-def _run_both(spark, zones_pdf, points_pdf, bands, max_res=8, n_shards=16):
+def _run_both(
+    spark, zones_pdf, points_pdf, bands, max_res=8, n_shards=16, stage1_path=None
+):
     cm = cellmap_from_zones_pdf(zones_pdf, max_res=max_res)
     slim = cm.slim()
     # the slim index is strictly smaller and carries no ring data
@@ -52,7 +54,7 @@ def _run_both(spark, zones_pdf, points_pdf, bands, max_res=8, n_shards=16):
     pts = spark.createDataFrame(points_pdf)
     ref = assign_tzid(pts, bc_full, bands).toPandas()
     got = assign_tzid_sharded(
-        pts, bc_slim, edges, bands, n_shards=n_shards
+        pts, bc_slim, edges, bands, n_shards=n_shards, stage1_path=stage1_path
     ).toPandas()
     for bc in (bc_full, bc_slim, tz_bc):
         bc.destroy()
@@ -95,6 +97,23 @@ def test_sharded_matches_broadcast_on_holey_dense_world(spark):
     assert counts.get("knn", 0) > 20, counts
     assert counts.get("none", 0) > 200, counts
     assert counts.get("pip", 0) > 100, counts
+
+
+def test_sharded_stage1_staging_write_matches_persist(spark, tmp_path):
+    """stage1_path mode (the petabyte-scale durable staging write instead
+    of an executor persist) is a physical-strategy switch only: identical
+    rows, and the staging parquet actually lands on disk with the full
+    payload+verdict schema."""
+    staging = str(tmp_path / "s1")
+    ref, got = _run_both(
+        spark, local_zones(), _points_pdf(4000, 7), OCEAN_BANDS, stage1_path=staging
+    )
+    _assert_identical(ref, got)
+    s1 = spark.read.parquet(staging)
+    assert {"url", "lon", "lat", "pt_id", "kind", "code"} <= set(s1.columns)
+    # one stage-1 row per input row: the staging table IS the resumable
+    # full-size materialization
+    assert s1.count() == len(ref)
 
 
 def test_sharded_overlap_tiebreak_smallest_tzid(spark):

@@ -399,6 +399,7 @@ def assign_tzid_sharded(
     ocean_bands: list[dict],
     knn_max_m: float = KNN_MAX_METERS,
     n_shards: int = DEFAULT_SHARDS,
+    stage1_path: str | None = None,
 ) -> DataFrame:
     """pages(..., lon, lat) -> all input columns + (tzid, method),
     row-identical to assign_tzid (pytest-gated), with NO geometry
@@ -407,7 +408,14 @@ def assign_tzid_sharded(
     stage-1 pass untouched; only the boundary residue is keyed and
     joined. The returned DataFrame carries a `sharded_release()`
     attribute — call it after consuming the result to drop the
-    operator's caches in a long-lived session."""
+    operator's caches in a long-lived session.
+
+    stage1_path: when set, the full-size stage-1 frame is WRITTEN to
+    this parquet path and the three consumers read it back — the
+    petabyte-scale mode, where a MEMORY_AND_DISK persist of the whole
+    input would thrash executor storage and a lost executor would
+    recompute the map pass. The write is eager (happens inside this
+    call); the path is the caller's to clean or keep for resume."""
     from pyspark import StorageLevel
 
     spark = pages_with_coords.sparkSession
@@ -430,11 +438,15 @@ def assign_tzid_sharded(
         pts.schema.fields
         + [StructField("kind", ByteType(), True), StructField("code", IntegerType(), True)]
     )
-    # the ONE full-size materialization (three consumers); at petabyte
-    # scale swap this persist for a staging-table write
-    s1 = pts.mapInPandas(_make_stage1_fn(slim_bc), s1_schema).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the ONE full-size materialization (three consumers): a persist by
+    # default, a durable staging write when the caller says the input is
+    # too big to cache (stage1_path)
+    s1_raw = pts.mapInPandas(_make_stage1_fn(slim_bc), s1_schema)
+    if stage1_path is not None:
+        s1_raw.write.mode("overwrite").parquet(stage1_path)
+        s1 = spark.read.parquet(stage1_path)
+    else:
+        s1 = s1_raw.persist(StorageLevel.MEMORY_AND_DISK)
 
     resolved = s1.filter(F.col("kind") == K_FINAL)
     residue = s1.filter(F.col("kind") == K_POINT)
@@ -450,14 +462,23 @@ def assign_tzid_sharded(
         .groupBy("pt_id")
         .agg(F.min("zone_id").alias("zwin"))
     )
-    r2 = rp.join(pip_win, "pt_id", "left").select(
-        "pt_id",
-        "lon",
-        "lat",
-        F.coalesce("zwin", F.when(F.col("code") >= 0, F.col("code"))).alias("code"),
-        F.when(F.col("zwin").isNotNull(), F.lit(M_PIP))
-        .when(F.col("code") >= 0, F.lit(M_CELL))
-        .alias("method"),
+    r2 = (
+        rp.join(pip_win, "pt_id", "left")
+        .select(
+            "pt_id",
+            "lon",
+            "lat",
+            F.coalesce("zwin", F.when(F.col("code") >= 0, F.col("code"))).alias("code"),
+            F.when(F.col("zwin").isNotNull(), F.lit(M_PIP))
+            .when(F.col("code") >= 0, F.lit(M_CELL))
+            .alias("method"),
+        )
+        # residue-sized; two consumers (PIP finals + the kNN branch).
+        # Without the persist the rp-pip_win sort-merge join re-executes
+        # per consumer: exchange reuse shares the SHUFFLES, but every
+        # operator between exchanges runs once per duplicated subtree —
+        # measured 2x wall on the 10^5-zone frontier world
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     finals2 = r2.filter(F.col("code").isNotNull()).select("pt_id", "code", "method")
     missed = r2.filter(F.col("code").isNull()).select("pt_id", "lon", "lat")
@@ -465,7 +486,9 @@ def assign_tzid_sharded(
     knn1 = missed.mapInPandas(
         _make_knn_probe_fn(slim_bc, band_edges, len(band_tzids), knn_max_m),
         KNN_SCHEMA,
-    )
+        # three consumers (ocean finals, kNN points, kNN pairs) — same
+        # duplicated-subtree rule as r2
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     finals3 = knn1.filter(F.col("kind") == K_FINAL).select("pt_id", "code", "method")
     knn_pts = knn1.filter(F.col("kind") == K_POINT)
     knn_pairs = knn1.filter(F.col("kind") == K_PAIR).withColumn(
@@ -552,7 +575,7 @@ def assign_tzid_sharded(
     out = out_resolved.unionByName(out_residue)
 
     def _release():
-        for df in (s1, edges):
+        for df in (s1, edges, r2, knn1):
             try:
                 df.unpersist()
             except Exception:
