@@ -63,14 +63,25 @@ def main(argv=None) -> int:
     p.add_argument("--cover-res", type=int, default=None)
     p.add_argument(
         "--stage2",
-        choices=["broadcast", "sharded"],
-        default="broadcast",
+        choices=["auto", "broadcast", "sharded"],
+        default="auto",
         help="boundary-residue resolution: 'broadcast' ships zone "
         "geometry inside the CellMap (shuffle-free hot path — the "
-        "default while the map fits executors); 'sharded' broadcasts "
+        "winner while the map fits executors); 'sharded' broadcasts "
         "only the slim index and resolves boundary/offshore points "
         "through a shard-cogrouped edge join (value-identical, "
-        "pytest-gated; removes the zone-count/ring-complexity ceiling)",
+        "pytest-gated; removes the zone-count/ring-complexity ceiling); "
+        "'auto' (default) measures the built map and picks — the "
+        "AQE-style choice, threshold set by --broadcast-budget-mb",
+    )
+    p.add_argument(
+        "--broadcast-budget-mb",
+        type=float,
+        default=None,
+        help="with --stage2 auto: serialized full-CellMap size above "
+        "which the sharded plan is chosen (default 128 MB — between the "
+        "measured 10^5-zone 77 MB world where broadcast still ties and "
+        "the 10^6-zone 306 MB world where it collapses; see BENCH.md)",
     )
     p.add_argument(
         "--sharded-stage1",
@@ -117,10 +128,17 @@ def main(argv=None) -> int:
     t0 = time.time()
     sid = args.snapshot or pages_table.current_snapshot_id(args.pages_root)
 
+    if args.broadcast_budget_mb is not None and args.stage2 != "auto":
+        # an explicit mode ignores the budget; silently accepting the
+        # flag would misreport how the physical plan was chosen
+        p.error("--broadcast-budget-mb only applies with --stage2 auto")
+
     if args.incremental:
-        if args.stage2 != "broadcast":
+        if args.stage2 == "sharded":
             # the delta path reuses the packed broadcast kernel; a
-            # silently-ignored flag would misreport the physical plan
+            # silently-ignored flag would misreport the physical plan.
+            # (auto is fine: deltas are fixture/config-sized worlds and
+            # resolve to the broadcast kernel the path implements)
             p.error("--stage2 sharded is not supported with --incremental")
         if args.ts_day_min is not None or args.ts_day_max is not None:
             # the delta path scans whole manifest entries; silently
@@ -131,6 +149,17 @@ def main(argv=None) -> int:
         return _run_incremental(spark, args, sid, t0)
 
     cm, cover_res, zones_pdf = _load_cellmap(spark, args)
+    if args.stage2 == "auto":
+        from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
+            DEFAULT_BROADCAST_BUDGET_MB,
+            choose_stage2,
+        )
+
+        stage2, map_bytes = choose_stage2(
+            cm, args.broadcast_budget_mb or DEFAULT_BROADCAST_BUDGET_MB
+        )
+    else:
+        stage2, map_bytes = args.stage2, None
     zones_fp = fingerprint("zones", *cm.tzids, *[g for g in cm.geojson])
     # every input that changes the OUTPUT is in the key: the band table
     # decides ocean tzids and the cover resolution decides the
@@ -149,12 +178,14 @@ def main(argv=None) -> int:
         str(cover_res),
         # the two stage-2 modes are value-identical (pytest-gated), but
         # the physical mode is still in the key: a cached stage must
-        # never mask a parity break behind a replay
-        args.stage2,
+        # never mask a parity break behind a replay. The RESOLVED mode
+        # is fingerprinted, not the flag — auto resolving to broadcast
+        # is the same stage as an explicit --stage2 broadcast
+        stage2,
     )
 
     manifest = StageManifest(args.work_dir)
-    bc = spark.sparkContext.broadcast(cm.slim() if args.stage2 == "sharded" else cm)
+    bc = spark.sparkContext.broadcast(cm.slim() if stage2 == "sharded" else cm)
 
     def compute():
         scan = pages_table.scan(
@@ -167,7 +198,7 @@ def main(argv=None) -> int:
         # warc_ts rides along: (url, warc_ts) is the row identity of a
         # crawl table (warc_ts exists to version url revisits), and the
         # invariant join below must not fan out on recrawled urls
-        if args.stage2 == "sharded":
+        if stage2 == "sharded":
             from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
                 assign_tzid_sharded,
                 zone_edges_frame,
@@ -280,6 +311,11 @@ def main(argv=None) -> int:
                 "snapshot": sid,
                 "cached": cached,
                 "cover_res": cover_res,
+                # resolved physical plan (+ the measured full-map bytes
+                # that drove an auto choice) — the run report must say
+                # which plan actually served, not which flag was passed
+                "stage2": stage2,
+                "map_bytes": map_bytes,
                 "rows": int(h_out["n"]),
                 "methods": methods,
                 "text_invariant_ok": text_ok,

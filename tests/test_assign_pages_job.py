@@ -43,6 +43,11 @@ def test_assign_job_runs_and_resumes(pages_root, tmp_path):
     assert r1["rows"] == 600
     assert r1["text_invariant_ok"] is True
     assert r1["cached"] is False
+    # default --stage2 auto: the fixture map is far under the budget, so
+    # the AQE-style selector resolves to the broadcast kernel and the
+    # report carries the resolved plan + the measured map bytes
+    assert r1["stage2"] == "broadcast"
+    assert 0 < r1["map_bytes"] < 128e6
     # the synthetic mix covers every method incl. offshore knn
     assert set(r1["methods"]) >= {"cell", "knn", "ocean", "none"}
     assert r1["lineage_partitions"] >= 1
@@ -197,3 +202,16 @@ def test_assign_job_stage2_sharded_matches_broadcast(pages_root, tmp_path):
           SELECT url, warc_ts, tzid, method FROM '{os_}/assigned_pages/*.parquet')"""
     ).fetchone()[0]
     assert only == 0
+    # --stage2 auto with a budget below the map must resolve to the
+    # SAME stage as the explicit sharded run: the fingerprint carries
+    # the resolved mode, so this is a cache hit, not a recompute
+    ra = _run(
+        pages_root,
+        ws,
+        os_,
+        extra=("--stage2", "auto", "--broadcast-budget-mb", "0.0001"),
+    )
+    assert ra["stage2"] == "sharded"
+    assert ra["map_bytes"] > 0.0001 * 1e6
+    assert ra["cached"] is True
+    assert ra["methods"] == rs["methods"]

@@ -143,3 +143,24 @@ def test_sharded_overlap_tiebreak_smallest_tzid(spark):
     by_url = dict(zip(got["url"], got["tzid"]))
     assert by_url["u2"] == "A/Early"
     assert by_url["u1"] == "B/Late" and by_url["u3"] == "A/Early"
+
+
+def test_choose_stage2_budget_rule():
+    """The auto selector picks from the MEASURED serialized map size:
+    under the budget -> broadcast (the measured winner while the map
+    fits), over it -> sharded. The returned bytes are the exact pickle
+    size, so the decision is reproducible from the report."""
+    from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
+        DEFAULT_BROADCAST_BUDGET_MB,
+        choose_stage2,
+    )
+
+    cm = cellmap_from_zones_pdf(local_zones(), max_res=6)
+    exact = len(pickle.dumps(cm, protocol=pickle.HIGHEST_PROTOCOL))
+    mode, nbytes = choose_stage2(cm)
+    assert (mode, nbytes) == ("broadcast", exact)
+    assert nbytes < DEFAULT_BROADCAST_BUDGET_MB * 1e6
+    # a budget below the map flips the choice; the measurement is stable
+    assert choose_stage2(cm, budget_mb=nbytes / 1e6 / 2) == ("sharded", exact)
+    # boundary: exactly at budget stays broadcast (<=, not <)
+    assert choose_stage2(cm, budget_mb=nbytes / 1e6)[0] == "broadcast"

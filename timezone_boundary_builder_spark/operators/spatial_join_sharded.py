@@ -90,6 +90,38 @@ DEFAULT_SHARDS = 64
 BIG = np.iinfo(np.int32).max
 _RESERVED = ("pt_id", "kind", "code", "method", "tzid", "mname", "shard")
 
+# Default full-map broadcast budget for choose_stage2, calibrated from
+# the measured decade pairs (BENCH.md round-6): at 77 MB (10^5 zones)
+# the broadcast kernel and the sharded join are within co-residency
+# noise of each other (same-run pairs read 0.82x and 1.12x across
+# windows), while at 306 MB (10^6 zones) broadcast collapses 4-10x.
+# 128 MB sits between the measured decades on the broadcast-favored
+# side: below it the shuffle-free kernel is never the loser, above it
+# the sharded join is never worse and soon decisively better.
+DEFAULT_BROADCAST_BUDGET_MB = 128.0
+
+
+def choose_stage2(
+    cm, budget_mb: float = DEFAULT_BROADCAST_BUDGET_MB
+) -> tuple[str, int]:
+    """Pick the stage-2 physical plan from the MEASURED payload, the way
+    AQE picks a join strategy from measured sizes at runtime.
+
+    Both plans need the full CellMap built (the sharded path broadcasts
+    ``cm.slim()``, which derives from it), so by decision time the exact
+    broadcast payload is known — serialize it and compare against the
+    budget instead of estimating. Returns ``(mode, full_map_bytes)``
+    where mode is "broadcast" (map fits: shuffle-free kernel, the
+    measured winner below the budget) or "sharded" (geometry stays in a
+    DataFrame; only the slim index ships). The two plans are
+    row-identical (pytest-gated), so the choice is physical only.
+    """
+    import pickle
+
+    nbytes = len(pickle.dumps(cm, protocol=pickle.HIGHEST_PROTOCOL))
+    mode = "broadcast" if nbytes <= budget_mb * 1e6 else "sharded"
+    return mode, nbytes
+
 
 def zone_edges_frame(zones: DataFrame, tzids_bc, n_shards: int = DEFAULT_SHARDS) -> DataFrame:
     """zones(tzid, geometry) -> (shard, zone_id, x1[], y1[], x2[], y2[]),
