@@ -411,12 +411,19 @@ def build_cover_world(spark: SparkSession, grid: int, prefix: str):
     cm = collect_cell_map(build_cell_covers(zones_df, max_res=res), zones_df)
     build_s = time.perf_counter() - t0
     nbytes = len(pickle.dumps(cm, protocol=pickle.HIGHEST_PROTOCOL))
+    from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
+        choose_stage2,
+    )
+
     rec = {
         f"{prefix}_zones": len(cm.tzids),
         f"{prefix}_cover_res": res,
         f"{prefix}_cover_cells": int(len(cm.full_cells) + len(cm.bnd_cells)),
         f"{prefix}_cover_build_sec": round(build_s, 2),
         f"{prefix}_broadcast_bytes": nbytes,
+        # what the shipped auto selector would serve this world with —
+        # ties the frontier evidence to assign_pages --stage2 auto
+        f"{prefix}_auto_stage2": choose_stage2(cm)[0],
     }
     return cm, world, rec
 
