@@ -84,6 +84,22 @@ def _local_cellmap() -> CellMap:
     return local_cellmap()
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-adaptive parallelism fix for per-row-expensive work over the
+    test corpus's single-row-group parquet files (round 7, guide §2/§6):
+    a one-row-group file scans as ONE task no matter the split config, so
+    a Python-heavy chain downstream runs single-core. When (and only
+    when) the scan has fewer partitions than the cluster's parallelism,
+    hash-repartition the NARROW key columns already selected — the
+    shuffle moves a few bytes per row (never payloads; the heavy columns
+    are generated/derived downstream), the §8 'decide with small rows'
+    shape. On a real multi-file/multi-row-group table this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, *cols)
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic lat/lon derived from event_id — identical arithmetic
     in Spark and the DuckDB oracle (pure int mod + double division)."""
@@ -1629,19 +1645,21 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # ramp rows/cols precomputed once per task (max w=13, h=7); the
+        # per-doc pixel array is one broadcasted add instead of np.mgrid
+        xs = 3 * np.arange(13, dtype=np.int64)
+        ys = 11 * np.arange(7, dtype=np.int64)[:, None]
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 1 + did % 13, 1 + did % 7
-                yy, xx = np.mgrid[0:h, 0:w]
-                arr = ((did * 7 + xx * 3 + yy * 11) % 256).astype(np.uint8)
+                arr = ((did * 7 + xs[:w] + ys[:h]) % 256).astype(np.uint8)
                 rows.append((str(did), encode_png(arr)))
             yield pd.DataFrame(rows, columns=["url", "html"])
 
     pages = (
-        _docs(spark, sf_dir)
-        .select("doc_id")
+        _spread(_docs(spark, sf_dir).select("doc_id"), "doc_id")
         .mapInPandas(_gen, "url string, html binary")
     )
     resized = resize_images(pages, target_w=8, target_h=8, use_real_codec=True)

@@ -183,14 +183,32 @@ def test_pipeline_gopher_stays_jvm_side(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_multimodal_decode_chain_is_map_only(spark):
+def test_multimodal_decode_chain_shuffles_only_doc_ids(spark):
     """The real-codec chain (generate -> decode/resize/re-encode ->
-    decode/stats) is three mapInPandas stages — the plan must contain
-    ZERO exchanges: per-image work never shuffles, so the chain scales
-    exactly like a projection."""
+    decode/stats): per-image bytes NEVER shuffle. The one allowed
+    exchange is the scale-adaptive _spread of the bare doc_id column
+    BELOW the generator (round 7: the single-row-group test file scans
+    as one task, which serialized the whole Python chain onto one core)
+    — it may carry doc_id only, and no exchange may sit between or above
+    the Python stages where the image payloads exist."""
     q = entry.queries()["multimodal_decode"](spark, SF)
     plan = plan_of(q)
-    assert "Exchange" not in plan, plan
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l
+    ]
+    assert len(exchanges) <= 1, exchanges
+    for l in exchanges:
+        # the exchange partitions by doc_id and carries nothing else
+        assert "doc_id" in l and "html" not in l and "resized" not in l, l
+    # no shuffle above any Python stage: every Python node appears after
+    # the last exchange line in the tree dump (tree prints top-down, so
+    # 'after' in text == deeper == closer to the scan ... the exchange
+    # must be the DEEPEST operator bar the scan)
+    if exchanges:
+        tree = plan.splitlines()
+        exch_idx = max(i for i, l in enumerate(tree) if "Exchange" in l and "Reused" not in l and "Arguments" not in l and "Input" not in l)
+        py_idx = [i for i, l in enumerate(tree) if "InPandas" in l or "EvalPython" in l]
+        assert py_idx and max(py_idx) < exch_idx, plan
 
 
 def test_salted_topk_two_phase_windows(spark):

@@ -37,6 +37,14 @@ def _defilter(raw: bytes, width: int, height: int, channels: int, bit_depth: int
     bpp = max(1, bits_per_px // 8)  # filter unit, per the spec
     if len(raw) < (stride + 1) * height:
         raise ValueError("PNG: truncated image data")
+    mat = np.frombuffer(raw, np.uint8, (stride + 1) * height).reshape(
+        height, stride + 1
+    )
+    if not mat[:, 0].any():
+        # all-filter-0 fast path (what encode_png always emits): recon ==
+        # filtered bytes, no per-row loop — one slice instead of `height`
+        # python iterations (round 7; the general path below is unchanged)
+        return np.ascontiguousarray(mat[:, 1:])
     out = np.zeros((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
