@@ -94,10 +94,9 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     shuffle moves a few bytes per row (never payloads; the heavy columns
     are generated/derived downstream), the §8 'decide with small rows'
     shape. On a real multi-file/multi-row-group table this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
-        return df
-    return df.repartition(sc.defaultParallelism, *cols)
+    from timezone_boundary_builder_spark.plans.spread import spread_small_scan
+
+    return spread_small_scan(df, *cols)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1184,12 +1183,26 @@ def _q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from timezone_boundary_builder_spark.operators.text import (
+        gopher_stats_udf,
         norm_text_col,
-        with_quality,
     )
 
-    q = with_quality(_docs(spark, sf_dir))
-    kept = q.where((F.col("n_words_q") >= 20) & (F.col("stopword_ratio") >= 0.05))
+    # Round 7: the quality thresholds read the Arrow stats kernel's
+    # integer counts (n_words == size(split(...)), stop_hits == the
+    # with_quality stopword filter — same tokenization, same ints), and
+    # the round(int/int, 6) ratio stays JVM-side, so the kept set is
+    # identical to the old with_quality filter. The kernel's
+    # nondeterministic marker keeps the filter ABOVE the _spread
+    # exchange — with_quality's JVM array predicates were pushed to the
+    # single-task test scan and ran one-core.
+    st = F.col("__st")
+    base = _spread(
+        _docs(spark, sf_dir).select("doc_id", "text", "lang"), "doc_id"
+    ).withColumn("__st", gopher_stats_udf()(F.col("text")))
+    kept = base.where(
+        (st["n_words"] >= 20)
+        & (F.round((st["stop_hits"] / st["n_words"]).cast("double"), 6) >= 0.05)
+    )
     w = W.partitionBy(F.md5(norm_text_col())).orderBy("doc_id")
     return (
         kept.withColumn("__rn", F.row_number().over(w))
@@ -1210,18 +1223,28 @@ def _q_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from timezone_boundary_builder_spark.operators.text import (
+        gopher_stats_udf,
         norm_text_col,
-        repetition_gate,
-        with_quality,
+        repetition_fracs,
     )
 
-    q = with_quality(_docs(spark, sf_dir))
-    kept = q.where((F.col("n_words_q") >= 20) & (F.col("stopword_ratio") >= 0.05))
-    gated = repetition_gate(
-        kept,
-        max_top_word_frac=0.2,
-        max_dup_word_frac=0.65,
-        max_top_bigram_frac=0.08,
+    # Round 7: ONE Arrow stats kernel feeds BOTH the quality thresholds
+    # and the Gopher repetition gate (previously: with_quality JVM array
+    # predicates pushed to the single-task scan + a signal-relation
+    # self-join that re-evaluated the whole upstream plan per side).
+    # Integer counts cross the boundary; every division/round stays in
+    # the JVM plan, so the kept set is identical (same DuckDB oracle).
+    st = F.col("__st")
+    fr = repetition_fracs(st)
+    base = _spread(
+        _docs(spark, sf_dir).select("doc_id", "text", "lang"), "doc_id"
+    ).withColumn("__st", gopher_stats_udf()(F.col("text")))
+    gated = base.where(
+        (st["n_words"] >= 20)
+        & (F.round((st["stop_hits"] / st["n_words"]).cast("double"), 6) >= 0.05)
+        & (fr["top_word_frac"] <= 0.2)
+        & (fr["dup_word_frac"] <= 0.65)
+        & (fr["top_bigram_frac"] <= 0.08)
     )
     w = W.partitionBy(F.md5(norm_text_col())).orderBy("doc_id")
     return (

@@ -50,14 +50,19 @@ def test_top_customer_uses_window_group_limit_and_broadcast(spark):
     assert "WindowGroupLimit" in plan  # top-1 pushed below the shuffle
 
 
-def test_minhash_single_cheap_exchange(spark):
+def test_minhash_is_map_only_projection(spark):
+    """Round 7: signatures are array_min folds — no explode, no
+    aggregation. The only allowed exchange is the scale-adaptive spread
+    of the single-row-group test scan (a no-op on real tables); the
+    exploded shingle relation no longer exists at all."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(minhash_signatures(docs, num_hashes=4))
     exchanges = [l for l in plan.splitlines() if "Exchange" in l and "reuse" not in l.lower()]
-    assert len(exchanges) == 1, exchanges
-    # the one exchange is the pre-explode repartition by doc_id, not a
-    # shuffle of the exploded shingle relation
-    assert "REPARTITION_BY_NUM" in exchanges[0]
+    assert len(exchanges) <= 1, exchanges
+    for l in exchanges:
+        assert "REPARTITION_BY_NUM" in l
+    assert "Generate" not in plan, plan  # no explode
+    assert "Aggregate" not in plan, plan  # no groupBy — pure projection
 
 
 def test_ivf_build_assigns_centroids_map_side(spark):
@@ -160,26 +165,34 @@ def test_lsh_pairs_single_stacked_join(spark):
     assert n_joins == 1, plan
 
 
-def test_repetition_signals_single_exchange_no_join(spark):
-    """Gopher-style repetition signals: words + 2-grams tagged and
-    exploded in ONE pass — the only exchange is the doc-sized
-    pre-explode repartition; no join, and the exploded token relation
-    never shuffles."""
+def test_repetition_signals_map_only_no_join(spark):
+    """Gopher-style repetition signals (round 7): pure array expressions
+    (sorted-run-length folds) — no explode, no aggregation, no join. The
+    only allowed exchange is the scale-adaptive spread of the
+    single-row-group test scan (no-op on real tables)."""
     q = entry.queries()["text_repetition"](spark, SF)
     plan = plan_of(q)
     exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l]
-    assert len(exchanges) == 1, exchanges
-    assert "REPARTITION_BY_NUM" in exchanges[0]
+    assert len(exchanges) <= 1, exchanges
+    for l in exchanges:
+        assert "REPARTITION_BY_NUM" in l
     assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "Aggregate" not in plan, plan  # no groupBy — pure projection
 
 
-def test_pipeline_gopher_stays_jvm_side(spark):
-    """The repetition-gated pipeline must stay whole-stage-codegen'd:
-    no Python/Arrow node anywhere (the gate is built-in functions only),
-    and the signal join keys both sides on the doc id."""
+def test_pipeline_gopher_single_arrow_kernel_no_join(spark):
+    """Round 7: the quality + Gopher gate reads ONE Arrow-batched stats
+    kernel (integer counts only; divisions/rounds stay JVM-side) — the
+    plan must carry exactly one Arrow eval node, no pickled-row Python,
+    no join (the old signal-relation join re-evaluated the upstream plan
+    once per side), and no explode."""
     q = entry.queries()["pipeline_gopher"](spark, SF)
     plan = plan_of(q)
-    assert "Python" not in plan and "Arrow" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan  # no pickled-row UDF path
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
     assert "CartesianProduct" not in plan
 
 

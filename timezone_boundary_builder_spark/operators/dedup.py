@@ -12,6 +12,7 @@ needed beyond AQE.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -165,36 +166,62 @@ def minhash_signatures(
     md5(i || shingle). Uses md5 hex strings ordered lexicographically —
     exactly reproducible in ANSI SQL (the DuckDB oracle mirrors it).
 
-    explode(shingles) -> groupBy(doc) with num_hashes min() aggregates:
-    partial aggregation (map-side combine) keeps the shuffle at one row
-    per doc per hash, independent of document length.
+    MAP-ONLY (round 7, guide §2.4/§4.2): one Arrow-batched hashlib
+    kernel computes every per-doc minimum — a projection, no explode,
+    no aggregation, NO shuffle at all. The previous shape (repartition
+    -> explode -> groupBy with min aggregates) shuffled one row per doc
+    and SORT-aggregated `num_hashes` string mins over the exploded
+    shingle relation (min(string) cannot hash-aggregate); an
+    intermediate JVM higher-order-function variant (array_min over
+    transform(md5)) avoided the explode but evaluated the md5 lambda
+    interpreted per shingle and measured ~0.6 s SLOWER on the lsh-pairs
+    chain. hashlib.md5 hexdigest over UTF-8 bytes is the identical hash,
+    and Python min() on hex strings is the same binary ordering —
+    verified by the unchanged DuckDB oracle. Tokenization mirrors the
+    JVM expressions exactly (trim = ASCII space only; Java regex \\s =
+    [ \\t\\n\\x0B\\f\\r]; split keeps trailing empties). The null-text
+    filter reproduces the old explode semantics (null text -> zero
+    exploded rows -> doc absent).
 
-    The input is repartitioned by id BEFORE the explode: the shuffle moves
-    one row per document (cheap), and because hash-partitioning by id is
-    preserved through the explode, the groupBy(id) afterwards needs no
-    second shuffle — the expensive exploded relation never crosses the
-    wire. Also fixes single-file inputs collapsing to one task.
+    On single-row-group test inputs the scan is spread to the cluster's
+    parallelism first (plans/spread.py — a no-op at scale).
     """
-    spark_parallelism = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(spark_parallelism, id_col)
-    # materialize the words array once so the per-shingle slice() reads a
-    # column instead of re-evaluating split()
-    df = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+    from pyspark.sql.functions import pandas_udf
+
+    from ..plans.spread import spread_small_scan
+
+    schema = ", ".join(f"mh_{i} string" for i in range(num_hashes))
+    prefixes = [f"{i}|".encode() for i in range(num_hashes)]
+
+    @pandas_udf(schema)
+    def _mins(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+        import re
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        out: list[tuple] = []
+        for t in texts:
+            words = ws.split(t.strip(" "))
+            n = len(words)
+            shingles = [
+                " ".join(words[i : i + shingle_size]).encode()
+                for i in range(max(n - shingle_size, 0) + 1)
+            ]
+            out.append(
+                tuple(
+                    min(hashlib.md5(p + s).hexdigest() for s in shingles)
+                    for p in prefixes
+                )
+            )
+        return pd.DataFrame(out, columns=[f"mh_{i}" for i in range(num_hashes)])
+
+    base = spread_small_scan(df.select(id_col, text_col), id_col).where(
+        F.col(text_col).isNotNull()
     )
-    words = F.col("__words")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0)))
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_size)),
+    st = base.withColumn("__mh", _mins(F.col(text_col)))
+    return st.select(
+        F.col(id_col), *[F.col("__mh")[f"mh_{i}"].alias(f"mh_{i}") for i in range(num_hashes)]
     )
-    exploded = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(

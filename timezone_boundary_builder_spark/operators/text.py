@@ -10,6 +10,7 @@ can verify values, not just row counts.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -114,19 +115,105 @@ def repetition_gate(
 ) -> DataFrame:
     """Gopher-style repetition FILTER: keep only documents whose
     repetition signals (repetition_signals below) sit under all three
-    thresholds. The gate is an inner join on the id — the signals
-    relation is doc-keyed (one row per doc, three doubles), so both
-    sides hash-partition on the id and the join carries no corpus text;
-    at 10^12 rows this is the standard signal-table semi-join shape a
-    staged pipeline would materialize between stages (clean_corpus does
-    exactly that via its stage manifests)."""
-    sig = repetition_signals(df.select(id_col, text_col), text_col, id_col)
-    ok = sig.where(
-        (F.col("top_word_frac") <= max_top_word_frac)
-        & (F.col("dup_word_frac") <= max_dup_word_frac)
-        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
-    ).select(id_col)
-    return df.join(ok, id_col)
+    thresholds. Round 7: the signals come from one map-side Arrow stats
+    kernel (gopher_stats_udf), so the gate is a plain FILTER on the
+    input — no signal relation, no join, no shuffle (the previous
+    inner-join shape re-evaluated the whole upstream plan once per join
+    side). A null-text doc has null stats, so the <= predicates are null
+    and the row is dropped — identical to the old inner join against a
+    signal table that never contained that doc."""
+    arr = df.withColumn("__st", gopher_stats_udf()(F.col(text_col)))
+    fr = repetition_fracs(F.col("__st"))
+    keep = (
+        (fr["top_word_frac"] <= max_top_word_frac)
+        & (fr["dup_word_frac"] <= max_dup_word_frac)
+        & (fr["top_bigram_frac"] <= max_top_bigram_frac)
+    )
+    return arr.where(keep).drop("__st")
+
+
+# Token/repetition statistics kernel (round 7, guide §4.2): the six
+# integer counts the quality + Gopher gates need, computed per Arrow
+# batch in Python with collections.Counter instead of JVM-interpreted
+# higher-order functions (Spark evaluates HOF lambdas per ELEMENT with
+# no loop-invariant hoisting — a sorted-run-length fold measured ~1.2 us
+# per token interpreted, 40x this kernel). Only INTEGERS come back:
+# every division and round() stays in the JVM plan, so the fractions are
+# bit-identical to the old explode+groupBy aggregation.
+#
+# Tokenization mirrors the JVM expressions EXACTLY:
+# - F.trim strips the ASCII space character only        -> .strip(" ")
+# - Java regex \s is [ \t\n\x0B\f\r] (no Unicode class) -> literal class
+# - F.split uses limit=-1 (trailing empty strings KEPT) -> re.split
+GOPHER_STATS_SCHEMA = (
+    "n_words int, stop_hits int, n_distinct int, top_word int, "
+    "n_grams int, top_gram int"
+)
+def gopher_stats_udf():
+    """Per-call factory for the stats pandas UDF. Marked nondeterministic
+    (guide §4.4): the value IS deterministic, but the marker (a) stops
+    the optimizer duplicating the UDF below a pushed-down filter and (b)
+    stops threshold predicates over its output being pushed below the
+    parallelism-spreading exchange onto the single-task test scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    stopset = frozenset(STOPWORDS)
+
+    @pandas_udf(GOPHER_STATS_SCHEMA)
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None,) * 6)
+                continue
+            words = ws.split(t.strip(" "))
+            n = len(words)
+            wc = Counter(words)
+            grams = (
+                [" ".join(words[i : i + 2]) for i in range(n - 1)]
+                if n >= 2
+                else [words[0]]
+            )
+            gc = Counter(grams)
+            rows.append(
+                (
+                    n,
+                    sum(c for w, c in wc.items() if w in stopset),
+                    len(wc),
+                    max(wc.values()),
+                    len(grams),
+                    max(gc.values()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_words",
+                "stop_hits",
+                "n_distinct",
+                "top_word",
+                "n_grams",
+                "top_gram",
+            ],
+        )
+
+    return _stats.asNondeterministic()
+
+
+def repetition_fracs(st: Column) -> dict[str, Column]:
+    """JVM-side fractions over the integer stats struct — the identical
+    round(int/int, 6) doubles the old long/long aggregation produced."""
+    return {
+        "top_word_frac": F.round(st["top_word"] / st["n_words"], 6),
+        "dup_word_frac": F.round(
+            (st["n_words"] - st["n_distinct"]) / st["n_words"], 6
+        ),
+        "top_bigram_frac": F.round(st["top_gram"] / st["n_grams"], 6),
+    }
 
 
 def repetition_signals(
@@ -140,49 +227,29 @@ def repetition_signals(
     all 2-grams; single-word docs contribute the word itself, the same
     clamp the MinHash shingler uses).
 
-    Scale shape mirrors minhash_signatures, tightened to ONE shuffle and
-    NO join: words and 2-grams are tagged and exploded in a single pass,
-    and because hash-partitioning by id satisfies the clustered
-    distribution of the downstream groupBy(id, kind, token) / groupBy(id)
-    chain, the exploded relation never crosses the wire — the only
-    exchange is the doc-sized pre-explode repartition. All JVM-side,
-    codegen'd."""
-    spark_parallelism = df.sparkSession.sparkContext.defaultParallelism
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.repartition(spark_parallelism, id_col).select(
-        F.col(id_col), words.alias("__w")
+    Round 7 scale shape (guide §2.4/§4.2): MAP-ONLY. The previous shape
+    (repartition -> tagged explode -> groupBy(id, kind, tok) ->
+    groupBy(id)) shuffled one row per doc and hash-aggregated the whole
+    token relation; the counts now come from one Arrow-batched stats
+    kernel (gopher_stats_udf) and the round(int/int, 6) fractions stay
+    in the JVM plan — zero exchanges, identical values (same DuckDB
+    oracle). The null-text guard reproduces the old explode semantics
+    (null text -> no exploded rows -> doc absent). On single-row-group
+    test inputs the scan is spread to cluster parallelism first
+    (plans/spread.py — no-op at scale)."""
+    from ..plans.spread import spread_small_scan
+
+    base = (
+        spread_small_scan(df.select(id_col, text_col), id_col)
+        .where(F.col(text_col).isNotNull())
+        .withColumn("__st", gopher_stats_udf()(F.col(text_col)))
     )
-    idx = F.sequence(F.lit(0), F.greatest(F.size("__w") - 2, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__w", i + 1, 2)))
-    tagged = F.concat(
-        F.transform(
-            F.col("__w"),
-            lambda x: F.struct(F.lit("w").alias("kind"), x.alias("tok")),
-        ),
-        F.transform(
-            grams, lambda x: F.struct(F.lit("g").alias("kind"), x.alias("tok"))
-        ),
-    )
-    t = base.select(F.col(id_col), F.explode(tagged).alias("t")).select(
-        F.col(id_col), F.col("t.kind").alias("kind"), F.col("t.tok").alias("tok")
-    )
-    tc = t.groupBy(id_col, "kind", "tok").agg(F.count(F.lit(1)).alias("c"))
-    is_w = F.col("kind") == "w"
-    is_g = F.col("kind") == "g"
-    per = tc.groupBy(id_col).agg(
-        F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
-        F.count(F.when(is_w, 1)).alias("n_distinct"),
-        F.max(F.when(is_w, F.col("c"))).alias("top_word"),
-        F.sum(F.when(is_g, F.col("c"))).alias("n_grams"),
-        F.max(F.when(is_g, F.col("c"))).alias("top_gram"),
-    )
-    return per.select(
+    fr = repetition_fracs(F.col("__st"))
+    return base.select(
         F.col(id_col),
-        F.round(F.col("top_word") / F.col("n_words"), 6).alias("top_word_frac"),
-        F.round(
-            (F.col("n_words") - F.col("n_distinct")) / F.col("n_words"), 6
-        ).alias("dup_word_frac"),
-        F.round(F.col("top_gram") / F.col("n_grams"), 6).alias("top_bigram_frac"),
+        fr["top_word_frac"].alias("top_word_frac"),
+        fr["dup_word_frac"].alias("dup_word_frac"),
+        fr["top_bigram_frac"].alias("top_bigram_frac"),
     )
 
 
