@@ -96,7 +96,7 @@ def embed_neardup_pairs(
     the pairs repeatedly (clean_corpus, the driver queries) opt in with
     materialize=True: persist -> eager checkpoint -> unpersist.
     """
-    from .similarity import _dot, _norm
+    from .similarity import _pair_cosine_col, _plane_dots_col
 
     planes = neardup_planes(n_planes, dim, seed)
     rows_per_band = n_planes // bands
@@ -104,20 +104,22 @@ def embed_neardup_pairs(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
+    # round 7: ONE Arrow plane-dots kernel replaces n_planes interpreted
+    # `_dot(vec, literal_plane)` folds; sign tests + bit packing stay in
+    # the JVM plan (bit-parity documented on _plane_dots_col)
     band_cols = []
     for b in range(bands):
         sig = F.lit(0)
         for r in range(rows_per_band):
-            p = planes[b * rows_per_band + r]
-            lit_plane = F.array(*[F.lit(float(x)) for x in p])
-            sig = sig + F.when(
-                _dot(F.col("vec"), lit_plane) > 0, F.lit(1 << r)
-            ).otherwise(0)
+            dp = F.element_at(F.col("__pd"), b * rows_per_band + r + 1)
+            sig = sig + F.when(dp > 0, F.lit(1 << r)).otherwise(0)
         band_cols.append(sig.alias(f"band_{b}"))
     # persist (opt-in): read 2x per band for candidates plus twice in the
     # verify join; unpersisted below once the eager materialization
     # consumes it
-    banded = v.select(F.col(id_col), "vec", *band_cols)
+    banded = v.withColumn("__pd", _plane_dots_col(planes, F.col("vec"))).select(
+        F.col(id_col), "vec", *band_cols
+    )
     if materialize:
         banded = banded.persist()
     pairs = None
@@ -130,9 +132,7 @@ def embed_neardup_pairs(
     a = banded.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"))
     bb = banded.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"))
     joined = cand.join(a, "id_a").join(bb, "id_b")
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
-        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
-    )
+    cos = _pair_cosine_col(F.col("vec_a"), F.col("vec_b"))
     out = (
         joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)

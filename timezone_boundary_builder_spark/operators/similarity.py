@@ -29,6 +29,92 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _pair_cosine_col(vec_col, qvec_col):
+    """cosine(vec, qvec) as an Arrow-batched pandas UDF — replaces the
+    `_dot/_norm` higher-order-function expression on candidate pairs
+    (round 7, guide §4.2: Spark evaluates HOF lambdas interpreted per
+    element; at 64 dims x candidates that bounded the re-rank stages).
+
+    Bit-parity with the old expression: dots and norms accumulate
+    SEQUENTIALLY (np.cumsum — the F.aggregate left fold's order; np.sum
+    pairwise is not), and the division happens after the norms multiply,
+    exactly as `_dot / (_norm * _norm)` evaluated. Null/length semantics
+    mirror zip_with: a null vector, or a length mismatch between the two
+    sides, yields NULL (zip_with padded the shorter side with nulls, so
+    the fold went null); equal-length vectors of ANY dimension produce
+    the real fold value. (An element-level null inside a vector arrives
+    through Arrow as NaN and yields a NaN cosine rather than the old
+    NULL — no such rows exist in any test table; real NaN elements
+    propagate to NaN cosines identically in both forms.) Rounding stays
+    in the JVM plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pc(va: pd.Series, vb: pd.Series) -> pd.Series:
+        # object-dtype output: None -> SQL NULL, float('nan') stays NaN
+        # (a float64 Series cannot hold None, and pandas' nullable
+        # Float64 silently coerces NaN to NA — both would break parity)
+        out: list[float | None] = []
+        for a, b in zip(va, vb):
+            if a is None or b is None or len(a) != len(b):
+                out.append(None)
+                continue
+            aa = np.asarray(a, dtype=np.float64)
+            bb = np.asarray(b, dtype=np.float64)
+            if len(aa) == 0:
+                # empty fold: dot = 0.0, norms = 0.0 -> 0/0 = NaN, the
+                # same NaN the JVM fold produced
+                out.append(float("nan"))
+                continue
+            dot = np.cumsum(aa * bb)[-1]
+            na = np.sqrt(np.cumsum(aa * aa)[-1])
+            nb = np.sqrt(np.cumsum(bb * bb)[-1])
+            out.append(float(dot / (na * nb)))
+        return pd.Series(out, dtype=object)
+
+    return _pc(vec_col, qvec_col)
+
+
+def _plane_dots_col(planes: np.ndarray, vec_col):
+    """Per-hyperplane dot products of a vector column against a FIXED
+    plane matrix, as one Arrow-batched pandas UDF emitting an
+    array<double> (round 7): the previous form built one interpreted
+    `_dot(vec, literal_plane)` fold per plane — n_planes x dim
+    interpreted lambda evaluations per row. Sequential np.cumsum
+    accumulation keeps the values bit-identical to the F.aggregate left
+    fold. Malformed rows (null vector / wrong dimension; an inner null
+    arrives as NaN through Arrow) yield all-NaN dots — and NaN > 0 is
+    false exactly like the old NULL fold under the sign test, so bucket
+    bits come out 0 for them either way."""
+    from pyspark.sql.functions import pandas_udf
+
+    pm = np.asarray(planes, dtype=np.float64)
+    n_planes, dim = pm.shape
+
+    @pandas_udf("array<double>")
+    def _pdots(vec: pd.Series) -> pd.Series:
+        try:
+            arr = np.array(
+                [r if r is not None else [np.nan] * dim for r in vec],
+                dtype=np.float64,
+            )
+        except ValueError:
+            arr = None
+        if arr is not None and arr.ndim == 2 and arr.shape[1] == dim:
+            m = arr
+        else:
+            m = np.full((len(vec), dim), np.nan)
+            for i, r in enumerate(vec):
+                if r is not None and len(r) == dim:
+                    m[i] = r
+        out = np.empty((len(m), n_planes), dtype=np.float64)
+        for p in range(n_planes):
+            out[:, p] = np.cumsum(m * pm[p], axis=1)[:, -1]
+        return pd.Series(list(out))
+
+    return _pdots(vec_col)
+
+
 def cosine_topk(
     vectors: DataFrame,
     query_ids: list[int],
@@ -37,21 +123,108 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: for each query id (subset of the table), the k
-    nearest OTHER vectors. Query side is broadcast; scoring is codegen'd
-    array math; row_number window takes the top k."""
+    nearest OTHER vectors.
+
+    Round 7 shape (the _ivf_quantizer pattern, guide §4.2): the query
+    batch is driver-collected (it is a literal input — ANN serving
+    collects its query batch by definition, the same precedent as
+    _ivf_probe_side) and ONE Arrow kernel emits each row's per-query
+    cosine array in a single vectorized pass; a JVM inline-explode then
+    produces the (query_id, neighbor_id, cosine) rows. The previous
+    crossJoin(broadcast(q)) + per-pair fold shipped every (vec, qvec)
+    pair through the scoring expression. np.cumsum accumulation and the
+    divide-after-norms-multiply order keep every cosine bit-identical
+    to the old `_dot / (_norm * _norm)` fold; a dirty QUERY row (null /
+    wrong-dim / null-element vector) contributes NULL cosines exactly
+    like the old broadcast row did, and a dirty FILE row gets a NULL
+    array from the kernel -> NULL cosine, as the old zip_with padding
+    gave it. Rounding stays in the JVM plan."""
+    from pyspark.sql.functions import pandas_udf
+
     v = vectors.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    q = v.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    q_rows = sorted(
+        v.where(F.col(id_col).isin(query_ids)).collect(),
+        key=lambda r: r[id_col],
     )
-    scored = v.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("query_id"))
-    sim = _dot(F.col("vec"), F.col("qvec")) / (
-        _norm(F.col("vec")) * _norm(F.col("qvec"))
-    )
-    scored = scored.select(
-        "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 6).alias("cosine")
+    spark = vectors.sparkSession
+    if not q_rows:
+        return _empty_ann(spark)
+    # majority dimension of the CLEAN query vectors defines the kernel
+    # width; a query that does not conform keeps a NULL cosine column
+    dims = [len(r["vec"]) for r in q_rows if r["vec"] is not None]
+    dim = max(set(dims), key=lambda d: (dims.count(d), d)) if dims else 0
+    clean: list[tuple[int, list[float]]] = []
+    null_qids: list[int] = []
+    for r in q_rows:
+        qv = _clean_qvec(r["vec"], dim) if dim else None
+        if qv is not None:
+            clean.append((int(r[id_col]), qv))
+        else:
+            null_qids.append(int(r[id_col]))
+    if clean:
+        qmat = np.array([qv for _, qv in clean], dtype=np.float64)
+        qnorms = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+        n_q = len(clean)
+
+        @pandas_udf("array<double>")
+        def _qcos(vec: pd.Series) -> pd.Series:
+            try:
+                arr = np.array(
+                    [r if r is not None else [np.nan] * dim for r in vec],
+                    dtype=np.float64,
+                )
+            except ValueError:
+                arr = None
+            if arr is not None and arr.ndim == 2 and arr.shape[1] == dim:
+                m = arr
+                bad = np.zeros(len(vec), dtype=bool)
+            else:
+                m = np.full((len(vec), dim), np.nan)
+                bad = np.ones(len(vec), dtype=bool)
+                for i, r in enumerate(vec):
+                    if r is not None and len(r) == dim:
+                        m[i] = r
+                        bad[i] = False
+            rnorm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+            out = np.empty((len(m), n_q), dtype=np.float64)
+            for j in range(n_q):
+                dots = np.cumsum(m * qmat[j], axis=1)[:, -1]
+                out[:, j] = dots / (rnorm * qnorms[j])
+            # wrong-dim / null file rows -> NULL array (the old zip_with
+            # padding nulled their folds); NaN data rows stay NaN
+            return pd.Series(
+                [None if b else row.tolist() for b, row in zip(bad, out)]
+            )
+
+        scored_base = v.withColumn("__qc", _qcos(F.col("vec")))
+    else:
+        scored_base = v.withColumn(
+            "__qc", F.lit(None).cast("array<double>")
+        )
+    entries = []
+    for j, (qid, _) in enumerate(clean):
+        entries.append(
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.round(F.element_at(F.col("__qc"), j + 1), 6).alias("cosine"),
+            )
+        )
+    for qid in null_qids:
+        entries.append(
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(None).cast("double").alias("cosine"),
+            )
+        )
+    scored = (
+        scored_base.select(
+            F.col(id_col).alias("neighbor_id"), F.inline(F.array(*entries))
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -362,10 +535,9 @@ def _ivf_probe_side(
 
 
 def _score_topk(cand: DataFrame, id_col: str, k: int) -> DataFrame:
-    """Exact cosine re-rank of (vec, qvec) candidate pairs -> top k."""
-    sim = _dot(F.col("vec"), F.col("qvec")) / (
-        _norm(F.col("vec")) * _norm(F.col("qvec"))
-    )
+    """Exact cosine re-rank of (vec, qvec) candidate pairs -> top k.
+    Round 7: Arrow pair-cosine kernel (bit-parity on _pair_cosine_col)."""
+    sim = _pair_cosine_col(F.col("vec"), F.col("qvec"))
     scored = cand.select(
         "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 6).alias("cosine")
     ).dropDuplicates(["query_id", "neighbor_id"])
@@ -530,12 +702,19 @@ def lsh_bucket_ann(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
+    # round 7: the n_planes interpreted `_dot(vec, literal_plane)` folds
+    # become ONE Arrow plane-dots kernel; the sign test and bit packing
+    # stay in the JVM plan (NaN > 0 is false, matching the old NULL fold
+    # for malformed rows — see _plane_dots_col)
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        dp = _dot(F.col("vec"), lit_plane)
+        dp = F.element_at(F.col("__pd"), p + 1)
         sig = sig + F.when(dp > 0, F.lit(1 << p).cast("long")).otherwise(0)
-    bucketed = v.withColumn("bucket", sig)
+    bucketed = (
+        v.withColumn("__pd", _plane_dots_col(planes, F.col("vec")))
+        .withColumn("bucket", sig)
+        .drop("__pd")
+    )
     masks = lsh_multiprobe_masks(n_planes, multiprobe_bits)
     mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
     q = (
@@ -555,7 +734,7 @@ def lsh_bucket_ann(
     cand = bucketed.join(
         F.broadcast(q), F.col("bucket") == F.col("pbucket")
     ).where(F.col(id_col) != F.col("query_id"))
-    sim = _dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))
+    sim = _pair_cosine_col(F.col("vec"), F.col("qvec"))
     scored = cand.select(
         "query_id", F.col(id_col).alias("neighbor_id"), F.round(sim, 6).alias("cosine")
     )
