@@ -20,7 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from timezone_boundary_builder_spark.operators.tiles import (
-    _cell_encode_udf,
+    _cell_encode_col,
     page_topk_per_cell,
 )
 
@@ -63,7 +63,7 @@ def test_hot_cell_flattened_by_salt(spark, skewed_points):
     24 rows — versus the ~6000-row hot cell a single-window plan would
     hand one task."""
     pts = skewed_points.withColumn(
-        "cell_id", _cell_encode_udf(RES)(F.col("lon"), F.col("lat"))
+        "cell_id", _cell_encode_col(RES, F.col("lon"), F.col("lat"))
     )
     raw_counts = pts.groupBy("cell_id").count()
     hot_rows, total = (
@@ -122,3 +122,26 @@ def test_unsalted_plan_has_partial_window_group_limit(spark, skewed_points):
     # the pushdown runs once BEFORE the exchange (partial) and once after
     # (final): two occurrences prove the map-side limit exists
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_jvm_cell_encode_matches_numpy_kernel(spark):
+    """Round 7: the JVM bit-arithmetic cell encode (_cell_encode_col)
+    must agree with cellindex.encode_points for every point, including
+    the clamp edges (lon=±180, lat=±90) and out-of-range coords."""
+    import numpy as np
+
+    from timezone_boundary_builder_spark.geom.cellindex import encode_points
+
+    ids = spark.range(5000)
+    lon = (F.col("id") % 3700) / F.lit(10.0) - F.lit(185.0)  # -185..185
+    lat = (F.expr("id div 11") % 1900) / F.lit(10.0) - F.lit(95.0)  # -95..95
+    for res in (1, 5, 9):
+        df = ids.select(lon.alias("lon"), lat.alias("lat")).withColumn(
+            "cell", _cell_encode_col(res, F.col("lon"), F.col("lat"))
+        )
+        rows = df.collect()
+        got = np.array([r.cell for r in rows], dtype=np.int64)
+        exp = encode_points(
+            np.array([r.lon for r in rows]), np.array([r.lat for r in rows]), res
+        ).astype(np.int64)
+        assert (got == exp).all()

@@ -312,10 +312,22 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
-    cached_prev = labels
+    # The INITIAL label table is materialized as a localCheckpoint, not a
+    # persist (round 7): every later round's input is a checkpoint
+    # LogicalRDD, so making round 0 read the same node type gives every
+    # round the IDENTICAL physical plan — one whole-stage-codegen
+    # compilation serves the whole loop. With the initial table persisted
+    # instead, rounds 0 AND 1 each compiled a fresh plan family
+    # (InMemoryTableScan vs LogicalRDD inputs), measured ~2x the
+    # steady-state round cost apiece on a 23k-pair graph.
+    labels0 = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    labels = labels0.select("node", "label")
+    cached_prev = labels0
     for _ in range(max_rounds):
         # candidate label via neighbors: min(label of neighbor); the old
         # label rides along so convergence detection needs no extra join
@@ -355,7 +367,7 @@ def connected_components(
             .localCheckpoint()
         )
         changed = stepped.where(F.col("label") != F.col("old_label")).count()
-        cached_prev.unpersist()  # frees the initial persisted label table
+        cached_prev.unpersist()
         _release_checkpoint(cached_prev)  # frees prior rounds' checkpoints
         cached_prev = stepped
         labels = stepped.select("node", "label")

@@ -338,12 +338,12 @@ PAGE_COUNT_SCHEMA = "cell_id long, res int, tzid string, n_pages long"
 def page_tile_counts(points: DataFrame, res: int) -> DataFrame:
     """Page-density rollup: assigned points (lon, lat, tzid) ->
     (cell_id, res, tzid, n_pages) at a fixed cell resolution. The cell
-    encode is one scalar pandas UDF over the numpy Morton interleave;
+    encode is pure JVM bit arithmetic (round 7 — no Arrow boundary);
     the count aggregates map-side first, so the shuffle carries one row
     per live (cell, tzid), never per page — the 10^12-row-safe shape."""
     return (
         points.where(F.col("lon").isNotNull() & F.col("lat").isNotNull())
-        .withColumn("cell_id", _cell_encode_udf(res)(F.col("lon"), F.col("lat")))
+        .withColumn("cell_id", _cell_encode_col(res, F.col("lon"), F.col("lat")))
         .groupBy("cell_id", "tzid")
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .select("cell_id", F.lit(res).cast("int").alias("res"), "tzid", "n_pages")
@@ -380,9 +380,15 @@ def page_topk_per_cell(
     """
     from pyspark.sql import Window as W
 
-    pts = points.where(
-        F.col("lon").isNotNull() & F.col("lat").isNotNull()
-    ).withColumn("cell_id", _cell_encode_udf(res)(F.col("lon"), F.col("lat")))
+    from ..plans.spread import spread_small_scan
+
+    # spread (round 7): on a single-row-group test scan the cell encode,
+    # md5 sort keys and the PARTIAL window stage would all run in one
+    # task; no-op on real multi-split inputs
+    pts = spread_small_scan(
+        points.where(F.col("lon").isNotNull() & F.col("lat").isNotNull()),
+        "url",
+    ).withColumn("cell_id", _cell_encode_col(res, F.col("lon"), F.col("lat")))
     order = [F.md5(F.col("url")).asc(), F.col("url").asc()]
     if salt_buckets > 0:
         wp = W.partitionBy("cell_id", "__salt").orderBy(*order)
@@ -402,23 +408,31 @@ def page_topk_per_cell(
     )
 
 
-def _cell_encode_udf(res: int):
-    """Scalar pandas UDF: (lon, lat) -> Morton cell id at `res` (shared
-    by page_tile_counts and page_topk_per_cell)."""
-    from pyspark.sql.functions import pandas_udf
-
-    from ..geom.cellindex import encode_points
-
-    @pandas_udf("long")
-    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        codes = encode_points(
-            lon.to_numpy(dtype=np.float64, na_value=np.nan),
-            lat.to_numpy(dtype=np.float64, na_value=np.nan),
-            res,
+def _cell_encode_col(res: int, lon, lat):
+    """(lon, lat) -> Morton cell id at `res` as PURE JVM bit arithmetic
+    (round 7, guide §4.1): the identical scale/floor/clamp/interleave
+    formula cellindex.encode_points runs in numpy (and the SQL oracle
+    mirrors), previously evaluated through a scalar pandas UDF — an
+    Arrow round trip per point for three multiplies and some shifts.
+    Same IEEE doubles: (coord + off) / span * n evaluated left-to-right,
+    floor, clamp to [0, n-1], bit-interleave, res header."""
+    n = 1 << res
+    x = F.least(
+        F.greatest(F.floor((lon + 180.0) / 360.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    y = F.least(
+        F.greatest(F.floor((lat + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    code = F.lit(res << 58).cast("long")
+    for b in range(res):
+        code = (
+            code
+            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
         )
-        return pd.Series(codes.astype(np.int64))
-
-    return _cell
+    return code
 
 
 def merge_tile_counts(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
