@@ -331,7 +331,11 @@ def _q_geo_zone_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geo_validate_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    zones = _zones_spark(spark)
+    # localCheckpoint (round 7): find_overlaps references zones on BOTH
+    # sides of its self-join, and without a materialization the whole
+    # build_zones applyInPandas fold runs twice (the job surfaces cache
+    # zones for exactly this reason — bench.py run_parta_real_config)
+    zones = _zones_spark(spark).localCheckpoint()
     expected = spark.createDataFrame(expected_overlaps_pdf())
     return validate_overlaps(spark, zones, expected)
 
@@ -1916,12 +1920,24 @@ def _q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_rel_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # Round 7 (guide §2.3 "aggregate before you shuffle"): orders are
+    # pre-aggregated per o_custkey — map-side partial aggregation ships
+    # one row per customer key instead of every order row through the
+    # full-outer join. The re-aggregation by c_custkey afterwards merges
+    # unmatched-order keys into the NULL group exactly as the row-level
+    # join did; count/sum compose (sum of per-key counts == count), and
+    # round-to-4 of the double sums is insensitive to the partial-sum
+    # regrouping (2-decimal inputs never land near a 1e-4 boundary).
+    oa = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__n"),
+        F.sum("o_totalprice").alias("__sum"),
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        c.join(oa, c.c_custkey == oa.o_custkey, "full_outer")
         .groupBy("c_custkey")
         .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce(F.sum("__sum"), F.lit(0.0)), 4).alias("total_spent"),
         )
     )
 

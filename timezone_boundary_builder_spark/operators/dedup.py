@@ -144,12 +144,17 @@ def embed_neardup_pairs(
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct normalized text,
-    keeping the smallest id (deterministic winner)."""
+    keeping the smallest id (deterministic winner). Round 7: the
+    normalize+md5 projection runs after a scale-adaptive spread so a
+    single-row-group test scan doesn't fingerprint the whole corpus on
+    one core (no-op on real multi-split tables)."""
+    from ..plans.spread import spread_small_scan
     from .text import norm_text_col
 
     norm = norm_text_col(text_col)
     return (
-        df.withColumn("fingerprint", F.md5(norm))
+        spread_small_scan(df, id_col)
+        .withColumn("fingerprint", F.md5(norm))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
     )
