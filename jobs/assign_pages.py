@@ -160,6 +160,14 @@ def main(argv=None) -> int:
         )
     else:
         stage2, map_bytes = args.stage2, None
+    if args.sharded_stage1 == "staging" and stage2 != "sharded":
+        # round-6 ADVICE: a user requesting durable staging must not
+        # silently get an executor-persist broadcast run — same
+        # misreports-the-plan rationale as --broadcast-budget-mb above
+        p.error(
+            "--sharded-stage1 staging requires the sharded stage-2 plan "
+            f"(resolved stage2: {stage2})"
+        )
     zones_fp = fingerprint("zones", *cm.tzids, *[g for g in cm.geojson])
     # every input that changes the OUTPUT is in the key: the band table
     # decides ocean tzids and the cover resolution decides the
@@ -186,6 +194,11 @@ def main(argv=None) -> int:
 
     manifest = StageManifest(args.work_dir)
     bc = spark.sparkContext.broadcast(cm.slim() if stage2 == "sharded" else cm)
+    # handle to the operator's pre-select DataFrame so its caches (stage-1
+    # persist, edge/residue frames) can be released once the output is
+    # published (round-6 ADVICE: the sharded branch never called
+    # sharded_release, pinning the full-input persist for the session)
+    sharded_handle: dict = {}
 
     def compute():
         scan = pages_table.scan(
@@ -211,19 +224,27 @@ def main(argv=None) -> int:
                 n_shards=max(16, args.cores),
             )
             pts = with_coordinates(scan).select("url", "warc_ts", "lon", "lat")
+            # staging path is derived from the stage fingerprint
+            # (round-6 ADVICE): two runs sharing a work dir (a retry
+            # racing a stuck run, different snapshots) must not clobber
+            # each other's stage-1 parquet mid-read; stale fingerprints'
+            # staging dirs belong to the work-dir owner's cleanup, like
+            # the manifest outputs themselves
             staging = (
-                os.path.join(args.work_dir, "sharded_stage1")
+                os.path.join(args.work_dir, f"sharded_stage1_{stage_fp[:16]}")
                 if args.sharded_stage1 == "staging"
                 else None
             )
-            return assign_tzid_sharded(
+            out = assign_tzid_sharded(
                 pts,
                 bc,
                 edges,
                 _ocean_bands(args),
                 n_shards=max(16, args.cores),
                 stage1_path=staging,
-            ).select("url", "warc_ts", "tzid", "method")
+            )
+            sharded_handle["df"] = out
+            return out.select("url", "warc_ts", "tzid", "method")
         pts = with_coordinates(scan).select("url", "warc_ts", pack_coords_col())
         return assign_tzid_udf_packed(pts, bc, _ocean_bands(args))
 
@@ -305,6 +326,13 @@ def main(argv=None) -> int:
     # cost at crawl scale
     n_lineage = spark.read.parquet(lineage_final).count()
 
+    # output is published and every consumer above has executed — drop
+    # the sharded operator's caches (stage-1 persist, edges, residue)
+    # instead of pinning them for the rest of the session (round-6
+    # ADVICE; no-op when the stage replayed from the manifest cache)
+    if sharded_handle.get("df") is not None:
+        sharded_handle["df"].sharded_release()
+
     print(
         json.dumps(
             {
@@ -315,6 +343,10 @@ def main(argv=None) -> int:
                 # that drove an auto choice) — the run report must say
                 # which plan actually served, not which flag was passed
                 "stage2": stage2,
+                # resolved staging mode (round-6 ADVICE): null unless the
+                # sharded plan served, so the report never implies a
+                # durable stage-1 write that did not happen
+                "sharded_stage1": args.sharded_stage1 if stage2 == "sharded" else None,
                 "map_bytes": map_bytes,
                 "rows": int(h_out["n"]),
                 "methods": methods,

@@ -194,7 +194,9 @@ def test_assign_job_stage2_sharded_matches_broadcast(pages_root, tmp_path):
     assert rs["text_invariant_ok"] is True
     import glob
 
-    assert glob.glob(f"{ws}/sharded_stage1/*.parquet")
+    # round 7: the staging dir is keyed by the stage fingerprint so
+    # concurrent/differently-parameterized runs cannot clobber each other
+    assert glob.glob(f"{ws}/sharded_stage1_*/*.parquet")
     only = duckdb.sql(
         f"""SELECT count(*) FROM (
           SELECT url, warc_ts, tzid, method FROM '{ob}/assigned_pages/*.parquet'

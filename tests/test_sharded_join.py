@@ -146,21 +146,45 @@ def test_sharded_overlap_tiebreak_smallest_tzid(spark):
 
 
 def test_choose_stage2_budget_rule():
-    """The auto selector picks from the MEASURED serialized map size:
-    under the budget -> broadcast (the measured winner while the map
-    fits), over it -> sharded. The returned bytes are the exact pickle
-    size, so the decision is reproducible from the report."""
+    """The auto selector picks from the ESTIMATED map size (round 7:
+    component-array .nbytes sum — no driver-side pickle of a possibly
+    multi-hundred-MB map just to measure it): under the budget ->
+    broadcast (the measured winner while the map fits), over it ->
+    sharded. The estimate must sit within 10% of the real pickled size
+    so the decision tracks the true payload."""
     from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
         DEFAULT_BROADCAST_BUDGET_MB,
         choose_stage2,
+        estimate_map_bytes,
     )
 
     cm = cellmap_from_zones_pdf(local_zones(), max_res=6)
     exact = len(pickle.dumps(cm, protocol=pickle.HIGHEST_PROTOCOL))
+    est = estimate_map_bytes(cm)
+    assert abs(est - exact) <= 0.10 * exact, (est, exact)
     mode, nbytes = choose_stage2(cm)
-    assert (mode, nbytes) == ("broadcast", exact)
+    assert (mode, nbytes) == ("broadcast", est)
     assert nbytes < DEFAULT_BROADCAST_BUDGET_MB * 1e6
     # a budget below the map flips the choice; the measurement is stable
-    assert choose_stage2(cm, budget_mb=nbytes / 1e6 / 2) == ("sharded", exact)
+    assert choose_stage2(cm, budget_mb=nbytes / 1e6 / 2) == ("sharded", est)
     # boundary: exactly at budget stays broadcast (<=, not <)
     assert choose_stage2(cm, budget_mb=nbytes / 1e6)[0] == "broadcast"
+
+
+def test_estimate_map_bytes_tracks_pickle_on_dense_world():
+    """Second world for the 10% accuracy pin (round-6 verdict item 7):
+    a 400-zone dense grid — array-dominated, different mix of string vs
+    array payload than the fixture world."""
+    from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
+        estimate_map_bytes,
+    )
+    from timezone_boundary_builder_spark.sources.fixtures import dense_zone_world
+
+    from timezone_boundary_builder_spark.operators.cover import (
+        cellmap_from_zones_pdf,
+    )
+
+    cm = cellmap_from_zones_pdf(dense_zone_world(20, 20), max_res=7)
+    exact = len(pickle.dumps(cm, protocol=pickle.HIGHEST_PROTOCOL))
+    est = estimate_map_bytes(cm)
+    assert abs(est - exact) <= 0.10 * exact, (est, exact)

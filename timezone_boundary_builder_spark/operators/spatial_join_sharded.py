@@ -109,18 +109,54 @@ def choose_stage2(
 
     Both plans need the full CellMap built (the sharded path broadcasts
     ``cm.slim()``, which derives from it), so by decision time the exact
-    broadcast payload is known — serialize it and compare against the
-    budget instead of estimating. Returns ``(mode, full_map_bytes)``
-    where mode is "broadcast" (map fits: shuffle-free kernel, the
-    measured winner below the budget) or "sharded" (geometry stays in a
-    DataFrame; only the slim index ships). The two plans are
-    row-identical (pytest-gated), so the choice is physical only.
+    broadcast payload is known. Round 7 (round-6 verdict item 7): the
+    size comes from ``estimate_map_bytes`` — a sum of the component
+    arrays' ``.nbytes`` plus per-object pickle overheads — instead of a
+    driver-side ``pickle.dumps`` of the whole map, which at 10^6 zones
+    serialized ~306 MB purely to measure it, right before the broadcast
+    serialized it again (pinned within 10% of the pickled size by
+    tests/test_sharded_join.py on two worlds). Returns
+    ``(mode, est_map_bytes)`` where mode is "broadcast" (map fits:
+    shuffle-free kernel, the measured winner below the budget) or
+    "sharded" (geometry stays in a DataFrame; only the slim index
+    ships). The two plans are row-identical (pytest-gated), so the
+    choice is physical only.
     """
-    import pickle
-
-    nbytes = len(pickle.dumps(cm, protocol=pickle.HIGHEST_PROTOCOL))
+    nbytes = estimate_map_bytes(cm)
     mode = "broadcast" if nbytes <= budget_mb * 1e6 else "sharded"
     return mode, nbytes
+
+
+def estimate_map_bytes(obj) -> int:
+    """Pickled-size estimate of a CellMap-shaped object WITHOUT
+    serializing it: numpy arrays dominate (``.nbytes`` + ~150 B of
+    pickle framing each); string lists (tzids, geojson) count their
+    UTF-8 bytes + per-object overhead; the tzid->index dict counts keys
+    and boxed ints. Accuracy is asserted within 10% of the real pickle
+    on the fixture and a dense world (test_sharded_join.py)."""
+    import numpy as np
+
+    total = 200  # object + class framing
+    for v in vars(obj).values():
+        if isinstance(v, np.ndarray):
+            total += int(v.nbytes) + 150
+        elif isinstance(v, (list, tuple)):
+            total += 60
+            for x in v:
+                if isinstance(x, str):
+                    total += len(x.encode("utf-8")) + 50
+                else:
+                    total += 30
+        elif isinstance(v, dict):
+            total += 60
+            for k2, v2 in v.items():
+                total += (len(k2.encode("utf-8")) + 50 if isinstance(k2, str) else 30)
+                total += 30 if not isinstance(v2, str) else len(v2.encode()) + 50
+        elif isinstance(v, str):
+            total += len(v.encode("utf-8")) + 50
+        else:
+            total += 30
+    return total
 
 
 def zone_edges_frame(zones: DataFrame, tzids_bc, n_shards: int = DEFAULT_SHARDS) -> DataFrame:
