@@ -1962,126 +1962,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally gated by a checked sibling query and the in-repo
     # pytest oracle mirror (tests/test_entry_oracle.py runs ALL entries
     # every session). Union over rounds => every key driver-verified.
+    #
+    # ROUND 7 (optimization round) rotation: the files rewritten for
+    # performance this round — dedup.py (Arrow minhash kernel, CC plan
+    # reuse), text.py (Arrow stats kernel), similarity.py (batched
+    # cosine kernels), multimodal.py + png.py (codec resolution, filter-0
+    # fast path), tiles.py (JVM Morton encode), spatial_join_sharded.py
+    # (estimate_map_bytes) — put ALL of their queries in the head, plus
+    # the two entry-level rewrites (rel_customer_order_stats pre-agg,
+    # geo_validate_overlaps zone checkpoint). The 19 queries that
+    # trailed since r05 (round-6 verdict item 3) are all back in the
+    # head as well.
     return {
-        # single-green so far (new in round 5): must stay in the head
-        # until it holds two green driver rows
-        "ann_recall_clustered": _q_ann_recall_clustered,
-        # operator files changed in round 6: spatial_join.py (unified
-        # kNN winner rule across the loop and pair paths) -> every
-        # assignment-path query; cover.py (per-axis auto_cover_res
-        # estimate) -> geo_cell_covers; commit_backend.py (conditional-
-        # put backend) -> pages_maintenance; the _q_ann_ivf_served
-        # query function itself changed (mtime-age floor on the sweep)
-        # NEW in round 6: the sharded (no-geometry-broadcast) stage-2
-        # join, value-checked against the same SQL oracle as
-        # geo_knn_assign
-        "geo_sharded_assign": _q_geo_sharded_assign,
-        "geo_pip_assign": _q_geo_pip_assign,
-        "geo_knn_assign": _q_geo_knn_assign,
-        "geo_tzid_counts": _q_geo_tzid_counts,
-        "geo_cell_covers": _q_geo_cell_covers,
-        "pages_maintenance": _q_pages_maintenance,
-        "ann_ivf_served": _q_ann_ivf_served,
-        # the 18 queries that trailed in rounds 4-5 (multi-green
-        # r01-r04, operators untouched since): ALL rotated back into the
-        # sample this round per the round-5 verdict item 3, so no
-        # query's last driver verification is ever more than two rounds
-        # old
-        "geo_zone_filter_prune": _q_geo_zone_filter_prune,
+        # --- changed this round: every query of a touched operator file
+        # dedup.py
         "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "decontaminate": _q_decontaminate,
+        # text.py
         "text_quality": _q_text_quality,
         "text_tokens": _q_text_tokens,
         "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
+        "pii_redact": _q_pii_redact,
+        "pipeline_clean": _q_pipeline_clean,
+        "pipeline_gopher": _q_pipeline_gopher,
+        # similarity.py
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "ann_ivf_served": _q_ann_ivf_served,
+        "ann_recall": _q_ann_recall,
+        "ann_recall_clustered": _q_ann_recall_clustered,
+        # multimodal.py + png.py
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_decode": _q_multimodal_decode,
+        # tiles.py
         "geo_tiles_summary": _q_geo_tiles_summary,
         "geo_tiles_serve": _q_geo_tiles_serve,
         "geo_tiles_vector_area": _q_geo_tiles_vector_area,
         "geo_tiles_pyramid": _q_geo_tiles_pyramid,
+        "geo_tiles_raster": _q_geo_tiles_raster,
+        "geo_tiles_skew": _q_geo_tiles_skew,
         "tiles_page_counts": _q_tiles_page_counts,
-        "geo_zone_lookup": _q_geo_zone_lookup,
-        "pack_batches": _q_pack_batches,
-        # multi-green queries staying in the sample as file-level gates
-        # for this round's tail (same-source-file siblings)
-        "pii_redact": _q_pii_redact,
-        "mix_sources": _q_mix_sources,
-        "rel_shipping_priority": _q_rel_shipping_priority,
-        "events_sessions": _q_events_sessions,
-        "geo_lint_config": _q_geo_lint_config,
-        "geo_zone_build": _q_geo_zone_build,
+        # spatial_join_sharded.py (estimate_map_bytes)
+        "geo_sharded_assign": _q_geo_sharded_assign,
+        # entry-level rewrites this round
+        "rel_customer_order_stats": _q_rel_customer_order_stats,
         "geo_validate_overlaps": _q_geo_validate_overlaps,
-        "geo_ocean_zones": _q_geo_ocean_zones,
-        "dedup_url": _q_dedup_url,
-        "geo_ring_assembly": _q_geo_ring_assembly,
-        "geo_source_union": _q_geo_source_union,
-        "geocode_extract": _q_geocode_extract,
-        "geo_release_diff": _q_geo_release_diff,
-        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        "pipeline_clean": _q_pipeline_clean,
-        "sample_stratified": _q_sample_stratified,
-        "geo_osm_zones": _q_geo_osm_zones,
-        "geo_combined_outputs": _q_geo_combined_outputs,
-        "geo_tz_real_groups": _q_geo_tz_real_groups,
-        "geo_derived_now_oceans": _q_geo_derived_now_oceans,
-        "geo_real_config_build": _q_geo_real_config_build,
-        "geo_manifest_resume": _q_geo_manifest_resume,
-        "geo_lineage_conservation": _q_geo_lineage_conservation,
-        # trailing 19: operator source untouched in round 6, at least
-        # double-green in prior driver rounds (mechanized by
-        # tests/test_entry_oracle.py::
-        # test_trailing_queries_are_multi_green_in_prior_rounds), each
-        # gated by a checked same-file sibling in the head --
-        # ann_recall / ann_cosine_topk / ann_lsh / ann_ivf
-        # (similarity.py) by ann_recall_clustered + ann_ivf_served
-        # (head);
-        # rel_pricing_summary / rel_top_customer_per_nation /
-        # rel_customer_order_stats (entry-file SQL over the sf tables)
-        # by rel_shipping_priority (head);
-        # events_windowed (assign_stream.py) by events_sessions (head);
-        # geo_tz_groups (tz_fingerprint.py) by geo_tz_real_groups
-        # (head); geo_derived_1970 (derived.py) by
-        # geo_derived_now_oceans (head);
-        # multimodal_decode (multimodal.py + png.py) by multimodal_meta
-        # / frames / resize (head);
-        # pipeline_gopher / text_fingerprint / text_repetition (text.py)
-        # by text_quality + text_tokens + text_langid + pii_redact
-        # (head);
-        # geo_tiles_skew / geo_tiles_raster (tiles.py) by
-        # geo_tiles_summary / serve / vector_area / pyramid +
-        # tiles_page_counts (head);
-        # decontaminate / dedup_minhash (dedup.py) by dedup_exact /
-        # simhash / ngram_jaccard / embed_cosine + dedup_lsh_pairs +
-        # dedup_clusters (head);
-        # sample_hash_fraction (sampling.py, green r04+r05, demoted to
-        # make room for geo_sharded_assign) by sample_stratified +
-        # mix_sources (head).
-        # The in-repo pytest oracle mirror (tests/test_entry_oracle.py)
-        # runs ALL entries every session. Union over rounds => every
-        # key driver-verified.
-        "ann_recall": _q_ann_recall,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
+        # --- the r05-round trailing set, rotated back in (round-6
+        # verdict item 3; those not already above): last driver-verified
+        # in r05, at the two-round freshness limit
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customer_per_nation": _q_rel_top_customer_per_nation,
-        "rel_customer_order_stats": _q_rel_customer_order_stats,
         "events_windowed": _q_events_windowed,
         "geo_tz_groups": _q_geo_tz_groups,
         "geo_derived_1970": _q_geo_derived_1970,
-        "multimodal_decode": _q_multimodal_decode,
-        "pipeline_gopher": _q_pipeline_gopher,
-        "geo_tiles_skew": _q_geo_tiles_skew,
-        "decontaminate": _q_decontaminate,
-        "dedup_minhash": _q_dedup_minhash,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_repetition": _q_text_repetition,
-        "geo_tiles_raster": _q_geo_tiles_raster,
         "sample_hash_fraction": _q_sample_hash_fraction,
+        # --- untouched anchors that gate this round's tail (flagship,
+        # single-query operator files, and same-file siblings)
+        "geo_pip_assign": _q_geo_pip_assign,
+        "pages_maintenance": _q_pages_maintenance,
+        "dedup_url": _q_dedup_url,
+        "geocode_extract": _q_geocode_extract,
+        "geo_manifest_resume": _q_geo_manifest_resume,
+        "geo_lineage_conservation": _q_geo_lineage_conservation,
+        "geo_real_config_build": _q_geo_real_config_build,
+        "geo_combined_outputs": _q_geo_combined_outputs,
+        # trailing 19: operator source untouched in round 7, each at
+        # least TRIPLE-green in prior driver rounds (mechanized by
+        # tests/test_entry_oracle.py::
+        # test_trailing_queries_are_multi_green_in_prior_rounds), each
+        # gated by a checked sibling in the head --
+        # geo_tzid_counts / geo_knn_assign (spatial_join.py, untouched)
+        # by geo_pip_assign + geo_sharded_assign (head; the sharded path
+        # shares the kNN winner kernels);
+        # geo_cell_covers (cover.py untouched) by geo_pip_assign (head,
+        # probes the same cover via local_cellmap);
+        # geo_zone_build / geo_zone_filter_prune (zone_build.py) by
+        # geo_real_config_build (head, real 419-zone build);
+        # geo_lint_config (lint.py) by geo_real_config_build (head);
+        # geo_ocean_zones (oceans.py) by geo_combined_outputs (head);
+        # geo_derived_now_oceans (derived.py) by geo_derived_1970 (head);
+        # geo_tz_real_groups (tz_fingerprint.py) by geo_tz_groups (head);
+        # mix_sources / pack_batches / sample_stratified (sampling.py)
+        # by sample_hash_fraction (head);
+        # rel_shipping_priority (entry SQL) by the three rel_* in head;
+        # events_sessions (entry window) by events_windowed (head);
+        # geo_osm_zones / geo_zone_lookup (entry-only over fixtures +
+        # geom kernels) by geo_combined_outputs (head);
+        # geo_release_diff / geo_ring_assembly / geo_source_union
+        # (single-query operator files, untouched) by their dedicated
+        # pytest suites + the oracle mirror, which runs ALL 69 queries
+        # against DuckDB every session.
+        "geo_tzid_counts": _q_geo_tzid_counts,
+        "geo_knn_assign": _q_geo_knn_assign,
+        "geo_cell_covers": _q_geo_cell_covers,
+        "geo_zone_build": _q_geo_zone_build,
+        "geo_zone_filter_prune": _q_geo_zone_filter_prune,
+        "geo_lint_config": _q_geo_lint_config,
+        "geo_ocean_zones": _q_geo_ocean_zones,
+        "geo_derived_now_oceans": _q_geo_derived_now_oceans,
+        "geo_tz_real_groups": _q_geo_tz_real_groups,
+        "mix_sources": _q_mix_sources,
+        "pack_batches": _q_pack_batches,
+        "sample_stratified": _q_sample_stratified,
+        "rel_shipping_priority": _q_rel_shipping_priority,
+        "events_sessions": _q_events_sessions,
+        "geo_osm_zones": _q_geo_osm_zones,
+        "geo_zone_lookup": _q_geo_zone_lookup,
+        "geo_release_diff": _q_geo_release_diff,
+        "geo_ring_assembly": _q_geo_ring_assembly,
+        "geo_source_union": _q_geo_source_union,
     }
 
 
