@@ -84,7 +84,7 @@ def _local_cellmap() -> CellMap:
     return local_cellmap()
 
 
-def _spread(df: DataFrame, *cols: str) -> DataFrame:
+def _spread(df: DataFrame, *cols: str, min_bytes: int | None = None) -> DataFrame:
     """Scale-adaptive parallelism fix for per-row-expensive work over the
     test corpus's single-row-group parquet files (round 7, guide §2/§6):
     a one-row-group file scans as ONE task no matter the split config, so
@@ -93,10 +93,18 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     hash-repartition the NARROW key columns already selected — the
     shuffle moves a few bytes per row (never payloads; the heavy columns
     are generated/derived downstream), the §8 'decide with small rows'
-    shape. On a real multi-file/multi-row-group table this is a no-op."""
-    from timezone_boundary_builder_spark.plans.spread import spread_small_scan
+    shape. On a real multi-file/multi-row-group table this is a no-op,
+    and on a tiny local input the byte gate skips the shuffle too (see
+    plans/spread.py; min_bytes=0 forces the spread for heavy per-row
+    kernels like the image codec)."""
+    from timezone_boundary_builder_spark.plans.spread import (
+        DEFAULT_MIN_SPREAD_BYTES,
+        spread_small_scan,
+    )
 
-    return spread_small_scan(df, *cols)
+    if min_bytes is None:
+        min_bytes = DEFAULT_MIN_SPREAD_BYTES
+    return spread_small_scan(df, *cols, min_bytes=min_bytes)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1686,7 +1694,7 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "html"])
 
     pages = (
-        _spread(_docs(spark, sf_dir).select("doc_id"), "doc_id")
+        _spread(_docs(spark, sf_dir).select("doc_id"), "doc_id", min_bytes=0)
         .mapInPandas(_gen, "url string, html binary")
     )
     resized = resize_images(pages, target_w=8, target_h=8, use_real_codec=True)

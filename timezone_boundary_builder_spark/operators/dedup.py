@@ -220,9 +220,11 @@ def minhash_signatures(
             )
         return pd.DataFrame(out, columns=[f"mh_{i}" for i in range(num_hashes)])
 
-    base = spread_small_scan(df.select(id_col, text_col), id_col).where(
-        F.col(text_col).isNotNull()
-    )
+    # min_bytes=0: the hashlib kernel costs ~250 us/doc — the spread
+    # pays for itself at any input size (unlike cheap md5 projections)
+    base = spread_small_scan(
+        df.select(id_col, text_col), id_col, min_bytes=0
+    ).where(F.col(text_col).isNotNull())
     st = base.withColumn("__mh", _mins(F.col(text_col)))
     return st.select(
         F.col(id_col), *[F.col("__mh")[f"mh_{i}"].alias(f"mh_{i}") for i in range(num_hashes)]
