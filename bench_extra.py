@@ -51,15 +51,210 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_spark():
+def make_spark(cores: int | None = None):
     from bench import make_spark as bench_make_spark
 
-    return bench_make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    return bench_make_spark(cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+
+
+def ring_heavy_world(grid: int, edges: int, seed: int = 23):
+    """Ring-heavy frontier world (round-6 verdict item 4): grid x grid
+    wavy polygons with `edges` vertices each — real worlds are
+    geometry-payload-dominated, and both prior frontier worlds were
+    4-edge quads. Each zone is a star-wavy ring inscribed in its grid
+    cell (disjoint by construction, gaps are ocean), snapped to the 1e-6
+    grid the packed codec uses. Returns the (tzid, geometry, bbox)
+    pandas frame collect_cell_map consumes."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    dx, dy = 360.0 / grid, 180.0 / grid
+    th = 2.0 * np.pi * np.arange(edges) / edges
+    rows = []
+    for j in range(grid):
+        for i in range(grid):
+            cx = -180.0 + (i + 0.5) * dx
+            cy = -90.0 + (j + 0.5) * dy
+            phase = float(rng.uniform(0, 2 * np.pi))
+            wob = 1.0 + 0.25 * np.sin(5 * th + phase)
+            xs = np.round((cx + 0.45 * dx * wob / 1.25 * np.cos(th)) * 1e6) / 1e6
+            ys = np.round((cy + 0.45 * dy * wob / 1.25 * np.sin(th)) * 1e6) / 1e6
+            ring = [[float(x), float(y)] for x, y in zip(xs, ys)]
+            ring.append(ring[0])
+            rows.append(
+                {
+                    "tzid": f"W/{j:03d}/{i:03d}",
+                    "geometry": _json.dumps(
+                        {"type": "Polygon", "coordinates": [ring]}
+                    ),
+                    "min_x": float(xs.min()),
+                    "min_y": float(ys.min()),
+                    "max_x": float(xs.max()),
+                    "max_y": float(ys.max()),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def frontier_leg(grid: int, edges: int, points: int) -> dict:
+    """Broadcast vs sharded stage-2 on a ring-heavy world, same-run —
+    the round-6 verdict item 4 datapoint (edges/zone >> 4 moves the map
+    payload toward geometry, which is exactly what the sharded path
+    refuses to broadcast). Mirrors bench.py's xl-leg protocol: packed
+    broadcast kernel vs plain-point sharded join, warm best-of-2."""
+    import pickle
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    import bench
+    from timezone_boundary_builder_spark.operators.cover import (
+        auto_cover_res,
+        build_cell_covers,
+        collect_cell_map,
+    )
+    from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
+        assign_tzid_sharded,
+        choose_stage2,
+        estimate_map_bytes,
+        zone_edges_frame,
+    )
+    from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
+
+    spark = make_spark()
+    try:
+        t0 = _t.perf_counter()
+        world = ring_heavy_world(grid, edges)
+        res = auto_cover_res(world)
+        zones_df = spark.createDataFrame(world)
+        cm = collect_cell_map(build_cell_covers(zones_df, max_res=res), zones_df)
+        build_s = _t.perf_counter() - t0
+        full_pickle = len(pickle.dumps(cm, protocol=pickle.HIGHEST_PROTOCOL))
+        mode, est = choose_stage2(cm)
+        rec = {
+            "frontier_zones": len(cm.tzids),
+            "frontier_edges_per_zone": edges,
+            "frontier_cover_res": int(res),
+            "frontier_cover_cells": int(len(cm.full_cells) + len(cm.bnd_cells)),
+            "frontier_cover_build_sec": round(build_s, 2),
+            "frontier_full_map_pickle_bytes": full_pickle,
+            "frontier_full_map_est_bytes": est,
+            "frontier_auto_stage2": mode,
+        }
+        log(f"frontier world: {rec}")
+        # broadcast path (packed kernel, the bench run_assignment shape)
+        bench.run_assignment(spark, 500_000, cellmap=cm)  # warmup
+        dt_b = min(bench.run_assignment(spark, points, cellmap=cm) for _ in range(2))
+        rec["frontier_pages_per_sec_broadcast"] = round(points / dt_b)
+        log(f"  broadcast: {dt_b:.2f}s -> {rec['frontier_pages_per_sec_broadcast']:,} pages/s")
+        # sharded path
+        slim = cm.slim()
+        rec["frontier_slim_bytes"] = len(
+            pickle.dumps(slim, protocol=pickle.HIGHEST_PROTOCOL)
+        )
+        slim_bc = spark.sparkContext.broadcast(slim)
+        tz_bc = spark.sparkContext.broadcast(list(cm.tzids))
+        edges_df = zone_edges_frame(
+            spark.createDataFrame(world[["tzid", "geometry"]]), tz_bc, n_shards=256
+        ).persist()
+        edges_df.count()
+
+        def one_sharded() -> float:
+            pts = bench.synthetic_points(spark, points)
+            t0 = _t.perf_counter()
+            out = assign_tzid_sharded(pts, slim_bc, edges_df, OCEAN_BANDS, n_shards=256)
+            assert out.agg(F.count("tzid")).collect()[0][0] > 0
+            dt = _t.perf_counter() - t0
+            out.sharded_release()
+            return dt
+
+        one_sharded()  # warmup
+        dt_s = min(one_sharded() for _ in range(2))
+        rec["frontier_pages_per_sec_sharded"] = round(points / dt_s)
+        rec["frontier_points"] = points
+        log(f"  sharded: {dt_s:.2f}s -> {rec['frontier_pages_per_sec_sharded']:,} pages/s")
+        return rec
+    finally:
+        spark.stop()
+
+
+def sharded_scaling_leg(points: int = 8_000_000) -> dict:
+    """local[1] vs local[4] scaling of the SHARDED stage-2 path at the
+    419-zone reference world (round-6 verdict item 5: the >=0.8
+    efficiency rule was only evidenced on the broadcast path; the
+    sharded join shuffles residue pairs, winner aggs and verdict joins
+    and could scale differently)."""
+    import pickle
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    import bench
+    from timezone_boundary_builder_spark.operators.spatial_join_sharded import (
+        assign_tzid_sharded,
+        zone_edges_frame,
+    )
+    from timezone_boundary_builder_spark.sources.fixtures import OCEAN_BANDS
+
+    cm = bench.reference_world_cellmap()
+    world_pdf = None  # edges need (tzid, geometry)
+    import pandas as pd
+
+    world_pdf = pd.DataFrame(
+        {"tzid": cm.tzids, "geometry": cm.geojson}
+    )
+    thr = {}
+    for cores in (1, 4):
+        spark = make_spark(cores)
+        try:
+            slim_bc = spark.sparkContext.broadcast(cm.slim())
+            tz_bc = spark.sparkContext.broadcast(list(cm.tzids))
+            edges_df = zone_edges_frame(
+                spark.createDataFrame(world_pdf), tz_bc, n_shards=64
+            ).persist()
+            edges_df.count()
+
+            def one() -> float:
+                pts = bench.synthetic_points(spark, points)
+                t0 = _t.perf_counter()
+                out = assign_tzid_sharded(
+                    pts, slim_bc, edges_df, OCEAN_BANDS, n_shards=64
+                )
+                assert out.agg(F.count("tzid")).collect()[0][0] == points
+                dt = _t.perf_counter() - t0
+                out.sharded_release()
+                return dt
+
+            one()  # warmup
+            dt = min(one() for _ in range(2))
+            thr[cores] = points / dt
+            log(f"  sharded local[{cores}]: {dt:.2f}s -> {thr[cores]:,.0f} pages/s")
+        finally:
+            spark.stop()
+    return {
+        "sharded_points": points,
+        "sharded_pages_per_sec_local1": round(thr[1]),
+        "sharded_pages_per_sec_local4": round(thr[4]),
+        "sharded_scaling_efficiency_1_to_4": round((thr[4] / thr[1]) / 4.0, 3),
+    }
 
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "time"
     rest = sys.argv[2:]
+    if mode == "frontier":
+        grid = int(rest[0]) if rest else 100
+        edges = int(rest[1]) if len(rest) > 1 else 64
+        points = int(rest[2]) if len(rest) > 2 else 2_000_000
+        print(json.dumps(frontier_leg(grid, edges, points), separators=(",", ":")))
+        return
+    if mode == "sharded-scaling":
+        points = int(rest[0]) if rest else 8_000_000
+        print(json.dumps(sharded_scaling_leg(points), separators=(",", ":")))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
     tag = "before"
     if mode == "plans" and rest and rest[0] in ("before", "after"):
