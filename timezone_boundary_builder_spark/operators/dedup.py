@@ -1,12 +1,15 @@
 """Deduplication operators (driver spec: exact, MinHash+LSH, SimHash,
 n-gram Jaccard).
 
-Exact + MinHash stay fully JVM-side (md5 + explode + min-agg — all
-codegen'd; the only shuffles are the groupBys on the dedup keys, which is
-the theoretical minimum). SimHash packs md5 bits into a 64-bit signature
-with bit arithmetic. At 10^12 rows the shuffle keys (md5 hex / band
-hashes) are uniformly distributed by construction — no skew handling
-needed beyond AQE.
+Exact dedup is JVM-side md5 + groupBy (the one shuffle is the dedup-key
+groupBy — the theoretical minimum). MinHash signatures are MAP-ONLY
+since round 7: one Arrow-batched hashlib kernel emits the per-doc
+minima (the previous explode + min(string) aggregation sort-aggregated
+the whole shingle relation), so the LSH banding self-join is the first
+shuffle in the near-dup chain. SimHash packs md5 bits into a 64-bit
+signature with bit arithmetic. At 10^12 rows the shuffle keys (md5 hex /
+band hashes) are uniformly distributed by construction — no skew
+handling needed beyond AQE.
 """
 
 from __future__ import annotations

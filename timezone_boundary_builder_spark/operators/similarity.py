@@ -1,12 +1,16 @@
 """Similarity search over embedding columns (driver spec: brute-force
 cosine top-k baseline + an LSH-bucketed scale path).
 
-Brute-force: broadcast the (small) query set, score with JVM-side
-F.zip_with / F.aggregate — no Python, no shuffle until the final top-k
-window. Scale path: random-hyperplane LSH signatures bucket the vectors;
-probing only matching buckets turns the all-pairs scan into an equi-join.
-At 10^12 rows the broadcast-query pattern is the right shape: the scan is
-map-side; only k rows per query survive to the shuffle.
+Brute-force: the literal query batch is driver-collected and ONE
+Arrow-batched kernel scores each row against the whole query matrix in
+a vectorized pass (round 7 — the earlier JVM zip_with/aggregate folds
+evaluate interpreted per element); no shuffle until the final top-k
+window. Scale path: random-hyperplane LSH signatures bucket the
+vectors; probing only matching buckets turns the all-pairs scan into an
+equi-join. At 10^12 rows this is the right shape: the scan stays
+map-side; only k rows per query survive to the shuffle. All kernels
+keep bit-parity with the old folds (np.cumsum sequential accumulation,
+JVM-side rounding) — the DuckDB oracles are unchanged.
 """
 
 from __future__ import annotations

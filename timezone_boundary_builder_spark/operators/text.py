@@ -1,11 +1,15 @@
 """Text-analysis operators for the training-data pipeline (driver spec:
 language-ID, quality scoring, token counting, document fingerprinting).
 
-Everything is built from JVM-side pyspark.sql.functions only — these run
-inside whole-stage codegen, no Python in the hot path, so they scale to
-the 10^12-row pages table the same way any projection does. Each has an
-exact ANSI-SQL twin (see __spark_entry__.oracle_sql) so the DuckDB oracle
-can verify values, not just row counts.
+The scoring/fingerprint operators are JVM-side pyspark.sql.functions
+(whole-stage codegen, map-only). The Gopher repetition signals run
+through ONE Arrow-batched stats kernel since round 7 (gopher_stats_udf
+— integer counts only; divisions and rounding stay in the JVM plan),
+replacing a token-explode + double aggregation: still map-only, so
+everything here scales to the 10^12-row pages table the way a
+projection does. Each operator has an exact ANSI-SQL twin (see
+__spark_entry__.oracle_sql) so the DuckDB oracle can verify values, not
+just row counts.
 """
 
 from __future__ import annotations
