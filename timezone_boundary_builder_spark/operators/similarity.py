@@ -580,9 +580,20 @@ def ivf_build(
     file_side.repartition("centroid_id").write.mode("overwrite").partitionBy(
         "centroid_id"
     ).parquet(f"{path}/inverted")
+    # pandas input takes the Arrow createDataFrame path (JVM-resident
+    # batches): a plain-list createDataFrame is an RDD of pickled rows
+    # split defaultParallelism ways, and coalesce(1) then computes all
+    # those parents SERIALLY in its one task — one Python-worker
+    # roundtrip each, measured ~4.5 s for 80 rows on local[32] vs ~0.1 s
+    # via Arrow (round 7; same single-file layout and values either way)
+    cent_pdf = pd.DataFrame(
+        {
+            "centroid_id": [int(r["centroid_id"]) for r in cent_rows],
+            "cvec": [[float(x) for x in r["cvec"]] for r in cent_rows],
+        }
+    )
     vectors.sparkSession.createDataFrame(
-        [(int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in cent_rows],
-        "centroid_id long, cvec array<double>",
+        cent_pdf, schema="centroid_id long, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return {"n_centroids": len(cent_rows), "path": path}
 
