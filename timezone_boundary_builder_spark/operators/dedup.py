@@ -453,13 +453,36 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard verification of candidate pairs (the verify
     stage after LSH): distinct word-n-gram sets per doc, then
     |intersection| / |union| per pair. Joins are on doc ids (broadcastable
-    when the candidate set is small, which LSH guarantees)."""
+    when the candidate set is small, which LSH guarantees).
+
+    The gram arrays are built ONLY for docs that appear in a candidate
+    pair (broadcast semi-join prune, guide §3.2): the id joins below
+    restrict the output to those docs anyway, and the interpreted
+    transform/slice gram expression is the expensive part of this plan —
+    computing it corpus-wide just to drop most rows in the join was
+    measured at ~4x the pruned cost on the sf corpus (round 7; verify
+    work is meant to scale with the candidate set, not the corpus).
+    Callers pass materialize=True candidates, so the extra
+    candidate_pairs reference here reads a checkpoint, not the LSH
+    chain."""
+    from timezone_boundary_builder_spark.plans.spread import spread_small_scan
+
+    need = (
+        candidate_pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(candidate_pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = df.join(F.broadcast(need), id_col, "left_semi")
+    # min_bytes=0: the per-row gram transform is interpreted and heavy,
+    # so spreading pays even for a small pruned set on a one-row-group
+    # scan (plans/spread.py rationale)
+    pruned = spread_small_scan(pruned, id_col, min_bytes=0)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
     )
-    g = df.select(F.col(id_col), grams.alias("grams"))
+    g = pruned.select(F.col(id_col), grams.alias("grams"))
     a = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
     b = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
     joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
