@@ -378,14 +378,20 @@ def _q_geo_combined_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from timezone_boundary_builder_spark.operators.outputs import combined_zone_table
 
-    zones = _zones_spark(spark)
+    # localCheckpoint the shared relations (round 7, same rationale as
+    # _q_geo_validate_overlaps): zones feeds the ocean build, the
+    # comprehensive product and BOTH derived folds, and oceans / each
+    # derived product are read again by the combined table — without
+    # materialization every reference re-runs its applyInPandas fold
+    # from scratch (measured ~2x on this query's fixture world)
+    zones = _zones_spark(spark).localCheckpoint()
     groups = spark.createDataFrame(zone_groups_pdf())
     bands = spark.createDataFrame(pd.DataFrame(OCEAN_BANDS))
-    oceans = build_ocean_zones(spark, bands, zones)
+    oceans = build_ocean_zones(spark, bands, zones).localCheckpoint()
     products = {
         "comprehensive": zones,
-        "1970": build_derived_zones(spark, zones, groups, "1970"),
-        "now": build_derived_zones(spark, zones, groups, "now"),
+        "1970": build_derived_zones(spark, zones, groups, "1970").localCheckpoint(),
+        "now": build_derived_zones(spark, zones, groups, "now").localCheckpoint(),
     }
     with_oceans = {
         s: build_derived_zones_with_oceans(spark, products[s], oceans, groups, s)
@@ -550,7 +556,9 @@ def _q_geo_derived_now_oceans(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_derived_zones_with_oceans,
     )
 
-    zones = _zones_spark(spark)
+    # localCheckpoint: zones feeds both the ocean build and the derived
+    # fold (same shared-subtree rationale as _q_geo_validate_overlaps)
+    zones = _zones_spark(spark).localCheckpoint()
     groups = spark.createDataFrame(zone_groups_pdf())
     bands = spark.createDataFrame(pd.DataFrame(OCEAN_BANDS))
     oceans = build_ocean_zones(spark, bands, zones)
