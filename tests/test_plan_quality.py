@@ -327,3 +327,39 @@ def test_decontaminate_broadcasts_benchmark_not_corpus(spark):
     # the corpus explode feeds the broadcast join directly — a SortMerge
     # join anywhere would mean the exploded corpus crossed the wire
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ngram_verify_prunes_to_candidate_docs(spark):
+    """Round-7 guard on the n-gram verify prune: the gram arrays are
+    built only for docs named in a candidate pair (broadcast LEFT-SEMI
+    join of the doc table against the candidate ids — verify work must
+    scale with the candidate set, not the corpus), and the pruned shape
+    returns exactly the unpruned rows: the candidate pair's jaccard, and
+    NO row for a doc the LSH stage never paired, however similar."""
+    import pandas as pd
+
+    from timezone_boundary_builder_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+                "text": [
+                    "a b c d e f",  # pairs with 2: grams n=3 differ in 1 of 5
+                    "a b c d e g",
+                    "a b c d e f",  # identical to 1 but never a candidate
+                    "x y z w v u",
+                ],
+            }
+        )
+    )
+    cand = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1], "id_b": [2]}).astype("int64")
+    )
+    out = ngram_jaccard_pairs(docs, cand, n=3, threshold=0.0)
+    plan = plan_of(out)
+    assert "LeftSemi" in plan, plan
+    rows = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    # grams(doc1) = {a b c, b c d, c d e, d e f}, doc2 swaps the last
+    # -> |inter| 3, |union| 5
+    assert rows == {(1, 2): 0.6}, rows
